@@ -1,0 +1,255 @@
+"""Typed configuration mirroring the reference's input surface.
+
+`ObmdParams` mirrors the `fix obmd` argument list 1:1
+(fix_obmd_merged.cpp:66-287 positional parsing, :1881-2164 keyword parsing;
+README.ProgrammersManual.md:32-125), `DPDParams` mirrors
+`pair_style dpd T rc seed` + `pair_coeff` (DPD-BASIC/pair_dpd.cpp:195,223),
+and `LJCutRFParams` mirrors `pair_style lj/cut/rf` (pair_lj_cut_rf.cpp:227,254).
+
+Any of the eight law parameters (pxx pxy pxz dpxx freq alpha tau nbuf) may be
+a python callable `f(t) -> value` instead of a float — the counterpart of
+LAMMPS equal-style `v_name` variables re-evaluated each pre_exchange
+(fix_obmd_merged.cpp:563-572).  Callables are traced into the jitted step, so
+they must be jnp-composable functions of the (traced) simulation time.
+
+All configs are frozen dataclasses: hashable, usable as jit static args.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple, Union
+
+import numpy as np
+
+from .geometry import Box, RegionBlock
+
+# A boundary-law parameter: constant or equal-style-variable analogue.
+Param = Union[float, Callable]
+
+
+def eval_param(p: Param, t):
+    """Resolve a Param at simulation time t (traced)."""
+    return p(t) if callable(p) else p
+
+
+def _sym(table, ntypes, name):
+    """Validate/symmetrize an (ntypes, ntypes) coefficient table."""
+    arr = np.asarray(table, dtype=np.float64)
+    if arr.shape == ():
+        arr = np.full((ntypes, ntypes), float(arr))
+    if arr.shape != (ntypes, ntypes):
+        raise ValueError(f"{name} must be scalar or ({ntypes},{ntypes}), got {arr.shape}")
+    if not np.allclose(arr, arr.T):
+        raise ValueError(f"{name} table must be symmetric")
+    return tuple(tuple(float(v) for v in row) for row in arr)
+
+
+@dataclasses.dataclass(frozen=True)
+class DPDParams:
+    """`pair_style dpd T rc seed` + per-type-pair coeffs.
+
+    Force law (pair_dpd.cpp:128-137):
+      F = (a0*wd - gamma*wd^2*(rhat . dv)) * rhat + sigma*wd*xi/sqrt(dt)*rhat,
+      wd = 1 - r/rc,  sigma = sqrt(2 kB T gamma)  (init_one, pair_dpd.cpp:283).
+    Conservative energy (shifted to 0 at cutoff): 0.5*a0*rc*wd^2.
+    """
+
+    temp: float
+    cutoff: float          # global cutoff (pair_style arg)
+    seed: int
+    ntypes: int = 1
+    a0: Tuple[Tuple[float, ...], ...] = ()
+    gamma: Tuple[Tuple[float, ...], ...] = ()
+    cut: Tuple[Tuple[float, ...], ...] = ()   # per-pair cutoff (defaults to `cutoff`)
+    gaussian_noise: bool = False  # validation path; default uniform (same variance)
+
+    @staticmethod
+    def create(temp, cutoff, seed, a0, gamma, cut=None, ntypes=1, gaussian_noise=False):
+        cut = cutoff if cut is None else cut
+        return DPDParams(
+            temp=float(temp), cutoff=float(cutoff), seed=int(seed), ntypes=ntypes,
+            a0=_sym(a0, ntypes, "a0"), gamma=_sym(gamma, ntypes, "gamma"),
+            cut=_sym(cut, ntypes, "cut"), gaussian_noise=gaussian_noise)
+
+    @property
+    def sigma(self) -> Tuple[Tuple[float, ...], ...]:
+        g = np.asarray(self.gamma)
+        return tuple(tuple(float(v) for v in row)
+                     for row in np.sqrt(2.0 * self.temp * g))
+
+    @property
+    def max_cut(self) -> float:
+        return float(np.max(np.asarray(self.cut))) if self.cut else self.cutoff
+
+
+@dataclasses.dataclass(frozen=True)
+class LJCutParams:
+    """`pair_style lj/cut rc` + eps/sigma per type pair (12-6 LJ, energy
+    shifted by the cutoff offset when shift=True)."""
+
+    cutoff: float
+    ntypes: int = 1
+    epsilon: Tuple[Tuple[float, ...], ...] = ()
+    sigma: Tuple[Tuple[float, ...], ...] = ()
+    cut: Tuple[Tuple[float, ...], ...] = ()
+    shift: bool = False
+
+    @staticmethod
+    def create(cutoff, epsilon, sigma, cut=None, ntypes=1, shift=False):
+        cut = cutoff if cut is None else cut
+        return LJCutParams(cutoff=float(cutoff), ntypes=ntypes,
+                           epsilon=_sym(epsilon, ntypes, "epsilon"),
+                           sigma=_sym(sigma, ntypes, "sigma"),
+                           cut=_sym(cut, ntypes, "cut"), shift=shift)
+
+    @property
+    def max_cut(self) -> float:
+        return float(np.max(np.asarray(self.cut))) if self.cut else self.cutoff
+
+
+@dataclasses.dataclass(frozen=True)
+class LJCutRFParams:
+    """`pair_style lj/cut/rf rc_lj [rc_rf]`: 12-6 LJ plus reaction-field
+    Coulomb (pair_lj_cut_rf.cpp:118-131 force, :163-171 energy):
+
+      U_rf(r) = C q_i q_j [ 1/r (1 + (eps_rf-1)/(2 eps_rf+1) (r/rc)^3)
+                            - 1/rc * 3 eps_rf/(2 eps_rf+1) ]
+    with C = qqrd2e (1.0 in LJ units).
+    """
+
+    cut_lj: float
+    cut_coul: float
+    ntypes: int = 1
+    epsilon: Tuple[Tuple[float, ...], ...] = ()
+    sigma: Tuple[Tuple[float, ...], ...] = ()
+    cut: Tuple[Tuple[float, ...], ...] = ()        # per-pair LJ cutoff
+    eps_rf: Tuple[Tuple[float, ...], ...] = ()     # dielectric of the RF continuum
+    qqrd2e: float = 1.0
+    shift: bool = False
+
+    @staticmethod
+    def create(cut_lj, epsilon, sigma, eps_rf, cut_coul=None, cut=None, ntypes=1,
+               qqrd2e=1.0, shift=False):
+        cut_coul = cut_lj if cut_coul is None else cut_coul
+        cut = cut_lj if cut is None else cut
+        return LJCutRFParams(cut_lj=float(cut_lj), cut_coul=float(cut_coul), ntypes=ntypes,
+                             epsilon=_sym(epsilon, ntypes, "epsilon"),
+                             sigma=_sym(sigma, ntypes, "sigma"),
+                             cut=_sym(cut, ntypes, "cut"),
+                             eps_rf=_sym(eps_rf, ntypes, "eps_rf"),
+                             qqrd2e=float(qqrd2e), shift=shift)
+
+    @property
+    def max_cut(self) -> float:
+        mc = float(np.max(np.asarray(self.cut))) if self.cut else self.cut_lj
+        return max(mc, self.cut_coul)
+
+
+PairParams = Union[DPDParams, LJCutParams, LJCutRFParams]
+
+
+@dataclasses.dataclass(frozen=True)
+class UsherParams:
+    """`usher etarget ds0 dtheta0 uovlp dsolvp eps nattempt`
+    (fix_obmd_merged.cpp:2025-2038; algorithm at :1518-1616)."""
+
+    etarget: float
+    ds0: float = 1.0
+    dtheta0: float = 0.02
+    uovlp: float = 1.0e4
+    dsovlp: float = 1.5
+    eps: float = 1.0
+    nattempt: int = 40
+
+
+@dataclasses.dataclass(frozen=True)
+class ObmdParams:
+    """Mirror of `fix ID group obmd ntype nfreq seed pxx pxy pxz dpxx freq
+    alpha tau nbuf [keywords]` (fix_obmd_merged.cpp:66-287).
+
+    region1/2: left/right buffer (normal-force + census + deletion tally),
+    region3/4: left/right shear sub-regions (Heaviside weights),
+    region5/6: left/right insertion sub-regions.  All six are required by the
+    reference's init() (:421-438).
+    """
+
+    ntype: int                 # type of inserted particles (0-based here)
+    nfreq: int
+    seed: int
+    pxx: Param
+    pxy: Param = 0.0
+    pxz: Param = 0.0
+    dpxx: Param = 0.0
+    freq: Param = 0.0
+    alpha: Param = 0.7
+    tau: Param = 0.005
+    nbuf: Param = 0.0
+
+    region1: Optional[RegionBlock] = None   # left buffer
+    region2: Optional[RegionBlock] = None   # right buffer
+    region3: Optional[RegionBlock] = None   # left shear
+    region4: Optional[RegionBlock] = None   # right shear
+    region5: Optional[RegionBlock] = None   # left insertion
+    region6: Optional[RegionBlock] = None   # right insertion
+
+    buffer_size: float = 0.0   # default 0.3*Lx applied in SceneConfig.finalize
+    g_fac: float = 0.25
+    step_parallel: int = 0     # only 0 (smooth) accepted (:2013)
+    step_perp: int = 1         # only 1 (Heaviside) accepted (:2019)
+    maxattempt: int = 1
+
+    usher: Optional[UsherParams] = None
+    near: Optional[float] = None    # `near 1 dist` -> minimum allowed distance
+    charged: bool = False
+    mol_len: int = 1
+
+    # Batched-insertion capacity: max candidates evaluated per buffer per
+    # pre_exchange (the TPU replacement for the reference's sequential
+    # ninsert x maxattempt loop; SURVEY.md §7 stage 5).
+    insert_kmax: int = 8
+
+    def __post_init__(self):
+        if (self.usher is None) == (self.near is None):
+            raise ValueError("exactly one of `usher` / `near` must be given "
+                             "(fix_obmd_merged.cpp:2105,2163)")
+
+
+@dataclasses.dataclass(frozen=True)
+class Capacity:
+    """Static shapes for the fixed-capacity state and cell grid."""
+
+    n_max: int                 # particle slots
+    cell_capacity: int = 16    # max atoms per cell (overflow detected)
+
+    def __post_init__(self):
+        if self.n_max <= 0 or self.cell_capacity <= 0:
+            raise ValueError("capacities must be positive")
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneConfig:
+    """Everything needed to jit one MD step: box, masses, pair style, dt,
+    optional OBMD stage, and static capacities."""
+
+    box: Box
+    masses: Tuple[float, ...]       # per type (index 0 = type 0)
+    pair: PairParams
+    dt: float
+    capacity: Capacity
+    obmd: Optional[ObmdParams] = None
+    skin: float = 0.0               # reserved for list reuse; cells sized cut+skin
+    dtype: str = "float32"
+    # Count dead slots' padding overflow etc. for diagnostics.
+
+    @property
+    def ntypes(self) -> int:
+        return len(self.masses)
+
+    def finalize(self) -> "SceneConfig":
+        """Apply reference defaults that depend on other fields
+        (buffersize default 0.3*Lx, fix_obmd_merged.cpp:1912)."""
+        if self.obmd is not None and self.obmd.buffer_size == 0.0:
+            lx = self.box.lengths[0]
+            obmd = dataclasses.replace(self.obmd, buffer_size=0.3 * lx)
+            return dataclasses.replace(self, obmd=obmd)
+        return self

@@ -1,0 +1,421 @@
+"""The OBMD open-boundary stage: deletion, feedback insertion (near/USHER),
+momentum accounting, and external boundary-force distribution.
+
+TPU-native rebuild of FixObmdMerged (reference:
+code/src/OBMD/fix_obmd_merged.cpp).  The stage splits exactly like the
+reference's fix hooks:
+
+  * `pre_exchange`  (ref :550-633)  — delete escapees + tally momentum,
+    census the buffers, feedback law, batched insertion, boundary-force
+    setpoints for this step.
+  * `apply_boundary_force` (ref :1229-1240 post_force) — distribute the
+    setpoint forces over buffer atoms with smooth (normal) / Heaviside
+    (shear) weights.
+
+Deviations from the reference (deliberate; see SURVEY.md §2.1 quirks):
+  * USHER runs batched over K candidates with masked convergence instead of
+    sequentially with 3 MPI_Allreduce per iteration (ref :1531-1563); the
+    acceptance rule (E < etarget + eps, reject on leaving the region) is
+    preserved, including visibility of earlier accepted candidates through a
+    sequential post-acceptance energy correction.
+  * The pressure-wave phase uses an explicitly checkpointed sim_time.
+  * `center_of_mass` y/z swap and `calc_torque` last-atom bug (ref
+    :1716-1770) are NOT reproduced.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import rng
+from ..cells import GridSpec, build_cells
+from ..config import ObmdParams, SceneConfig, eval_param
+from ..forces.pairs import trial_energy_force
+from ..state import State, per_atom_mass
+
+EPSILON = 1.0e-6  # reference EPSILON (fix_obmd_merged.cpp:62)
+
+
+# --------------------------------------------------------------------------
+# deletion (ref try_deleting :639-865)
+# --------------------------------------------------------------------------
+
+def delete_outside(cfg: SceneConfig, state: State):
+    """Delete every atom beyond the open x faces; tally sum(m v) by side.
+
+    The reference deletes candidates in random global order but always
+    deletes *all* of them (the while loop drains nall, :688-701), so the
+    random order is irrelevant to the result: a masked sweep is exact.
+    Side attribution follows ref :827-833: left if x < (boxlo+boxhi)/2.
+    """
+    box = cfg.box
+    x0 = state.x[:, 0]
+    doomed = state.alive & ((x0 < box.lo[0]) | (x0 > box.hi[0]))
+    mid = 0.5 * (box.lo[0] + box.hi[0])
+    left = doomed & (x0 < mid)
+    right = doomed & ~left
+
+    m = per_atom_mass(cfg, state)
+    mv = m[:, None] * state.v
+    vnewl = jnp.sum(jnp.where(left[:, None], mv, 0.0), axis=0)
+    vnewr = jnp.sum(jnp.where(right[:, None], mv, 0.0), axis=0)
+    ndel = jnp.sum(doomed.astype(jnp.int32))
+
+    state = state.replace(
+        alive=state.alive & ~doomed,
+        tag=jnp.where(doomed, -1, state.tag),
+        obmd=state.obmd.replace(ndeleted=state.obmd.ndeleted + ndel),
+    )
+    return state, vnewl, vnewr
+
+
+# --------------------------------------------------------------------------
+# buffer census + feedback law (ref :582-589; group.cpp:793 count)
+# --------------------------------------------------------------------------
+
+def region_count(state: State, region) -> jnp.ndarray:
+    return jnp.sum((state.alive & region.match(state.x)).astype(jnp.int32))
+
+
+def feedback_count(cnt, mol_len, alpha, nbuf, dt, tau):
+    """ninsert = -(int)((cnt/mol_len - alpha*nbuf) * dt/tau), C truncation
+    toward zero (ref :586-589)."""
+    val = (cnt.astype(jnp.float32) / mol_len - alpha * nbuf) * dt / tau
+    return (-val.astype(jnp.int32)).astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# insertion (ref try_inserting :869-1225; usher :1518-1616)
+# --------------------------------------------------------------------------
+
+def _usher_search(cfg: SceneConfig, spec: GridSpec, ctab, state: State,
+                  cand_x: jnp.ndarray, cand_type: jnp.ndarray, region):
+    """Vectorized USHER: iterate all K candidates together with masked
+    convergence.  Per-candidate semantics match ref :1531-1611 for ATOM mode:
+
+      E < etarget + eps            -> accept, stop
+      E > uovlp                    -> ds = dsovlp - (4 eps / E)^(1/12)
+      else                         -> ds = min((E - etarget)/|F|, ds0)
+      move along F/|F| by ds; leaving the insertion region -> reject, stop
+      |F| < eps                    -> reject, stop (the reference spins
+                                      forever on this degenerate case)
+
+    Returns (final positions [K,3], accepted [K], iters_used [K]).
+    """
+    u = cfg.obmd.usher
+    dtype = state.dtype
+
+    def body(carry, _):
+        pos, active, accepted, iters = carry
+        E, F = trial_energy_force(cfg.pair, cfg.box, spec, ctab,
+                                  state.x, state.type, state.q,
+                                  pos, cand_type)
+        ok = E < u.etarget + EPSILON
+        newly_accepted = active & ok
+        fabs = jnp.sqrt(jnp.sum(F * F, axis=-1))
+        degenerate = fabs < EPSILON
+
+        ds_ovlp = u.dsovlp - (4.0 * u.eps / jnp.maximum(E, EPSILON)) ** (1.0 / 12.0)
+        ds_norm = jnp.minimum((E - u.etarget) / jnp.maximum(fabs, EPSILON), u.ds0)
+        ds = jnp.where(E > u.uovlp, ds_ovlp, ds_norm)
+        unit = F / jnp.maximum(fabs, EPSILON)[:, None]
+        moved = pos + unit * ds[:, None]
+
+        inside = region.match(moved)
+        move_now = active & ~ok & ~degenerate
+        pos = jnp.where(move_now[:, None], moved, pos)
+        # stop when: accepted, degenerate force, or stepped out of region
+        stopped = newly_accepted | (active & degenerate) | (move_now & ~inside)
+        active = active & ~stopped
+        accepted = accepted | newly_accepted
+        iters = iters + active.astype(jnp.int32)
+        return (pos, active, accepted, iters), None
+
+    k = cand_x.shape[0]
+    init = (cand_x, jnp.ones((k,), bool), jnp.zeros((k,), bool),
+            jnp.zeros((k,), jnp.int32))
+    (pos, active, accepted, iters), _ = jax.lax.scan(body, init, None,
+                                                     length=u.nattempt)
+    # Post-loop check (ref :1057: accept iff final E < etarget + eps) for
+    # candidates that used up all iterations.
+    E, _ = trial_energy_force(cfg.pair, cfg.box, spec, ctab,
+                              state.x, state.type, state.q, pos, cand_type)
+    accepted = accepted | (active & (E < u.etarget + EPSILON))
+    return pos, accepted, iters, E
+
+
+def _near_check(cfg: SceneConfig, spec: GridSpec, ctab, state: State,
+                cand_x: jnp.ndarray, cand_type: jnp.ndarray):
+    """`near` insertion test (ref :1036-1049): reject a candidate if any
+    existing atom lies within `near` distance."""
+    E, F = trial_energy_force(cfg.pair, cfg.box, spec, ctab,
+                              state.x, state.type, state.q, cand_x, cand_type)
+    # distance check via a dedicated sweep: reuse energy machinery by
+    # computing min distance. Cheaper: direct gather here.
+    from ..cells import BIG, gather_padded
+    dtype = state.dtype
+    dims = spec.dims
+    n_cells = spec.n_cells
+    lo = jnp.asarray(spec.lo, dtype=dtype)
+    cs = jnp.asarray(spec.cell_size, dtype=dtype)
+    nd = jnp.asarray(dims, dtype=jnp.int32)
+    cc = jnp.clip(jnp.floor((cand_x - lo) / cs).astype(jnp.int32), 0, nd - 1)
+    offs = jnp.asarray([(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1)
+                        for c in (-1, 0, 1)], dtype=jnp.int32)
+    nb = cc[:, None, :] + offs[None, :, :]
+    per = jnp.asarray(spec.periodic)
+    nb_ok = jnp.all(jnp.where(per, True, (nb >= 0) & (nb < nd)), axis=-1)
+    nb = jnp.where(per, jnp.mod(nb, nd), nb)
+    lin = (nb[..., 0] * dims[1] + nb[..., 1]) * dims[2] + nb[..., 2]
+    lin = jnp.where(nb_ok, lin, n_cells)
+    jdx = ctab.table[lin].reshape(cand_x.shape[0], -1)
+    xj = gather_padded(state.x, jdx, BIG)
+    d = cfg.box.min_image(cand_x[:, None, :] - xj)
+    rsq = jnp.sum(d * d, axis=-1)
+    min_rsq = jnp.min(jnp.where(xj[..., 0] < BIG * 0.5, rsq, jnp.inf), axis=-1)
+    ok = min_rsq >= cfg.obmd.near ** 2
+    return ok, E
+
+
+def _sequential_accept(cfg: SceneConfig, cand_x, cand_type, cand_ok, budget):
+    """Greedy in-order acceptance with candidate-candidate visibility.
+
+    The reference inserts sequentially, so candidate k's energy scan sees
+    candidates 0..k-1 already inserted (ref :914 loop).  Batched USHER loses
+    that; we restore the acceptance criterion exactly by re-checking, in
+    candidate order, that the extra energy from previously-accepted
+    candidates keeps E below etarget (USHER) / distance above `near`.
+    """
+    from ..config import DPDParams, LJCutParams, LJCutRFParams
+    obmd = cfg.obmd
+    k = cand_x.shape[0]
+    d = cfg.box.min_image(cand_x[:, None, :] - cand_x[None, :, :])
+    rsq = jnp.sum(d * d, axis=-1)
+
+    if obmd.near is not None:
+        conflict = rsq < obmd.near ** 2          # [K,K]
+    else:
+        # pair energy between candidates vs the etarget slack: conservative
+        # criterion — candidate k conflicts with j if their pair energy alone
+        # exceeds the etarget margin.  For DPD the conservative pair energy
+        # is 0.5 a0 rc wd^2.
+        p = cfg.pair
+        if isinstance(p, DPDParams):
+            import numpy as np
+            a0 = jnp.asarray(np.asarray(p.a0))[cand_type[:, None], cand_type[None, :]]
+            cut = jnp.asarray(np.asarray(p.cut))[cand_type[:, None], cand_type[None, :]]
+            r = jnp.sqrt(rsq)
+            wd = jnp.maximum(1.0 - r / cut, 0.0)
+            epair = 0.5 * a0 * cut * wd * wd
+        else:
+            # LJ-family: use distance where U(r) = etarget as the conflict
+            # radius — conservative fallback.
+            epair = jnp.where(rsq < cfg.pair.max_cut ** 2, jnp.inf, 0.0)
+        conflict = epair > obmd.usher.etarget + EPSILON
+
+    eye = jnp.eye(k, dtype=bool)
+    conflict = conflict & ~eye
+
+    def body(carry, kk):
+        accepted_mask, count = carry
+        clash = jnp.any(conflict[kk] & accepted_mask)
+        take = cand_ok[kk] & ~clash & (count < budget)
+        accepted_mask = accepted_mask.at[kk].set(take)
+        return (accepted_mask, count + take.astype(jnp.int32)), None
+
+    (accepted, count), _ = jax.lax.scan(
+        body, (jnp.zeros((k,), bool), jnp.zeros((), jnp.int32)),
+        jnp.arange(k))
+    return accepted, count
+
+
+def insert_particles(cfg: SceneConfig, spec: GridSpec, state: State,
+                     ninsert_left: jnp.ndarray, ninsert_right: jnp.ndarray):
+    """Batched replacement for try_inserting on both buffers (ATOM mode).
+
+    Draw K candidates uniformly in each insertion region (ref :921-927),
+    steer/test them (USHER :1052 / near :1036), then write the accepted ones
+    into free slots with v = 0 (ref :1076-1078), fresh tags (ref :1119), and
+    the fix's insertion type.
+    """
+    obmd = cfg.obmd
+    dtype = state.dtype
+    K = obmd.insert_kmax
+    n = state.capacity
+
+    key = rng.fold_key(state.key, state.step)
+    kl, kr, knext = jax.random.split(key, 3)
+
+    ctab = build_cells(spec, state.x, state.alive)
+
+    def one_side(k_key, region, budget):
+        u = jax.random.uniform(k_key, (K, 3), dtype=dtype)
+        cand = region.sample_uniform(u)
+        ctype = jnp.full((K,), obmd.ntype, jnp.int32)
+        if obmd.usher is not None:
+            pos, ok, iters, E = _usher_search(cfg, spec, ctab, state, cand,
+                                              ctype, region)
+        else:
+            ok, E = _near_check(cfg, spec, ctab, state, cand, ctype)
+            pos, iters = cand, jnp.zeros((K,), jnp.int32)
+        budget = jnp.clip(budget, 0, K)
+        accepted, count = _sequential_accept(cfg, pos, ctype, ok, budget)
+        return pos, accepted, count, iters
+
+    pos_l, acc_l, cnt_l, it_l = one_side(kl, obmd.region5, ninsert_left)
+    pos_r, acc_r, cnt_r, it_r = one_side(kr, obmd.region6, ninsert_right)
+
+    pos = jnp.concatenate([pos_l, pos_r], axis=0)        # [2K,3]
+    accepted = jnp.concatenate([acc_l, acc_r], axis=0)   # [2K]
+    total = cnt_l + cnt_r
+
+    # Free-slot allocation: the j-th accepted candidate takes the j-th free
+    # slot.  nonzero(size=) keeps shapes static.
+    free = jnp.nonzero(~state.alive, size=2 * K, fill_value=n)[0]
+    order = jnp.cumsum(accepted.astype(jnp.int32)) - 1   # rank among accepted
+    slot = jnp.where(accepted, free[jnp.clip(order, 0, 2 * K - 1)], n)
+    # Capacity overflow: accepted but no free slot.
+    landed = accepted & (slot < n)
+
+    new_tag = state.maxtag + 1 + order.astype(jnp.int32)
+
+    def scat(arr, val, fill_slot=slot):
+        return arr.at[fill_slot].set(val, mode="drop")
+
+    x = scat(state.x, pos)
+    v = state.v.at[slot].set(jnp.zeros((2 * K, 3), dtype), mode="drop")
+    f = state.f.at[slot].set(jnp.zeros((2 * K, 3), dtype), mode="drop")
+    typ = scat(state.type, jnp.full((2 * K,), obmd.ntype, jnp.int32))
+    tag = scat(state.tag, new_tag)
+    qn = scat(state.q, jnp.zeros((2 * K,), dtype))
+    moln = scat(state.mol, jnp.zeros((2 * K,), jnp.int32))
+    alive = state.alive.at[slot].set(True, mode="drop")
+
+    n_landed = jnp.sum(landed.astype(jnp.int32))
+    want = jnp.clip(ninsert_left, 0) + jnp.clip(ninsert_right, 0)
+    fails = jnp.maximum(want - n_landed, 0)
+
+    state = state.replace(
+        x=x, v=v, f=f, type=typ, tag=tag, q=qn, mol=moln, alive=alive,
+        maxtag=state.maxtag + n_landed,
+        key=knext,
+        obmd=state.obmd.replace(
+            ninserted=state.obmd.ninserted + n_landed,
+            insert_fail=state.obmd.insert_fail + fails,
+            usher_iters=state.obmd.usher_iters + jnp.sum(it_l) + jnp.sum(it_r),
+        ),
+    )
+    # Inserted atoms carry zero momentum (ref :1183-1197 adds zeros).
+    return state
+
+
+# --------------------------------------------------------------------------
+# the full pre-exchange stage (ref :550-633)
+# --------------------------------------------------------------------------
+
+def pre_exchange(cfg: SceneConfig, spec: GridSpec, state: State) -> State:
+    obmd = cfg.obmd
+    box = cfg.box
+    dtype = state.dtype
+    dt = dtype(cfg.dt)
+    t = state.sim_time
+
+    # equal-style-variable analogues, re-evaluated now (ref :563-572)
+    pxx = eval_param(obmd.pxx, t)
+    pxy = eval_param(obmd.pxy, t)
+    pxz = eval_param(obmd.pxz, t)
+    dpxx = eval_param(obmd.dpxx, t)
+    freq = eval_param(obmd.freq, t)
+    alpha = eval_param(obmd.alpha, t)
+    tau = eval_param(obmd.tau, t)
+    nbuf = eval_param(obmd.nbuf, t)
+
+    state, vnewl, vnewr = delete_outside(cfg, state)
+
+    cnt_left = region_count(state, obmd.region1)
+    cnt_right = region_count(state, obmd.region2)
+    nins_l = feedback_count(cnt_left, obmd.mol_len, alpha, nbuf, dt, tau)
+    nins_r = feedback_count(cnt_right, obmd.mol_len, alpha, nbuf, dt, tau)
+
+    state = insert_particles(cfg, spec, state, nins_l, nins_r)
+
+    # second deletion pass (ref :596-597) — relevant once molecules can
+    # straddle the boundary; harmless for atoms.
+    state, vnewl2, vnewr2 = delete_outside(cfg, state)
+    vnewl = vnewl + vnewl2
+    vnewr = vnewr + vnewr2
+
+    area = dtype(box.cross_area)
+    sim_time = t + dt                              # ref :612 (per stage call)
+    factor = pxx + dpxx * jnp.sin(2.0 * jnp.pi * freq * sim_time)
+
+    mfl = jnp.stack([vnewl[0] / dt + factor * area, vnewl[1] / dt, vnewl[2] / dt])
+    mfr = jnp.stack([vnewr[0] / dt - pxx * area, vnewr[1] / dt, vnewr[2] / dt])
+    sfl = jnp.stack([dtype(0.0) * area, pxy * area, pxz * area])
+    sfr = -sfl
+
+    return state.replace(
+        sim_time=sim_time,
+        obmd=state.obmd.replace(
+            momentum_force_left=mfl.astype(dtype),
+            momentum_force_right=mfr.astype(dtype),
+            shear_force_left=sfl.astype(dtype),
+            shear_force_right=sfr.astype(dtype),
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# boundary-force distribution (ref post_force :1229-1240, weights :1244-1380,
+# application :1385-1516)
+# --------------------------------------------------------------------------
+
+def smooth_weight(cfg: SceneConfig, x0: jnp.ndarray, mass: jnp.ndarray):
+    """g_par weight (ref g_par_local_charged :1312-1340): plateau `m` deep in
+    the buffer, half-cosine rolloff of width g_fac*buffer near the inner
+    edge; zero in the ROI."""
+    obmd = cfg.obmd
+    box = cfg.box
+    lower, upper = box.lo[0], box.hi[0]
+    b = obmd.buffer_size
+    gf = obmd.g_fac
+    pi = jnp.pi
+
+    in_left = x0 < lower + b
+    left_plateau = x0 < lower + (1.0 - gf) * b
+    carg_l = (1.0 / gf) * pi * (x0 - b - lower) / (-b) - pi
+    g_left = jnp.where(left_plateau, mass, 0.5 * (1.0 + jnp.cos(carg_l)) * mass)
+
+    in_right = x0 > upper - b
+    right_plateau = x0 > upper - (1.0 - gf) * b
+    carg_r = (1.0 / gf) * pi * (x0 - upper + b) / b - pi
+    g_right = jnp.where(right_plateau, mass, 0.5 * (1.0 + jnp.cos(carg_r)) * mass)
+
+    return jnp.where(in_left, g_left, jnp.where(in_right, g_right, 0.0))
+
+
+def apply_boundary_force(cfg: SceneConfig, state: State,
+                         f: jnp.ndarray) -> jnp.ndarray:
+    """Distribute the stage's setpoint forces over buffer atoms:
+    f_i += F * g_i / sum(g)  (ref :1414-1428), Heaviside mass weights for the
+    shear sub-regions (ref :1452-1516)."""
+    obmd = cfg.obmd
+    m = per_atom_mass(cfg, state)
+    x0 = state.x[:, 0]
+    sc = state.obmd
+
+    def add(f, region, F, smooth):
+        member = state.alive & region.match(state.x)
+        g = smooth_weight(cfg, x0, m) if smooth else m
+        g = jnp.where(member, g, 0.0)
+        gsum = jnp.sum(g)
+        scale = jnp.where(gsum > 0.0, g / jnp.maximum(gsum, 1e-30), 0.0)
+        return f + scale[:, None] * F[None, :]
+
+    f = add(f, obmd.region1, sc.momentum_force_left, smooth=True)
+    f = add(f, obmd.region2, sc.momentum_force_right, smooth=True)
+    f = add(f, obmd.region3, sc.shear_force_left, smooth=False)
+    f = add(f, obmd.region4, sc.shear_force_right, smooth=False)
+    return f

@@ -1,0 +1,116 @@
+"""Observables: thermo quantities and x-resolved profiles.
+
+Counterpart of the reference's thermo/compute layer (thermo.cpp,
+compute_temp.cpp, compute_stress_atom.cpp) restricted to what OBMD papers
+plot: T, P, and density / velocity / pressure profiles along the open axis
+(SURVEY.md §5 metrics note).
+
+Pressure convention (LAMMPS): P V = N kB T + virial_sum (per-direction:
+P_aa V = sum m v_a^2 + W_aa).  Profiles use per-atom virial shares binned by
+x, divided by the bin volume.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .cells import build_cells
+from .config import SceneConfig
+from .forces.pairs import pair_sweep
+from .integrate import PURPOSE_PAIR_NOISE, make_grid_spec
+from . import rng
+from .state import State, per_atom_mass, temperature
+
+
+class Thermo(NamedTuple):
+    step: jnp.ndarray
+    natoms: jnp.ndarray
+    temp: jnp.ndarray
+    pe: jnp.ndarray          # total pair potential energy
+    ke: jnp.ndarray
+    pressure: jnp.ndarray    # scalar P = (W_xx+W_yy+W_zz + sum m v^2)/(3V)
+    pxx: jnp.ndarray
+
+
+class Profiles(NamedTuple):
+    """x-binned profiles. All [nbins]."""
+    x_centers: jnp.ndarray
+    density: jnp.ndarray       # number density
+    vx: jnp.ndarray            # mean x velocity
+    temp: jnp.ndarray          # local temperature
+    pxx: jnp.ndarray           # local P_xx (kinetic + virial share)
+    count: jnp.ndarray
+
+
+def make_thermo_fn(cfg: SceneConfig):
+    cfg = cfg.finalize()
+    spec = make_grid_spec(cfg)
+
+    @jax.jit
+    def thermo(state: State) -> Thermo:
+        ctab = build_cells(spec, state.x, state.alive)
+        seed = getattr(cfg.pair, "seed", 0)
+        salt = rng.step_salt(seed, state.step, PURPOSE_PAIR_NOISE)
+        pf = pair_sweep(cfg.pair, cfg.box, spec, ctab, state.x, state.v,
+                        state.type, state.tag, state.q, salt, dt=cfg.dt,
+                        compute_energy=True, compute_virial=True)
+        m = per_atom_mass(cfg, state)
+        alive = state.alive
+        mv2 = jnp.where(alive[:, None], m[:, None] * state.v**2, 0.0)
+        vol = state.dtype.type(cfg.box.volume)
+        w = pf.virial
+        pressure = (jnp.sum(mv2) + w[0] + w[1] + w[2]) / (3.0 * vol)
+        pxx = (jnp.sum(mv2[:, 0]) + w[0]) / vol
+        return Thermo(step=state.step, natoms=state.natoms,
+                      temp=temperature(cfg, state),
+                      pe=jnp.sum(jnp.where(alive, pf.pe, 0.0)),
+                      ke=0.5 * jnp.sum(mv2), pressure=pressure, pxx=pxx)
+
+    return thermo
+
+
+def make_profile_fn(cfg: SceneConfig, nbins: int = 64):
+    """Instantaneous profile snapshot; average over calls on the host."""
+    cfg = cfg.finalize()
+    spec = make_grid_spec(cfg)
+    xlo, xhi = cfg.box.lo[0], cfg.box.hi[0]
+    dx = (xhi - xlo) / nbins
+    ly, lz = cfg.box.lengths[1], cfg.box.lengths[2]
+    bin_vol = dx * ly * lz
+
+    @jax.jit
+    def profiles(state: State) -> Profiles:
+        dtype = state.dtype
+        ctab = build_cells(spec, state.x, state.alive)
+        seed = getattr(cfg.pair, "seed", 0)
+        salt = rng.step_salt(seed, state.step, PURPOSE_PAIR_NOISE)
+        pf = pair_sweep(cfg.pair, cfg.box, spec, ctab, state.x, state.v,
+                        state.type, state.tag, state.q, salt, dt=cfg.dt,
+                        compute_virial_atom=True)
+        alive = state.alive
+        m = per_atom_mass(cfg, state)
+        b = jnp.clip(((state.x[:, 0] - xlo) / dx).astype(jnp.int32), 0,
+                     nbins - 1)
+        b = jnp.where(alive, b, nbins)  # dead -> overflow bin
+
+        def binsum(vals):
+            out = jnp.zeros((nbins + 1,), dtype)
+            return out.at[b].add(jnp.where(alive, vals, 0.0))[:nbins]
+
+        cnt = binsum(jnp.ones_like(m))
+        safe = jnp.maximum(cnt, 1.0)
+        mvx2 = m * state.v[:, 0] ** 2
+        mv2 = m * jnp.sum(state.v**2, axis=-1)
+        wxx = pf.virial_atom[:, 0]
+        return Profiles(
+            x_centers=xlo + (jnp.arange(nbins, dtype=dtype) + 0.5) * dx,
+            density=cnt / bin_vol,
+            vx=binsum(state.v[:, 0]) / safe,
+            temp=binsum(mv2) / (3.0 * safe),
+            pxx=(binsum(mvx2) + binsum(wxx)) / bin_vol,
+            count=cnt,
+        )
+
+    return profiles

@@ -1,0 +1,158 @@
+"""Fixed-capacity, validity-masked SoA particle state.
+
+This single pytree replaces the reference's dynamic per-rank atom store +
+atom map + exchange/borders machinery (atom.cpp / atom_vec.cpp /
+comm_brick.cpp): particle count changes are expressed as mask flips and
+masked writes under fully static shapes, which is what XLA wants.
+
+Deletion = `alive` flip + momentum tally; insertion = write into free slots;
+"natoms" = alive.sum().  Atom identity is the `tag` (global id) — stable
+under any re-sorting, and the key for counter-based pair noise.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .config import SceneConfig
+
+
+@struct.dataclass
+class ObmdScalars:
+    """Per-step OBMD stage products + running statistics.
+
+    momentum/shear forces are computed in the pre-exchange stage and consumed
+    by the post-force stage of the *same* step (fix_obmd_merged.cpp:607-630 ->
+    :1229-1240)."""
+
+    momentum_force_left: jnp.ndarray   # [3]
+    momentum_force_right: jnp.ndarray  # [3]
+    shear_force_left: jnp.ndarray      # [3]
+    shear_force_right: jnp.ndarray     # [3]
+    ndeleted: jnp.ndarray              # i32 running total (ref: `ndeleted`)
+    ninserted: jnp.ndarray             # i32 running total
+    insert_fail: jnp.ndarray           # i32 running total of unmet insertions
+    usher_iters: jnp.ndarray           # i32 running total of USHER iterations
+
+    @staticmethod
+    def zeros(dtype=jnp.float32):
+        z3 = jnp.zeros((3,), dtype)
+        zi = jnp.zeros((), jnp.int32)
+        return ObmdScalars(z3, z3, z3, z3, zi, zi, zi, zi)
+
+
+@struct.dataclass
+class State:
+    """SoA particle store, capacity N = x.shape[0].
+
+    Dead slots: alive=False, positions parked at the box center (any finite
+    value works — dead atoms are excluded from the cell grid by mask, not by
+    position), tag = -1.
+    """
+
+    x: jnp.ndarray        # [N,3] positions
+    v: jnp.ndarray        # [N,3] velocities
+    f: jnp.ndarray        # [N,3] forces from the previous step's evaluation
+    type: jnp.ndarray     # [N] i32, 0-based
+    tag: jnp.ndarray      # [N] i32 global id, -1 for dead slots
+    alive: jnp.ndarray    # [N] bool
+    q: jnp.ndarray        # [N] per-atom charge (atom_vec_adress.cpp:23 q_flag)
+    mol: jnp.ndarray      # [N] i32 molecule id (0 = not in a molecule)
+    step: jnp.ndarray     # i32 scalar
+    sim_time: jnp.ndarray # scalar, advanced in the OBMD stage like the
+                          # reference's simulation_time (fix_obmd_merged.cpp:612)
+    maxtag: jnp.ndarray   # i32 scalar, current max global id
+    key: jnp.ndarray      # jax PRNG key (uint32[2]) for the cold path
+    obmd: ObmdScalars
+    cell_overflow: jnp.ndarray  # i32: atoms dropped from overfull cells (diagnostic)
+
+    @property
+    def capacity(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def natoms(self) -> jnp.ndarray:
+        return jnp.sum(self.alive.astype(jnp.int32))
+
+    @property
+    def dtype(self):
+        return self.x.dtype
+
+
+def init_state(cfg: SceneConfig, x, v=None, types=None, seed: int = 0,
+               tags=None, q=None, mol=None) -> State:
+    """Build a State from host arrays of n <= n_max real atoms."""
+    import numpy as np
+
+    dtype = jnp.dtype(cfg.dtype)
+    n_max = cfg.capacity.n_max
+    x = np.asarray(x, dtype=dtype)
+    n = x.shape[0]
+    if n > n_max:
+        raise ValueError(f"{n} atoms > capacity {n_max}")
+
+    center = np.asarray([(l + h) * 0.5 for l, h in zip(cfg.box.lo, cfg.box.hi)], dtype=dtype)
+    xp = np.tile(center, (n_max, 1))
+    xp[:n] = x
+    vp = np.zeros((n_max, 3), dtype=dtype)
+    if v is not None:
+        vp[:n] = np.asarray(v, dtype=dtype)
+    tp = np.zeros((n_max,), dtype=np.int32)
+    if types is not None:
+        tp[:n] = np.asarray(types, dtype=np.int32)
+    tagp = np.full((n_max,), -1, dtype=np.int32)
+    if tags is not None:
+        tagp[:n] = np.asarray(tags, dtype=np.int32)
+    else:
+        tagp[:n] = np.arange(1, n + 1, dtype=np.int32)
+    alive = np.zeros((n_max,), dtype=bool)
+    alive[:n] = True
+    qp = np.zeros((n_max,), dtype=dtype)
+    if q is not None:
+        qp[:n] = np.asarray(q, dtype=dtype)
+    molp = np.zeros((n_max,), dtype=np.int32)
+    if mol is not None:
+        molp[:n] = np.asarray(mol, dtype=np.int32)
+
+    return State(
+        x=jnp.asarray(xp), v=jnp.asarray(vp), f=jnp.zeros((n_max, 3), dtype),
+        type=jnp.asarray(tp), tag=jnp.asarray(tagp), alive=jnp.asarray(alive),
+        q=jnp.asarray(qp), mol=jnp.asarray(molp),
+        step=jnp.zeros((), jnp.int32), sim_time=jnp.zeros((), dtype),
+        maxtag=jnp.asarray(int(tagp.max(initial=0)), jnp.int32),
+        key=jax.random.PRNGKey(seed),
+        obmd=ObmdScalars.zeros(dtype),
+        cell_overflow=jnp.zeros((), jnp.int32),
+    )
+
+
+def masses_array(cfg: SceneConfig, dtype=None) -> jnp.ndarray:
+    dtype = dtype or jnp.dtype(cfg.dtype)
+    return jnp.asarray(cfg.masses, dtype=dtype)
+
+
+def per_atom_mass(cfg: SceneConfig, state: State) -> jnp.ndarray:
+    return masses_array(cfg, state.dtype)[state.type]
+
+
+def temperature(cfg: SceneConfig, state: State) -> jnp.ndarray:
+    """LAMMPS `compute temp` convention: T = sum(m v^2) / (dof kB),
+    dof = 3 N - 3 (kB = 1 in LJ units)."""
+    m = per_atom_mass(cfg, state)
+    ke2 = jnp.sum(jnp.where(state.alive[:, None], m[:, None] * state.v**2, 0.0))
+    n = state.natoms
+    dof = jnp.maximum(3 * n - 3, 1).astype(state.dtype)
+    return ke2 / dof
+
+
+def kinetic_energy(cfg: SceneConfig, state: State) -> jnp.ndarray:
+    m = per_atom_mass(cfg, state)
+    return 0.5 * jnp.sum(jnp.where(state.alive[:, None], m[:, None] * state.v**2, 0.0))
+
+
+def momentum(cfg: SceneConfig, state: State) -> jnp.ndarray:
+    m = per_atom_mass(cfg, state)
+    return jnp.sum(jnp.where(state.alive[:, None], m[:, None] * state.v, 0.0), axis=0)

@@ -1,0 +1,14 @@
+"""Test configuration: run on a virtual 8-device CPU mesh (multi-chip
+sharding is validated without TPU hardware; single-chip tests just use
+device 0).  Must set env before jax import."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)
