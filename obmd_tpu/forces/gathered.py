@@ -1,0 +1,74 @@
+"""Per-atom neighbor-gather force path.
+
+Computes forces for a *subset* of atoms against the full system through the
+cell table: for each target atom, gather its 27 surrounding cells and apply
+the pair law.  This is the force path for the multi-chip atom-decomposition
+step (each device computes forces only for the atoms it owns, from
+replicated gathered state) — the TPU-native analogue of the reference's
+owned-atom force evaluation + reverse_comm (comm_brick.cpp:598), except no
+reverse pass is needed because every device evaluates both sides of its own
+atoms' pairs.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import rng
+from ..cells import BIG, CellTable, GridSpec, gather_padded
+from ..config import DPDParams, LJCutRFParams, PairParams
+from ..geometry import Box
+from .pairs import make_pair_law
+
+
+def neighbor_slots(spec: GridSpec, ctab: CellTable, pos: jnp.ndarray):
+    """[K, 27*cap] global slot indices of all atoms in the 27 cells around
+    each position (sentinel N for empty)."""
+    dims = spec.dims
+    n_cells = spec.n_cells
+    dtype = pos.dtype
+    lo = jnp.asarray(spec.lo, dtype=dtype)
+    cs = jnp.asarray(spec.cell_size, dtype=dtype)
+    nd = jnp.asarray(dims, dtype=jnp.int32)
+    cc = jnp.clip(jnp.floor((pos - lo) / cs).astype(jnp.int32), 0, nd - 1)
+    offs = jnp.asarray([(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1)
+                        for c in (-1, 0, 1)], dtype=jnp.int32)
+    nb = cc[:, None, :] + offs[None, :, :]
+    per = jnp.asarray(spec.periodic)
+    ok = jnp.all(jnp.where(per, True, (nb >= 0) & (nb < nd)), axis=-1)
+    nb = jnp.where(per, jnp.mod(nb, nd), nb)
+    lin = (nb[..., 0] * dims[1] + nb[..., 1]) * dims[2] + nb[..., 2]
+    lin = jnp.where(ok, lin, n_cells)
+    return ctab.table[lin].reshape(pos.shape[0], -1)
+
+
+def forces_for_subset(params: PairParams, box: Box, spec: GridSpec,
+                      ctab: CellTable, full_x, full_v, full_type, full_tag,
+                      full_q, my_slot, my_x, my_v, my_type, my_tag, my_q,
+                      salt, *, dt: float):
+    """Forces on `my` atoms [K] (their global slot ids given in `my_slot`)
+    against the full system.  Self-pairs excluded by slot identity."""
+    dtype = full_x.dtype
+    pair_fn = make_pair_law(params, dt, dtype)
+    charged = isinstance(params, LJCutRFParams)
+
+    jdx = neighbor_slots(spec, ctab, my_x)           # [K, M]
+    xj = gather_padded(full_x, jdx, BIG)
+    vj = gather_padded(full_v, jdx, 0.0)
+    tj = gather_padded(full_type, jdx, 0)
+    gj = gather_padded(full_tag, jdx, -1)
+
+    d = box.min_image(my_x[:, None, :] - xj)
+    dv = my_v[:, None, :] - vj
+    rsq = jnp.sum(d * d, axis=-1)
+    valid = (xj[..., 0] < BIG * 0.5) & (jdx != my_slot[:, None])
+
+    kwargs = {}
+    if charged:
+        qj = gather_padded(full_q, jdx, 0.0)
+        kwargs = dict(qi=my_q[:, None], qj=qj)
+    fpair, e = pair_fn(rsq, d, dv, my_type[:, None], tj,
+                       my_tag[:, None], gj, salt, **kwargs)
+    fpair = jnp.where(valid, fpair, 0.0)
+    f = jnp.sum(fpair[..., None] * d, axis=1)
+    pe = 0.5 * jnp.sum(jnp.where(valid, e, 0.0), axis=1)
+    return f, pe

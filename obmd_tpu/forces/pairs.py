@@ -77,6 +77,7 @@ def make_pair_law(params: PairParams, dt: float, dtype):
     e is the full pair energy (caller halves it for per-atom shares).
     """
     tabs = _tables(params, dtype)
+    dtype = jnp.dtype(dtype).type
 
     if isinstance(params, DPDParams):
         dtinvsqrt = dtype(1.0 / np.sqrt(dt))

@@ -79,7 +79,7 @@ def make_step(cfg: SceneConfig):
     dt = float(cfg.dt)
 
     def step(state: State) -> State:
-        dtype = state.dtype
+        dtype = state.dtype.type
         m = per_atom_mass(cfg, state)[:, None]
         alive3 = state.alive[:, None]
         dtf = dtype(0.5 * dt)

@@ -1,0 +1,50 @@
+"""Trajectory dump writers (counterpart of dump.cpp + EXTRA-DUMP styles for
+the formats the OBMD workflows actually consume: xyz and LAMMPS `custom`
+text dumps)."""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import SceneConfig
+from ..state import State
+
+
+def write_xyz_frame(path: str, cfg: SceneConfig, state: State,
+                    append: bool = True):
+    alive = np.asarray(state.alive)
+    x = np.asarray(state.x)[alive]
+    t = np.asarray(state.type)[alive]
+    mode = "a" if append else "w"
+    with open(path, mode) as fh:
+        fh.write(f"{len(x)}\n")
+        fh.write(f"step {int(state.step)}\n")
+        for k in range(len(x)):
+            fh.write(f"{t[k] + 1} {x[k, 0]:.6f} {x[k, 1]:.6f} {x[k, 2]:.6f}\n")
+
+
+def write_custom_frame(path: str, cfg: SceneConfig, state: State,
+                       cols=("id", "type", "x", "y", "z", "vx", "vy", "vz"),
+                       append: bool = True):
+    """`dump custom` style frame: ITEM: headers + per-atom columns."""
+    alive = np.asarray(state.alive)
+    x = np.asarray(state.x)[alive]
+    v = np.asarray(state.v)[alive]
+    f = np.asarray(state.f)[alive]
+    t = np.asarray(state.type)[alive] + 1
+    tag = np.asarray(state.tag)[alive]
+    q = np.asarray(state.q)[alive]
+    data = {"id": tag, "type": t, "x": x[:, 0], "y": x[:, 1], "z": x[:, 2],
+            "vx": v[:, 0], "vy": v[:, 1], "vz": v[:, 2],
+            "fx": f[:, 0], "fy": f[:, 1], "fz": f[:, 2], "q": q}
+    lo, hi = cfg.box.lo, cfg.box.hi
+    mode = "a" if append else "w"
+    with open(path, mode) as fh:
+        fh.write("ITEM: TIMESTEP\n%d\n" % int(state.step))
+        fh.write("ITEM: NUMBER OF ATOMS\n%d\n" % len(x))
+        bflags = " ".join("pp" if p else "ff" for p in cfg.box.periodic)
+        fh.write(f"ITEM: BOX BOUNDS {bflags}\n")
+        for d in range(3):
+            fh.write(f"{lo[d]} {hi[d]}\n")
+        fh.write("ITEM: ATOMS " + " ".join(cols) + "\n")
+        for k in range(len(x)):
+            fh.write(" ".join(str(data[c][k]) for c in cols) + "\n")

@@ -1,0 +1,525 @@
+"""LAMMPS input-script front end.
+
+Counterpart of the reference's Input/Variable engine (input.cpp:195 `file()`,
+:382 `one()`, :764 `execute_command()`; variable.cpp equal-style variables)
+for the command subset the OBMD workloads exercise — so reference decks like
+examples/OBMD_DPD/in.simulation map 1:1 onto SceneConfig/State:
+
+  units lj | boundary | atom_style | comm_modify | newton | region |
+  pair_style dpd/lj-cut/lj-cut-rf | pair_coeff | read_data | mass |
+  neighbor | neigh_modify | timestep | fix nve | fix obmd | unfix |
+  velocity | variable equal | thermo | thermo_style | dump | run |
+  write_restart / read_restart | write_data | log | print
+
+Unsupported commands raise (strict mode) or warn (lenient mode).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+import shlex
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..config import (Capacity, DPDParams, LJCutParams, LJCutRFParams,
+                      ObmdParams, SceneConfig, UsherParams)
+from ..geometry import Box, RegionBlock
+from . import lammps_data
+
+
+class ScriptError(RuntimeError):
+    pass
+
+
+@dataclasses.dataclass
+class _PairStyle:
+    name: str
+    args: List[str]
+    coeffs: List[List[str]]
+
+
+class Interpreter:
+    """Executes a script, accumulating scene settings; `run N` builds the
+    engine and advances the state (like Run::command -> Verlet::run)."""
+
+    def __init__(self, strict: bool = True, n_max: Optional[int] = None,
+                 cell_capacity: int = 24, log_fn: Callable = print):
+        self.strict = strict
+        self.n_max = n_max
+        self.cell_capacity = cell_capacity
+        self.log = log_fn
+        self.variables: Dict[str, object] = {}
+        self.regions: Dict[str, RegionBlock] = {}
+        self.boundary = ("f", "p", "p")
+        self.atom_style = "atomic"
+        self.pair: Optional[_PairStyle] = None
+        self.dt = 0.005
+        self.skin = 0.3
+        self.masses: Dict[int, float] = {}
+        self.data: Optional[lammps_data.DataFile] = None
+        self.obmd_args: Optional[List[str]] = None
+        self.thermo_every = 0
+        self.thermo_cols = ["step", "temp"]
+        self.dumps: List[tuple] = []
+        self.cfg: Optional[SceneConfig] = None
+        self.state = None
+        self.total_steps = 0
+        self._thermo_fn = None
+
+    # ---------------- script plumbing ----------------
+
+    def run_file(self, path: str):
+        with open(path) as fh:
+            self.run_lines(fh.read().splitlines())
+
+    def run_lines(self, lines):
+        buf = ""
+        for raw in lines:
+            line = raw.rstrip()
+            if line.endswith("&"):          # continuation (input.cpp parse)
+                buf += line[:-1] + " "
+                continue
+            buf += line
+            self.one(buf)
+            buf = ""
+
+    def one(self, line: str):
+        line = line.split("#")[0].strip()
+        if not line:
+            return
+        line = self._substitute(line)
+        args = line.split()
+        cmd, rest = args[0], args[1:]
+        handler = getattr(self, "cmd_" + cmd.replace("/", "_"), None)
+        if handler is None:
+            if self.strict:
+                raise ScriptError(f"unsupported command: {cmd}")
+            self.log(f"WARNING: ignoring unsupported command: {cmd}")
+            return
+        handler(rest)
+
+    def _substitute(self, line: str) -> str:
+        """${name} and $x substitution (input.cpp:substitute)."""
+        def repl(m):
+            name = m.group(1) or m.group(2)
+            if name not in self.variables:
+                raise ScriptError(f"undefined variable {name}")
+            return str(self._eval_var(name))
+        return re.sub(r"\$\{(\w+)\}|\$(\w)", repl, line)
+
+    def _eval_var(self, name):
+        v = self.variables[name]
+        return v() if callable(v) else v
+
+    # ---------------- commands ----------------
+
+    def cmd_units(self, a):
+        if a[0] != "lj":
+            raise ScriptError("only `units lj` supported")
+
+    def cmd_dimension(self, a):
+        if a[0] != "3":
+            raise ScriptError("only 3d supported")
+
+    def cmd_boundary(self, a):
+        self.boundary = tuple(a[:3])
+
+    def cmd_atom_style(self, a):
+        self.atom_style = a[0]
+
+    def cmd_comm_modify(self, a):
+        pass  # ghost velocity comm is implicit in the TPU design
+
+    def cmd_newton(self, a):
+        pass  # full-neighbor sweep: newton setting has no effect
+
+    def cmd_processors(self, a):
+        pass
+
+    def cmd_log(self, a):
+        pass
+
+    def cmd_print(self, a):
+        self.log(" ".join(a).strip('"'))
+
+    def cmd_variable(self, a):
+        # variable name equal <expr>  |  variable name index <val>
+        name, style = a[0], a[1]
+        if style in ("equal", "internal"):
+            expr = " ".join(a[2:])
+            self.variables[name] = self._compile_expr(expr)
+        elif style in ("index", "string"):
+            self.variables[name] = a[2]
+        elif style == "delete":
+            self.variables.pop(name, None)
+        else:
+            raise ScriptError(f"variable style {style} unsupported")
+
+    def _compile_expr(self, expr: str):
+        """Tiny equal-style expression evaluator (variable.cpp subset):
+        numbers, + - * / ^ ( ), sin cos exp sqrt PI, time (= step*dt),
+        references to other equal variables via v_name."""
+        safe = {"sin": math.sin, "cos": math.cos, "exp": math.exp,
+                "sqrt": math.sqrt, "abs": abs, "floor": math.floor,
+                "ceil": math.ceil, "PI": math.pi, "ln": math.log}
+        py = expr.replace("^", "**")
+        py = re.sub(r"v_(\w+)", r"_V('\1')", py)
+
+        def fn():
+            env = dict(safe)
+            env["_V"] = self._eval_var
+            env["time"] = self.total_steps * self.dt
+            env["step"] = self.total_steps
+            env["dt"] = self.dt
+            return eval(py, {"__builtins__": {}}, env)  # noqa: S307
+        return fn
+
+    def cmd_region(self, a):
+        # region ID block xlo xhi ylo yhi zlo zhi [units box]
+        rid, style = a[0], a[1]
+        if style != "block":
+            raise ScriptError("only block regions supported")
+        vals = []
+        for tok in a[2:8]:
+            if tok in ("EDGE", "INF"):
+                raise ScriptError("EDGE/INF region bounds unsupported")
+            vals.append(float(tok))
+        self.regions[rid] = RegionBlock((vals[0], vals[2], vals[4]),
+                                        (vals[1], vals[3], vals[5]))
+
+    def cmd_pair_style(self, a):
+        self.pair = _PairStyle(name=a[0], args=a[1:], coeffs=[])
+
+    def cmd_pair_coeff(self, a):
+        if self.pair is None:
+            raise ScriptError("pair_coeff before pair_style")
+        self.pair.coeffs.append(list(a))
+
+    def cmd_mass(self, a):
+        self.masses[int(a[0])] = float(a[1])
+
+    def cmd_read_data(self, a):
+        self.data = lammps_data.read_data(a[0], atom_style=self.atom_style)
+
+    def cmd_neighbor(self, a):
+        self.skin = float(a[0])
+
+    def cmd_neigh_modify(self, a):
+        pass  # rebuild-every-step is the engine default
+
+    def cmd_timestep(self, a):
+        self.dt = float(a[0])
+
+    def cmd_thermo(self, a):
+        self.thermo_every = int(a[0])
+
+    def cmd_thermo_style(self, a):
+        if a[0] == "custom":
+            self.thermo_cols = a[1:]
+
+    def cmd_dump(self, a):
+        # dump ID group style N file [args]  -> xyz/custom supported
+        self.dumps.append((a[0], a[2], int(a[3]), a[4], a[5:]))
+
+    def cmd_undump(self, a):
+        self.dumps = [d for d in self.dumps if d[0] != a[0]]
+
+    def cmd_velocity(self, a):
+        # velocity all create T seed  (simplified)
+        if a[1] != "create":
+            raise ScriptError("only `velocity <grp> create T seed` supported")
+        self._velocity_create = (float(a[2]), int(a[3]))
+
+    def cmd_fix(self, a):
+        fid, group, style = a[0], a[1], a[2]
+        if style == "nve":
+            return  # velocity-Verlet is the engine's integrator
+        if style == "obmd":
+            self.obmd_args = a[3:]
+            return
+        raise ScriptError(f"fix style {style} unsupported")
+
+    def cmd_unfix(self, a):
+        pass
+
+    def cmd_run(self, a):
+        n = int(a[0])
+        self._build()
+        self._run(n)
+
+    def cmd_write_data(self, a):
+        self._build()
+        from ..state import per_atom_mass
+        import numpy as np
+        st = self.state
+        alive = np.asarray(st.alive)
+        df = lammps_data.DataFile(
+            natoms=int(alive.sum()), ntypes=self.cfg.ntypes,
+            box_lo=np.asarray(self.cfg.box.lo), box_hi=np.asarray(self.cfg.box.hi),
+            masses=np.asarray(self.cfg.masses),
+            x=np.asarray(st.x)[alive], types=np.asarray(st.type)[alive],
+            tags=np.asarray(st.tag)[alive], v=np.asarray(st.v)[alive],
+            q=np.asarray(st.q)[alive], mol=np.asarray(st.mol)[alive])
+        style = self.atom_style if self.atom_style in ("atomic", "charge", "full") else "atomic"
+        lammps_data.write_data(a[0], df, atom_style=style)
+
+    def cmd_write_restart(self, a):
+        self._build()
+        from .checkpoint import save_checkpoint
+        save_checkpoint(a[0], self.cfg, self.state)
+
+    def cmd_read_restart(self, a):
+        from .checkpoint import load_checkpoint
+        self.cfg, self.state = load_checkpoint(a[0])
+
+    # ---------------- engine assembly ----------------
+
+    def _param(self, tok: str):
+        """Positional fix-obmd param: number or v_name equal-variable
+        (fix_obmd_merged.cpp:88-168)."""
+        if tok.startswith("v_"):
+            name = tok[2:]
+            fn = self.variables.get(name)
+            if fn is None:
+                raise ScriptError(f"undefined variable {name}")
+            # expose as a jnp-composable callable of sim time: we close over
+            # the interpreter's evaluator; time-dependence comes through the
+            # traced `t` only if the expression uses `time`.
+            import jax.numpy as jnp
+
+            expr_fn = fn
+
+            def param(t):
+                # re-evaluate with `time` bound to traced t where possible:
+                # only pure-python exprs of `time` are supported traced.
+                try:
+                    return expr_fn()
+                except Exception:
+                    return 0.0
+            return float(expr_fn()) if not self._uses_time(name) else param
+        return float(tok)
+
+    def _uses_time(self, name) -> bool:
+        return False  # conservative: equal vars resolved at build time
+
+    def _build_pair(self, ntypes: int):
+        p = self.pair
+        if p is None:
+            raise ScriptError("no pair_style given")
+
+        def full(tabname, default=0.0):
+            return np.full((ntypes, ntypes), default)
+
+        if p.name == "dpd":
+            temp, rc = float(p.args[0]), float(p.args[1])
+            seed = int(p.args[2]) if len(p.args) > 2 else 1
+            a0, gam, cut = full("a0"), full("g"), np.full((ntypes, ntypes), rc)
+            for c in p.coeffs:
+                ti, tj = self._type_range(c[0], ntypes), self._type_range(c[1], ntypes)
+                for i in ti:
+                    for j in tj:
+                        a0[i, j] = a0[j, i] = float(c[2])
+                        gam[i, j] = gam[j, i] = float(c[3])
+                        if len(c) > 4:
+                            cut[i, j] = cut[j, i] = float(c[4])
+            return DPDParams.create(temp=temp, cutoff=rc, seed=seed, a0=a0,
+                                    gamma=gam, cut=cut, ntypes=ntypes)
+        if p.name == "lj/cut":
+            rc = float(p.args[0])
+            eps, sig, cut = full("e"), full("s"), np.full((ntypes, ntypes), rc)
+            for c in p.coeffs:
+                ti, tj = self._type_range(c[0], ntypes), self._type_range(c[1], ntypes)
+                for i in ti:
+                    for j in tj:
+                        eps[i, j] = eps[j, i] = float(c[2])
+                        sig[i, j] = sig[j, i] = float(c[3])
+                        if len(c) > 4:
+                            cut[i, j] = cut[j, i] = float(c[4])
+            self._mix_geometric(eps, sig, p.coeffs, ntypes)
+            return LJCutParams.create(cutoff=rc, epsilon=eps, sigma=sig,
+                                      cut=cut, ntypes=ntypes)
+        if p.name == "lj/cut/rf":
+            rc_lj = float(p.args[0])
+            rc_rf = float(p.args[1]) if len(p.args) > 1 else rc_lj
+            eps, sig = full("e"), full("s")
+            cut = np.full((ntypes, ntypes), rc_lj)
+            erf = np.full((ntypes, ntypes), 1.0)
+            for c in p.coeffs:
+                ti, tj = self._type_range(c[0], ntypes), self._type_range(c[1], ntypes)
+                for i in ti:
+                    for j in tj:
+                        eps[i, j] = eps[j, i] = float(c[2])
+                        sig[i, j] = sig[j, i] = float(c[3])
+                        # optional: cut_lj, eps_rf (settings() :254)
+                        if len(c) == 5:
+                            erf[i, j] = erf[j, i] = float(c[4])
+                        elif len(c) >= 6:
+                            cut[i, j] = cut[j, i] = float(c[4])
+                            erf[i, j] = erf[j, i] = float(c[5])
+            return LJCutRFParams.create(cut_lj=rc_lj, cut_coul=rc_rf,
+                                        epsilon=eps, sigma=sig, eps_rf=erf,
+                                        cut=cut, ntypes=ntypes)
+        raise ScriptError(f"pair style {p.name} unsupported")
+
+    @staticmethod
+    def _mix_geometric(eps, sig, coeffs, ntypes):
+        """LJ geometric mixing for unset cross terms (pair.cpp mix_energy)."""
+        explicit = set()
+        for c in coeffs:
+            for i in Interpreter._type_range(c[0], ntypes):
+                for j in Interpreter._type_range(c[1], ntypes):
+                    explicit.add((min(i, j), max(i, j)))
+        for i in range(ntypes):
+            for j in range(i + 1, ntypes):
+                if (i, j) not in explicit:
+                    eps[i, j] = eps[j, i] = math.sqrt(eps[i, i] * eps[j, j])
+                    sig[i, j] = sig[j, i] = 0.5 * (sig[i, i] + sig[j, j])
+
+    @staticmethod
+    def _type_range(tok: str, ntypes: int):
+        if tok == "*":
+            return range(ntypes)
+        if "*" in tok:
+            lo, hi = tok.split("*")
+            lo = int(lo) - 1 if lo else 0
+            hi = int(hi) - 1 if hi else ntypes - 1
+            return range(lo, hi + 1)
+        return [int(tok) - 1]
+
+    def _build_obmd(self) -> Optional[ObmdParams]:
+        if self.obmd_args is None:
+            return None
+        a = self.obmd_args
+        # positional: ntype nfreq seed pxx pxy pxz dpxx freq alpha tau nbuf
+        pos = a[:11]
+        kw = a[11:]
+        params = dict(
+            ntype=int(pos[0]) - 1, nfreq=int(pos[1]), seed=int(pos[2]),
+            pxx=self._param(pos[3]), pxy=self._param(pos[4]),
+            pxz=self._param(pos[5]), dpxx=self._param(pos[6]),
+            freq=self._param(pos[7]), alpha=self._param(pos[8]),
+            tau=self._param(pos[9]), nbuf=self._param(pos[10]))
+        usher = None
+        near = None
+        i = 0
+        while i < len(kw):
+            k = kw[i]
+            if k.startswith("region"):
+                params[k] = self.regions[kw[i + 1]]
+                i += 2
+            elif k == "buffersize":
+                params["buffer_size"] = float(kw[i + 1]); i += 2
+            elif k == "gfac":
+                params["g_fac"] = float(kw[i + 1]); i += 2
+            elif k == "stepparallel":
+                if int(kw[i + 1]) != 0:
+                    raise ScriptError("only stepparallel 0 supported (ref :2013)")
+                i += 2
+            elif k == "stepperp":
+                if int(kw[i + 1]) != 1:
+                    raise ScriptError("only stepperp 1 supported (ref :2019)")
+                i += 2
+            elif k == "maxattempt":
+                params["maxattempt"] = int(kw[i + 1]); i += 2
+            elif k == "usher":
+                flag = int(kw[i + 1])
+                vals = kw[i + 2:i + 8]
+                if flag:
+                    usher = UsherParams(etarget=float(vals[0]),
+                                        ds0=float(vals[1]),
+                                        dtheta0=float(vals[2]),
+                                        uovlp=float(vals[3]),
+                                        dsovlp=float(vals[4]),
+                                        eps=float(vals[5]),
+                                        nattempt=int(kw[i + 8]))
+                i += 9
+            elif k == "near":
+                flag = int(kw[i + 1])
+                if flag:
+                    near = float(kw[i + 2])
+                i += 3
+            elif k == "charged":
+                params["charged"] = bool(int(kw[i + 1])); i += 2
+            elif k == "mol":
+                raise ScriptError("molecule insertion not yet supported")
+            else:
+                if self.strict:
+                    raise ScriptError(f"fix obmd keyword {k} unsupported")
+                i += 2
+        params["usher"] = usher
+        params["near"] = near
+        return ObmdParams(**params)
+
+    def _build(self):
+        if self.cfg is not None:
+            return
+        if self.data is None:
+            raise ScriptError("no read_data before run")
+        periodic = tuple(b == "p" for b in self.boundary)
+        box = self.data.box(periodic)
+        ntypes = self.data.ntypes
+        masses = list(self.data.masses)
+        for t, mv in self.masses.items():
+            masses[t - 1] = mv
+        pair = self._build_pair(ntypes)
+        obmd = self._build_obmd()
+        n = self.data.natoms
+        n_max = self.n_max or (int(n * 1.3) if obmd is not None else n)
+        self.cfg = SceneConfig(
+            box=box, masses=tuple(masses), pair=pair, dt=self.dt,
+            capacity=Capacity(n_max=n_max, cell_capacity=self.cell_capacity),
+            obmd=obmd, skin=0.0).finalize()
+
+        from ..state import init_state
+        v = self.data.v
+        if getattr(self, "_velocity_create", None) is not None:
+            temp, seed = self._velocity_create
+            r = np.random.default_rng(seed)
+            v = r.normal(0, math.sqrt(temp), (n, 3))
+            v -= v.mean(axis=0)
+        self.state = init_state(self.cfg, self.data.x, v=v,
+                                types=self.data.types, tags=self.data.tags,
+                                q=self.data.q, mol=self.data.mol)
+        from ..integrate import setup
+        self.state = setup(self.cfg, self.state)
+
+    def _run(self, n: int):
+        import jax
+        from ..integrate import make_step
+        from ..observe import make_thermo_fn
+        if self._thermo_fn is None:
+            self._thermo_fn = make_thermo_fn(self.cfg)
+        step = jax.jit(make_step(self.cfg), donate_argnums=0)
+        self._emit_thermo()
+        for i in range(n):
+            self.state = step(self.state)
+            self.total_steps += 1
+            if self.thermo_every and self.total_steps % self.thermo_every == 0:
+                self._emit_thermo()
+            for (_id, _style, every, fname, dargs) in self.dumps:
+                if every and self.total_steps % every == 0:
+                    self._write_dump(fname)
+        self._emit_thermo()
+
+    def _emit_thermo(self):
+        th = self._thermo_fn(self.state)
+        vals = []
+        for c in self.thermo_cols:
+            v = {"step": int(th.step), "temp": float(th.temp),
+                 "atoms": int(th.natoms), "pe": float(th.pe),
+                 "ke": float(th.ke), "press": float(th.pressure),
+                 "etotal": float(th.pe + th.ke)}.get(c)
+            vals.append(f"{v}" if v is not None else "NA")
+        self.log("  ".join([*vals]))
+
+    def _write_dump(self, fname):
+        from .dump import write_xyz_frame
+        write_xyz_frame(fname, self.cfg, self.state, append=True)
+
+
+def run_script(path: str, **kw) -> Interpreter:
+    it = Interpreter(**kw)
+    it.run_file(path)
+    return it

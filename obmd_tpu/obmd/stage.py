@@ -81,9 +81,13 @@ def region_count(state: State, region) -> jnp.ndarray:
 
 def feedback_count(cnt, mol_len, alpha, nbuf, dt, tau):
     """ninsert = -(int)((cnt/mol_len - alpha*nbuf) * dt/tau), C truncation
-    toward zero (ref :586-589)."""
+    toward zero (ref :586-589).  The reference computes in f64; in f32 a
+    result that lands exactly on an integer can come out a hair below it, so
+    nudge by 5 ulp-relative before truncating."""
     val = (cnt.astype(jnp.float32) / mol_len - alpha * nbuf) * dt / tau
-    return (-val.astype(jnp.int32)).astype(jnp.int32)
+    raw = -val
+    adj = raw * (1.0 + 5.0e-6)
+    return jnp.trunc(adj).astype(jnp.int32)
 
 
 # --------------------------------------------------------------------------
@@ -318,7 +322,7 @@ def insert_particles(cfg: SceneConfig, spec: GridSpec, state: State,
 def pre_exchange(cfg: SceneConfig, spec: GridSpec, state: State) -> State:
     obmd = cfg.obmd
     box = cfg.box
-    dtype = state.dtype
+    dtype = state.dtype.type
     dt = dtype(cfg.dt)
     t = state.sim_time
 

@@ -55,6 +55,7 @@ def hash3(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
 
 def uniform01(bits: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """uint32 bits -> uniform in [0, 1) with 24-bit mantissa resolution."""
+    dtype = jnp.dtype(dtype).type
     return (bits >> 8).astype(dtype) * dtype(1.0 / (1 << 24))
 
 
@@ -67,6 +68,7 @@ def pair_noise(step_salt: jnp.ndarray, tag_i: jnp.ndarray, tag_j: jnp.ndarray,
     any re-sorting of the particle store, so the noise a pair sees does not
     depend on memory layout).
     """
+    dtype = jnp.dtype(dtype).type
     lo = jnp.minimum(tag_i, tag_j).astype(_U32)
     hi = jnp.maximum(tag_i, tag_j).astype(_U32)
     bits = hash3(lo, hi, jnp.asarray(step_salt, dtype=_U32))

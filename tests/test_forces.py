@@ -60,12 +60,19 @@ def _brute_dpd(params, box, x, v, types, dt):
 def _sweep(params, box, x, v, types, tags, q, dt=0.01, salt=0, cap=16,
            energy=True, virial=True):
     spec = GridSpec.create(box, params.max_cut, cap)
-    tab = build_cells(spec, jnp.asarray(x), jnp.ones(len(x), bool))
-    assert int(tab.overflow) == 0
-    return pair_sweep(params, box, spec, tab, jnp.asarray(x), jnp.asarray(v),
-                      jnp.asarray(types), jnp.asarray(tags), jnp.asarray(q),
-                      jnp.uint32(salt), dt=dt, compute_energy=energy,
-                      compute_virial=virial)
+
+    @jax.jit
+    def go(x, v, types, tags, q, salt):
+        tab = build_cells(spec, x, jnp.ones(len(x), bool))
+        pf = pair_sweep(params, box, spec, tab, x, v, types, tags, q,
+                        salt, dt=dt, compute_energy=energy,
+                        compute_virial=virial)
+        return pf, tab.overflow
+
+    pf, overflow = go(jnp.asarray(x), jnp.asarray(v), jnp.asarray(types),
+                      jnp.asarray(tags), jnp.asarray(q), jnp.uint32(salt))
+    assert int(overflow) == 0
+    return pf
 
 
 def test_dpd_deterministic_matches_brute():
@@ -103,16 +110,24 @@ def test_dpd_noise_statistics():
                               gamma=4.5, ntypes=1)  # only noise (a0=0, v=0)
     v0 = np.zeros_like(v)
     dt = 0.04
-    samples = []
-    for salt in range(200):
-        pf = _sweep(params, box, x, v0, types, tags, q, dt=dt, salt=salt,
-                    energy=False, virial=False)
-        samples.append(np.asarray(pf.f))
+
+    spec = GridSpec.create(box, params.max_cut, 16)
+    tab = build_cells(spec, jnp.asarray(x), jnp.ones(len(x), bool))
+
+    @jax.jit
+    def one(salt):
+        return pair_sweep(params, box, spec, tab, jnp.asarray(x),
+                          jnp.asarray(v0), jnp.asarray(types),
+                          jnp.asarray(tags), jnp.asarray(q), salt,
+                          dt=dt).f
+
+    samples = [np.asarray(one(jnp.uint32(salt))) for salt in range(200)]
     s = np.stack(samples)
     # each atom's force = sum_j sigma wd_ij xi_ij rhat /sqrt(dt);
-    # E[f]=0 across salts
+    # E[f]=0 across salts: |mean| must stay within ~5 standard errors
     mean = s.mean(axis=0)
-    assert np.abs(mean).max() < 1.5  # zero-mean (scaled by 1/sqrt(dt)~5)
+    stderr = s.std(axis=0) / np.sqrt(len(samples)) + 1e-6
+    assert (np.abs(mean) < 5.0 * stderr).all()
     # global variance sanity: sigma = sqrt(2*T*gamma) = 3.0
     # Var(f_x of atom i) = sum_j sigma^2 wd^2 rhatx^2 / dt -- check against
     # direct computation
@@ -247,10 +262,9 @@ def test_trial_energy_matches_brute():
     tab = build_cells(spec, jnp.asarray(x), jnp.ones(len(x), bool))
     cand = np.asarray([[2.5, 2.0, 2.0], [0.3, 0.3, 0.3], [4.9, 3.9, 3.9]],
                       np.float32)
-    E, F = trial_energy_force(params, box, spec, tab, jnp.asarray(x),
-                              jnp.asarray(types), jnp.asarray(q),
-                              jnp.asarray(cand),
-                              jnp.zeros(3, jnp.int32))
+    E, F = jax.jit(lambda c: trial_energy_force(
+        params, box, spec, tab, jnp.asarray(x), jnp.asarray(types),
+        jnp.asarray(q), c, jnp.zeros(3, jnp.int32)))(jnp.asarray(cand))
     for k in range(len(cand)):
         e_ref, f_ref = 0.0, np.zeros(3)
         for j in range(len(x)):
