@@ -9,6 +9,21 @@ particles — fused into a single jit-compiled velocity-Verlet step over a
 fixed-capacity masked SoA state.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: the engine compiles a handful of large
+# programs (sort-based binning, 27-offset sweeps); caching them across
+# processes cuts cold-start from minutes to seconds.
+try:  # pragma: no cover
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ.get("OBMD_TPU_COMPCACHE",
+                                       _os.path.expanduser("~/.cache/obmd_tpu_xla")))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from .config import (Capacity, DPDParams, LJCutParams, LJCutRFParams,
                      ObmdParams, SceneConfig, UsherParams)
 from .geometry import Box, RegionBlock

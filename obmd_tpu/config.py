@@ -216,10 +216,12 @@ class ObmdParams:
 
 @dataclasses.dataclass(frozen=True)
 class Capacity:
-    """Static shapes for the fixed-capacity state and cell grid."""
+    """Static shapes for the fixed-capacity state, cell grid, and lists."""
 
     n_max: int                 # particle slots
     cell_capacity: int = 16    # max atoms per cell (overflow detected)
+    max_neighbors: int = 48    # K: Verlet-list row capacity (nlist path)
+    movers_max: int = 1024     # per-step incremental cell movers
 
     def __post_init__(self):
         if self.n_max <= 0 or self.cell_capacity <= 0:
@@ -237,9 +239,11 @@ class SceneConfig:
     dt: float
     capacity: Capacity
     obmd: Optional[ObmdParams] = None
-    skin: float = 0.0               # reserved for list reuse; cells sized cut+skin
+    skin: float = 0.3               # Verlet-list skin; cells sized cut+skin.
+                                    # skin=0 -> rebuild every step.
+    force_path: str = "nlist"       # "nlist" (fast: persistent Verlet list)
+                                    # or "sweep" (cell-pair reference path)
     dtype: str = "float32"
-    # Count dead slots' padding overflow etc. for diagnostics.
 
     @property
     def ntypes(self) -> int:

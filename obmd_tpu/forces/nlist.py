@@ -1,0 +1,84 @@
+"""[N, K] Verlet-list force evaluation — the hot force path.
+
+Perfect TPU layout: every per-pair quantity lives in [N, K] arrays (K padded
+to the lane width by construction), the only irregular op is the neighbor
+gather, and there is no scatter in the inner loop (full list: both halves of
+each pair computed; Newton holds through pair-symmetric noise).
+
+Counterpart of PairDPD::compute over a half list + reverse_comm in the
+reference (pair_dpd.cpp:66-163, comm_brick.cpp:598), with the list-cutoff /
+force-cutoff split of the standard Verlet-list scheme.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..cells import BIG, gather_padded
+from ..config import LJCutRFParams, PairParams
+from ..geometry import Box
+from .pairs import PairFields, make_pair_law
+
+
+def nlist_sweep(params: PairParams, box: Box, nlist, x, v, types, tag, q,
+                alive, salt, *, dt: float,
+                compute_energy: bool = False,
+                compute_virial: bool = False,
+                compute_virial_atom: bool = False) -> PairFields:
+    """Force (and optional energy/virial) from an [N, K] neighbor list.
+
+    Dead neighbors (deleted since list build) are masked via `alive`;
+    pairs beyond the *force* cutoff are masked by the pair law itself.
+    """
+    dtype = x.dtype
+    n = x.shape[0]
+    pair_fn = make_pair_law(params, dt, dtype)
+    charged = isinstance(params, LJCutRFParams)
+
+    idx = nlist                                         # [N, K]
+    xj = gather_padded(x, idx, BIG)
+    vj = gather_padded(v, idx, 0.0)
+    tj = gather_padded(types, idx, 0)
+    gj = gather_padded(tag, idx, -1)
+    aj = gather_padded(alive, idx, False)
+
+    d = box.min_image(x[:, None, :] - xj)               # [N, K, 3]
+    dv = v[:, None, :] - vj
+    rsq = jnp.sum(d * d, axis=-1)
+    valid = aj & alive[:, None] & (idx < n)
+
+    kwargs = {}
+    if charged:
+        qj = gather_padded(q, idx, 0.0)
+        kwargs = dict(qi=q[:, None], qj=qj)
+    fpair, e = pair_fn(rsq, d, dv, types[:, None], tj, tag[:, None], gj,
+                       salt, **kwargs)
+    fpair = jnp.where(valid, fpair, 0.0)
+    fvec = fpair[..., None] * d
+    f = jnp.sum(fvec, axis=1)
+
+    pe = None
+    if compute_energy:
+        pe = 0.5 * jnp.sum(jnp.where(valid, e, 0.0), axis=1)
+    w = None
+    if compute_virial:
+        w = 0.5 * jnp.stack([
+            jnp.sum(d[..., 0] * fvec[..., 0]),
+            jnp.sum(d[..., 1] * fvec[..., 1]),
+            jnp.sum(d[..., 2] * fvec[..., 2]),
+            jnp.sum(d[..., 0] * fvec[..., 1]),
+            jnp.sum(d[..., 0] * fvec[..., 2]),
+            jnp.sum(d[..., 1] * fvec[..., 2]),
+        ])
+    wa = None
+    if compute_virial_atom:
+        wa = 0.5 * jnp.stack([
+            jnp.sum(d[..., 0] * fvec[..., 0], axis=1),
+            jnp.sum(d[..., 1] * fvec[..., 1], axis=1),
+            jnp.sum(d[..., 2] * fvec[..., 2], axis=1),
+            jnp.sum(d[..., 0] * fvec[..., 1], axis=1),
+            jnp.sum(d[..., 0] * fvec[..., 2], axis=1),
+            jnp.sum(d[..., 1] * fvec[..., 2], axis=1),
+        ], axis=-1)
+    return PairFields(f=f, pe=pe, virial=w, virial_atom=wa)

@@ -1,30 +1,38 @@
-"""The fused timestep: velocity-Verlet + OBMD stage + cell rebuild + pair
+"""The fused timestep: velocity-Verlet + OBMD stage + neighboring + pair
 forces, mirroring Verlet::run's per-step order (reference verlet.cpp:229-360):
 
   initial_integrate (fix_nve.cpp:80: v += dt/2 f/m; x += dt v)
-  -> [every nfreq steps] OBMD pre_exchange (delete/insert, setpoints)
+  -> [every nfreq steps] OBMD pre-exchange (delete/insert, setpoints)
   -> pbc wrap (y,z)               (domain.cpp:529; x is 'f')
-  -> cell rebuild                 (neighbor build analogue)
+  -> neighbor maintenance         (Neighbor::decide/build analogue)
   -> pair compute                 (pair_dpd.cpp:66)
   -> OBMD post_force              (boundary forces)
   -> final_integrate              (fix_nve.cpp:185: v += dt/2 f/m)
+
+Two force paths:
+  * "nlist" (default, fast): persistent incremental cell table + [N,K]
+    Verlet list with half-skin displacement rebuilds (neighbors.py).
+  * "sweep": stateless cell-pair sweep rebuilt every step — the reference
+    semantics path used for cross-validation.
 
 The force array lives in the State so step t+1's initial kick reuses the
 forces computed at step t, exactly like LAMMPS's persistent atom->f.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
 from . import rng
-from .cells import GridSpec, build_cells
+from .cells import CellTable, GridSpec, build_cells
 from .config import SceneConfig
+from .forces.nlist import nlist_sweep
 from .forces.pairs import pair_sweep
-from .obmd.stage import apply_boundary_force, pre_exchange
+from .neighbors import (NeighborParams, full_rebuild, maybe_rebuild,
+                        patch_insertions, update_table)
+from .obmd.stage import (apply_boundary_force, delete_outside, eval_param,
+                         feedback_count, insert_particles, pre_exchange,
+                         region_count)
 from .state import State, per_atom_mass
 
 PURPOSE_PAIR_NOISE = 1
@@ -35,18 +43,32 @@ def make_grid_spec(cfg: SceneConfig) -> GridSpec:
     return GridSpec.create(cfg.box, cut, cfg.capacity.cell_capacity)
 
 
+def make_neighbor_params(cfg: SceneConfig) -> NeighborParams:
+    return NeighborParams(spec=make_grid_spec(cfg),
+                          k_max=cfg.capacity.max_neighbors,
+                          movers_max=cfg.capacity.movers_max,
+                          cutoff=cfg.pair.max_cut, skin=cfg.skin)
+
+
+def _salt(cfg: SceneConfig, step):
+    seed = getattr(cfg.pair, "seed", 0)
+    return rng.step_salt(seed, step, PURPOSE_PAIR_NOISE)
+
+
 def compute_forces(cfg: SceneConfig, spec: GridSpec, state: State,
                    *, compute_energy: bool = False,
-                   compute_virial: bool = False):
-    """Cell rebuild + pair sweep + OBMD boundary forces on current positions.
-    Returns (PairFields with boundary forces folded into .f, CellTable)."""
+                   compute_virial: bool = False,
+                   compute_virial_atom: bool = False):
+    """Stateless force evaluation (sweep path): cell rebuild + pair sweep +
+    OBMD boundary forces.  The observables layer and the sweep step use
+    this; the nlist step has its own inline force stage."""
     ctab = build_cells(spec, state.x, state.alive)
-    seed = getattr(cfg.pair, "seed", 0)
-    salt = rng.step_salt(seed, state.step, PURPOSE_PAIR_NOISE)
     pf = pair_sweep(cfg.pair, cfg.box, spec, ctab,
-                    state.x, state.v, state.type, state.tag, state.q, salt,
-                    dt=cfg.dt, compute_energy=compute_energy,
-                    compute_virial=compute_virial)
+                    state.x, state.v, state.type, state.tag, state.q,
+                    _salt(cfg, state.step), dt=cfg.dt,
+                    compute_energy=compute_energy,
+                    compute_virial=compute_virial,
+                    compute_virial_atom=compute_virial_atom)
     f = pf.f
     if cfg.obmd is not None:
         f = apply_boundary_force(cfg, state, f)
@@ -54,32 +76,136 @@ def compute_forces(cfg: SceneConfig, spec: GridSpec, state: State,
 
 
 def setup(cfg: SceneConfig, state: State) -> State:
-    """Initial force evaluation before the first step (Verlet::setup,
-    verlet.cpp:93: forces must exist for the first initial kick).  Runs the
-    OBMD stage first like setup_pre_exchange (ref fix_obmd_merged.cpp:542)."""
+    """Initial neighbor build + force evaluation before the first step
+    (Verlet::setup, verlet.cpp:93).  Runs the OBMD stage first like
+    setup_pre_exchange (ref fix_obmd_merged.cpp:542)."""
+    cfg = cfg.finalize()
     spec = make_grid_spec(cfg)
+    nparams = make_neighbor_params(cfg)
 
     @jax.jit
     def _setup(state):
         if cfg.obmd is not None:
             state = pre_exchange(cfg, spec, state)
         state = state.replace(x=cfg.box.wrap(state.x))
-        pf, ctab = compute_forces(cfg, spec, state)
+        nbrs = full_rebuild(nparams, cfg.box, state.x, state.alive)
+        state = state.replace(nbrs=nbrs)
+        if cfg.force_path == "nlist":
+            pf = nlist_sweep(cfg.pair, cfg.box, nbrs.nlist, state.x, state.v,
+                             state.type, state.tag, state.q, state.alive,
+                             _salt(cfg, state.step), dt=cfg.dt)
+            f = pf.f
+            if cfg.obmd is not None:
+                f = apply_boundary_force(cfg, state, f)
+        else:
+            pf, _ = compute_forces(cfg, spec, state)
+            f = pf.f
         alive3 = state.alive[:, None]
-        return state.replace(f=jnp.where(alive3, pf.f, 0.0),
-                             cell_overflow=state.cell_overflow + ctab.overflow)
+        return state.replace(f=jnp.where(alive3, f, 0.0))
 
     return _setup(state)
+
+
+def rebuild_neighbors(cfg: SceneConfig, state: State) -> State:
+    """(Re)build the neighbor structures without touching physics — the
+    restart path (checkpoint stores physical state only) and the recovery
+    path after external state edits."""
+    cfg = cfg.finalize()
+    nparams = make_neighbor_params(cfg)
+
+    @jax.jit
+    def _go(state):
+        return state.replace(
+            nbrs=full_rebuild(nparams, cfg.box, state.x, state.alive))
+
+    return _go(state)
+
+
+def _obmd_stage_fast(cfg, spec, nparams, state):
+    """OBMD pre-exchange against the persistent table: delete -> file table
+    -> census -> insert (energies via current table) -> patch structures ->
+    setpoint forces.  Mirrors obmd.stage.pre_exchange but keeps the
+    neighbor structures current instead of re-sorting."""
+    obmd = cfg.obmd
+    box = cfg.box
+    dtype = state.x.dtype.type
+    dt = dtype(cfg.dt)
+    t = state.sim_time
+
+    pxx = eval_param(obmd.pxx, t)
+    pxy = eval_param(obmd.pxy, t)
+    pxz = eval_param(obmd.pxz, t)
+    dpxx = eval_param(obmd.dpxx, t)
+    freq = eval_param(obmd.freq, t)
+    alpha = eval_param(obmd.alpha, t)
+    tau = eval_param(obmd.tau, t)
+    nbuf = eval_param(obmd.nbuf, t)
+
+    state, vnewl, vnewr = delete_outside(cfg, state)
+
+    # file deletions + movers into the table; tombstone freed slots
+    nbrs = state.nbrs
+    newly_dead = nbrs.cell_id != spec.n_cells
+    nbrs = update_table(nparams, nbrs, state.x, state.alive)
+    dead_now = ~state.alive & newly_dead
+    nbrs = nbrs.replace(tombstone=nbrs.tombstone | dead_now)
+    # rebuild now if the incremental path flagged trouble (keeps insertion
+    # energies exact)
+    nbrs = maybe_rebuild(nparams, box, nbrs, state.x, state.alive)
+    state = state.replace(nbrs=nbrs)
+
+    cnt_left = region_count(state, obmd.region1)
+    cnt_right = region_count(state, obmd.region2)
+    nins_l = feedback_count(cnt_left, obmd.mol_len, alpha, nbuf, dt, tau)
+    nins_r = feedback_count(cnt_right, obmd.mol_len, alpha, nbuf, dt, tau)
+
+    ctab = CellTable(table=state.nbrs.table, overflow=jnp.zeros((), jnp.int32))
+    # free-slot choice must avoid tombstoned slots (stale list references)
+    masked_alive = state.alive | state.nbrs.tombstone
+    state_ins, new_slots = insert_particles(
+        cfg, spec, state.replace(alive=masked_alive), nins_l, nins_r,
+        ctab=ctab)
+    # restore true alive: insertion marked its new slots alive in the masked
+    # view; translate back
+    n = state.capacity
+    added = jnp.zeros((n,), bool).at[new_slots].set(new_slots < n, mode="drop")
+    state = state_ins.replace(alive=state.alive | added)
+
+    nbrs = patch_insertions(nparams, box, state.nbrs, state.x, state.alive,
+                            new_slots)
+    state = state.replace(nbrs=nbrs)
+
+    # second deletion pass (ref :596-597) is a no-op for ATOM-mode insertion
+    # inside the box; skipped on the fast path.
+
+    area = dtype(box.cross_area)
+    sim_time = t + dt
+    factor = pxx + dpxx * jnp.sin(2.0 * jnp.pi * freq * sim_time)
+    mfl = jnp.stack([vnewl[0] / dt + factor * area, vnewl[1] / dt,
+                     vnewl[2] / dt])
+    mfr = jnp.stack([vnewr[0] / dt - pxx * area, vnewr[1] / dt,
+                     vnewr[2] / dt])
+    sfl = jnp.stack([dtype(0.0) * area, pxy * area, pxz * area])
+    arr = state.x.dtype
+    return state.replace(
+        sim_time=sim_time,
+        obmd=state.obmd.replace(
+            momentum_force_left=mfl.astype(arr),
+            momentum_force_right=mfr.astype(arr),
+            shear_force_left=sfl.astype(arr),
+            shear_force_right=(-sfl).astype(arr)))
 
 
 def make_step(cfg: SceneConfig):
     """Build the jitted one-step function for this scene."""
     cfg = cfg.finalize()
     spec = make_grid_spec(cfg)
+    nparams = make_neighbor_params(cfg)
     dt = float(cfg.dt)
+    fast = cfg.force_path == "nlist"
 
     def step(state: State) -> State:
-        dtype = state.dtype.type
+        dtype = state.x.dtype.type
         m = per_atom_mass(cfg, state)[:, None]
         alive3 = state.alive[:, None]
         dtf = dtype(0.5 * dt)
@@ -87,32 +213,48 @@ def make_step(cfg: SceneConfig):
         # initial integrate (half kick + drift), live atoms only
         v = jnp.where(alive3, state.v + dtf * state.f / m, state.v)
         x = jnp.where(alive3, state.x + dtype(dt) * v, state.x)
+        # wrap periodic axes before any cell filing; x stays open
+        x = cfg.box.wrap(x)
         state = state.replace(x=x, v=v)
 
-        # OBMD stage every nfreq steps (ref forces reneighbor+pre_exchange
-        # via next_reneighbor, fix_obmd_merged.cpp:279-281,632)
+        # OBMD stage every nfreq steps (ref fix_obmd_merged.cpp:279-281,632)
         if cfg.obmd is not None:
             nfreq = cfg.obmd.nfreq
-            if nfreq <= 1:
-                state = pre_exchange(cfg, spec, state)
+            if fast:
+                stage_fn = lambda s: _obmd_stage_fast(cfg, spec, nparams, s)
             else:
-                state = jax.lax.cond(state.step % nfreq == 0,
-                                     lambda s: pre_exchange(cfg, spec, s),
+                stage_fn = lambda s: pre_exchange(cfg, spec, s)
+            if nfreq <= 1:
+                state = stage_fn(state)
+            else:
+                state = jax.lax.cond(state.step % nfreq == 0, stage_fn,
                                      lambda s: s, state)
 
-        # wrap periodic axes (y,z); x is open
-        state = state.replace(x=cfg.box.wrap(state.x))
+        if fast:
+            nbrs = state.nbrs
+            if cfg.obmd is None:
+                nbrs = maybe_rebuild(nparams, cfg.box, nbrs, state.x,
+                                     state.alive)
+                state = state.replace(nbrs=nbrs)
+            pf = nlist_sweep(cfg.pair, cfg.box, state.nbrs.nlist, state.x,
+                             state.v, state.type, state.tag, state.q,
+                             state.alive, _salt(cfg, state.step), dt=dt)
+            f = pf.f
+            if cfg.obmd is not None:
+                f = apply_boundary_force(cfg, state, f)
+        else:
+            pf, ctab = compute_forces(cfg, spec, state)
+            f = pf.f
+            state = state.replace(
+                cell_overflow=state.cell_overflow + ctab.overflow)
 
-        pf, ctab = compute_forces(cfg, spec, state)
-        f = jnp.where(state.alive[:, None], pf.f, 0.0)
+        f = jnp.where(state.alive[:, None], f, 0.0)
 
         # final integrate (half kick)
         m = per_atom_mass(cfg, state)[:, None]
         v = jnp.where(state.alive[:, None], state.v + dtf * f / m, state.v)
 
-        return state.replace(
-            v=v, f=f, step=state.step + 1,
-            cell_overflow=state.cell_overflow + ctab.overflow)
+        return state.replace(v=v, f=f, step=state.step + 1)
 
     return step
 
@@ -130,6 +272,31 @@ def make_run(cfg: SceneConfig, nsteps: int):
         return state
 
     return run
+
+
+def equilibrate(cfg: SceneConfig, state: State, nsteps: int,
+                temp: float = 1.0, rescale_every: int = 25) -> State:
+    """Tame the startup transient of a freshly drawn configuration with
+    periodic velocity rescaling to `temp` (the reference workloads start
+    from pre-equilibrated data files; a uniform random gas under DPD's stiff
+    a0 needs a few hundred tempered steps first)."""
+    from .state import temperature
+    cfg = cfg.finalize()
+    step = make_step(cfg)
+
+    @jax.jit
+    def block(state):
+        def body(s, _):
+            return step(s), None
+        state, _ = jax.lax.scan(body, state, None, length=rescale_every)
+        t_now = temperature(cfg, state)
+        scale = jnp.sqrt(temp / jnp.maximum(t_now, 1e-6))
+        v = jnp.where(state.alive[:, None], state.v * scale, state.v)
+        return state.replace(v=v)
+
+    for _ in range(max(1, nsteps // rescale_every)):
+        state = block(state)
+    return state
 
 
 def run_loop(cfg: SceneConfig, state: State, nsteps: int,

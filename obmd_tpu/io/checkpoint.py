@@ -30,6 +30,10 @@ def _flatten(state: State):
 
 
 def save_checkpoint(path: str, cfg: SceneConfig, state: State):
+    # neighbor structures are derived data — rebuilt on load (setup()/
+    # integrate.make_step handle a fresh build), so only physical state is
+    # serialized.
+    state = state.replace(nbrs=None)
     leaves, _ = _flatten(state)
     try:
         cfg_bytes = pickle.dumps(cfg)
@@ -57,4 +61,6 @@ def load_checkpoint(path: str, cfg: SceneConfig | None = None):
     template = init_state(cfg, np.zeros((0, 3)))
     _, treedef = jax.tree_util.tree_flatten(template)
     state = jax.tree_util.tree_unflatten(treedef, leaves)
+    # Neighbor structures are rebuilt lazily by setup(); resume with
+    # integrate.setup(cfg, state) or pass straight to make_step after it.
     return cfg, state

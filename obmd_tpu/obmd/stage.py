@@ -236,7 +236,8 @@ def _sequential_accept(cfg: SceneConfig, cand_x, cand_type, cand_ok, budget):
 
 
 def insert_particles(cfg: SceneConfig, spec: GridSpec, state: State,
-                     ninsert_left: jnp.ndarray, ninsert_right: jnp.ndarray):
+                     ninsert_left: jnp.ndarray, ninsert_right: jnp.ndarray,
+                     ctab=None):
     """Batched replacement for try_inserting on both buffers (ATOM mode).
 
     Draw K candidates uniformly in each insertion region (ref :921-927),
@@ -252,7 +253,8 @@ def insert_particles(cfg: SceneConfig, spec: GridSpec, state: State,
     key = rng.fold_key(state.key, state.step)
     kl, kr, knext = jax.random.split(key, 3)
 
-    ctab = build_cells(spec, state.x, state.alive)
+    if ctab is None:
+        ctab = build_cells(spec, state.x, state.alive)
 
     def one_side(k_key, region, budget):
         u = jax.random.uniform(k_key, (K, 3), dtype=dtype)
@@ -312,14 +314,17 @@ def insert_particles(cfg: SceneConfig, spec: GridSpec, state: State,
         ),
     )
     # Inserted atoms carry zero momentum (ref :1183-1197 adds zeros).
-    return state
+    # new_slots: the slots actually filled (capacity n = inactive marker).
+    new_slots = jnp.where(landed, slot, n)
+    return state, new_slots
 
 
 # --------------------------------------------------------------------------
 # the full pre-exchange stage (ref :550-633)
 # --------------------------------------------------------------------------
 
-def pre_exchange(cfg: SceneConfig, spec: GridSpec, state: State) -> State:
+def pre_exchange(cfg: SceneConfig, spec: GridSpec, state: State,
+                 ctab=None, return_new_slots: bool = False):
     obmd = cfg.obmd
     box = cfg.box
     dtype = state.dtype.type
@@ -343,7 +348,8 @@ def pre_exchange(cfg: SceneConfig, spec: GridSpec, state: State) -> State:
     nins_l = feedback_count(cnt_left, obmd.mol_len, alpha, nbuf, dt, tau)
     nins_r = feedback_count(cnt_right, obmd.mol_len, alpha, nbuf, dt, tau)
 
-    state = insert_particles(cfg, spec, state, nins_l, nins_r)
+    state, new_slots = insert_particles(cfg, spec, state, nins_l, nins_r,
+                                        ctab=ctab)
 
     # second deletion pass (ref :596-597) — relevant once molecules can
     # straddle the boundary; harmless for atoms.
@@ -360,15 +366,19 @@ def pre_exchange(cfg: SceneConfig, spec: GridSpec, state: State) -> State:
     sfl = jnp.stack([dtype(0.0) * area, pxy * area, pxz * area])
     sfr = -sfl
 
-    return state.replace(
+    arr_dtype = state.x.dtype
+    state = state.replace(
         sim_time=sim_time,
         obmd=state.obmd.replace(
-            momentum_force_left=mfl.astype(dtype),
-            momentum_force_right=mfr.astype(dtype),
-            shear_force_left=sfl.astype(dtype),
-            shear_force_right=sfr.astype(dtype),
+            momentum_force_left=mfl.astype(arr_dtype),
+            momentum_force_right=mfr.astype(arr_dtype),
+            shear_force_left=sfl.astype(arr_dtype),
+            shear_force_right=sfr.astype(arr_dtype),
         ),
     )
+    if return_new_slots:
+        return state, new_slots
+    return state
 
 
 # --------------------------------------------------------------------------

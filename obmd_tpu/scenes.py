@@ -80,7 +80,7 @@ def obmd_dpd_scene(scale: float = 1.0, seed: int = 12345,
     Maxwell-Boltzmann velocities at `temp` (the reference data file is a
     pre-equilibrated fluid; DPD fluids equilibrate from uniform in O(1k)
     steps)."""
-    cfg = obmd_dpd_config(**kwargs)
+    cfg = obmd_dpd_config(scale=scale, **kwargs)
     rng = np.random.default_rng(seed)
     lo = np.asarray(cfg.box.lo)
     hi = np.asarray(cfg.box.hi)

@@ -68,6 +68,7 @@ class State:
     key: jnp.ndarray      # jax PRNG key (uint32[2]) for the cold path
     obmd: ObmdScalars
     cell_overflow: jnp.ndarray  # i32: atoms dropped from overfull cells (diagnostic)
+    nbrs: Optional[object] = None  # NeighborState (nlist path); built by setup()
 
     @property
     def capacity(self) -> int:
