@@ -81,30 +81,55 @@ def candidate_slots(p: NeighborParams, table, x):
     return neighbor_slots(p.spec, ctab, x)
 
 
-def build_nlist(p: NeighborParams, box: Box, table, x, alive):
-    """[N, K] Verlet list within cutoff+skin from the current table.
-    Compaction via top_k on negated distance keys."""
+_NLIST_CHUNK = 16384
+
+
+def _nlist_chunk(p: NeighborParams, box: Box, table, x, alive, me, xi, ai):
+    """Rows for one chunk of atoms (positions xi [C,3], slot ids me [C])."""
     n = x.shape[0]
     k = p.k_max
     rlist2 = (p.cutoff + p.skin) ** 2
-
-    jdx = candidate_slots(p, table, x)                 # [N, M]
+    jdx = candidate_slots(p, table, xi)                # [C, M]
     xj = gather_padded(x, jdx, BIG)
-    d = box.min_image(x[:, None, :] - xj)
+    d = box.min_image(xi[:, None, :] - xj)
     rsq = jnp.sum(d * d, axis=-1)
-    me = jnp.arange(n, dtype=jnp.int32)[:, None]
-    ok = (rsq < rlist2) & (jdx != me) & (xj[..., 0] < BIG * 0.5) & alive[:, None]
-
-    # top_k over the candidate axis: valid entries get key 1e9 - rsq (closest
-    # first); invalid get -1.  Ties/order don't matter.
+    ok = (rsq < rlist2) & (jdx != me[:, None]) & \
+        (xj[..., 0] < BIG * 0.5) & ai[:, None]
     key = jnp.where(ok, 1.0e9 - rsq, -1.0)
-    _, pos = jax.lax.top_k(key, k)                     # [N, K] candidate cols
+    _, pos = jax.lax.top_k(key, k)                     # [C, K]
     chosen = jnp.take_along_axis(jdx, pos, axis=1)
     chosen_ok = jnp.take_along_axis(ok, pos, axis=1)
     nlist = jnp.where(chosen_ok, chosen, n).astype(jnp.int32)
     ncount = jnp.sum(chosen_ok, axis=1).astype(jnp.int32)
-    nover = jnp.sum(jnp.maximum(jnp.sum(ok, axis=1) - k, 0))
-    return nlist, ncount, nover.astype(jnp.int32)
+    nover = jnp.sum(jnp.maximum(jnp.sum(ok, axis=1) - k, 0)).astype(jnp.int32)
+    return nlist, ncount, nover
+
+
+def build_nlist(p: NeighborParams, box: Box, table, x, alive):
+    """[N, K] Verlet list within cutoff+skin from the current table.
+    Compaction via per-chunk top_k on negated distance keys; chunking keeps
+    the [C, 27*cap] candidate intermediates inside a fixed memory budget at
+    any particle count."""
+    n = x.shape[0]
+    if n <= _NLIST_CHUNK:
+        me = jnp.arange(n, dtype=jnp.int32)
+        return _nlist_chunk(p, box, table, x, alive, me, x, alive)
+
+    c = _NLIST_CHUNK
+    n_pad = ((n + c - 1) // c) * c
+    pad = n_pad - n
+    xi = jnp.pad(x, ((0, pad), (0, 0)))
+    ai = jnp.pad(alive, (0, pad))
+    me = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def body(args):
+        mi, xci, aci = args
+        return _nlist_chunk(p, box, table, x, alive, mi, xci, aci)
+
+    nl, nc, nov = jax.lax.map(
+        body, (me.reshape(-1, c), xi.reshape(-1, c, 3), ai.reshape(-1, c)))
+    return (nl.reshape(n_pad, p.k_max)[:n], nc.reshape(n_pad)[:n],
+            jnp.sum(nov).astype(jnp.int32))
 
 
 def full_rebuild(p: NeighborParams, box: Box, x, alive) -> NeighborState:
@@ -271,7 +296,9 @@ def maybe_rebuild(p: NeighborParams, box: Box, ns: NeighborState, x, alive):
     if p.skin <= 0.0:
         return full_rebuild(p, box, x, alive).replace(
             rebuilds=ns.rebuilds + 1)
-    disp2 = jnp.sum((x - ns.xref) ** 2, axis=-1)
+    # min_image: a periodic wrap is not a displacement
+    d = box.min_image(x - ns.xref)
+    disp2 = jnp.sum(d * d, axis=-1)
     disp2 = jnp.where(alive, disp2, 0.0)
     trip = jnp.max(disp2) > (0.5 * p.skin) ** 2
     need = trip | ns.force_rebuild

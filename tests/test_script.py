@@ -1,0 +1,101 @@
+"""End-to-end input-script test: a miniature version of the reference's
+examples/OBMD_DPD deck (input.py:80-125) through the script front end."""
+import numpy as np
+import pytest
+
+from obmd_tpu.io import lammps_data
+from obmd_tpu.io.script import Interpreter, ScriptError
+
+
+def _write_data(tmp_path, n=400, box=(8.0, 4.0, 4.0), seed=0):
+    r = np.random.default_rng(seed)
+    x = r.uniform([0, 0, 0], list(box), (n, 3))
+    df = lammps_data.DataFile(
+        natoms=n, ntypes=1, box_lo=np.zeros(3), box_hi=np.asarray(box),
+        masses=np.asarray([1.0]), x=x, types=np.zeros(n, np.int32),
+        tags=np.arange(1, n + 1, dtype=np.int32))
+    p = str(tmp_path / "fluid.data")
+    lammps_data.write_data(p, df)
+    return p
+
+
+def test_obmd_deck(tmp_path):
+    data = _write_data(tmp_path)
+    deck = f"""
+# miniature OBMD_DPD deck
+units           lj
+boundary        f p p
+atom_style      atomic
+comm_modify     vel yes
+newton          on
+
+region          leftB block 0.0 1.6 0.0 4.0 0.0 4.0
+region          rightB block 6.4 8.0 0.0 4.0 0.0 4.0
+region          leftshear block 0.0 0.0 0.0 0.0 0.0 0.0
+region          rightshear block 0.0 0.0 0.0 0.0 0.0 0.0
+region          leftBin block 0.0 1.6 0.0 4.0 0.0 4.0
+region          rightBin block 6.4 8.0 0.0 4.0 0.0 4.0
+
+pair_style      dpd 1.0 1.0 4321
+read_data       {data}
+pair_coeff      * * 25.0 4.5 1.0
+
+neighbor        0.3 bin
+neigh_modify    delay 0 every 1
+timestep        0.01
+
+fix             1 all nve
+fix             2 all obmd 1 1 987 10.0 0.0 0.0 0.0 0.0 0.7 0.01 130 &
+                region1 leftB region2 rightB region3 leftshear &
+                region4 rightshear region5 leftBin region6 rightBin &
+                buffersize 1.6 gfac 0.25 stepparallel 0 stepperp 1 &
+                maxattempt 1 usher 1 10.0 1.0 0.02 10000.0 1.5 1.0 10 charged 0
+
+thermo          10
+thermo_style    custom step temp
+run             30
+"""
+    out = []
+    it = Interpreter(log_fn=out.append)
+    it.run_lines(deck.splitlines())
+    assert it.cfg is not None
+    assert it.cfg.obmd is not None
+    assert it.cfg.obmd.usher.etarget == 10.0
+    assert it.cfg.obmd.nbuf == 130.0
+    assert int(it.state.step) == 30
+    n = int(it.state.natoms)
+    assert 300 < n < 520
+    # thermo emitted
+    assert len(out) >= 3
+
+
+def test_closed_deck_and_variables(tmp_path):
+    data = _write_data(tmp_path, box=(5.0, 5.0, 5.0), n=300)
+    deck = f"""
+units lj
+boundary p p p
+atom_style atomic
+variable T equal 1.0
+variable rc equal 1.0
+pair_style dpd ${{T}} ${{rc}} 99
+read_data {data}
+pair_coeff * * 25.0 4.5
+timestep 0.02
+fix 1 all nve
+thermo 5
+thermo_style custom step temp pe ke etotal
+run 10
+"""
+    out = []
+    it = Interpreter(log_fn=out.append)
+    it.run_lines(deck.splitlines())
+    assert int(it.state.step) == 10
+    assert it.cfg.obmd is None
+
+
+def test_unknown_command_strict(tmp_path):
+    it = Interpreter(strict=True)
+    with pytest.raises(ScriptError):
+        it.one("kspace_style pppm 1e-4")
+    it2 = Interpreter(strict=False, log_fn=lambda *a: None)
+    it2.one("kspace_style pppm 1e-4")  # warns only
