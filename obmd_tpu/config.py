@@ -222,6 +222,8 @@ class Capacity:
     cell_capacity: int = 16    # max atoms per cell (overflow detected)
     max_neighbors: int = 48    # K: Verlet-list row capacity (nlist path)
     movers_max: int = 1024     # per-step incremental cell movers
+    insert_region_max: int = 0  # B: atoms near an insertion region
+                                # (0 = auto: n_max // 3)
 
     def __post_init__(self):
         if self.n_max <= 0 or self.cell_capacity <= 0:

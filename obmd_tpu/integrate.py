@@ -141,16 +141,16 @@ def _obmd_stage_fast(cfg, spec, nparams, state):
     tau = eval_param(obmd.tau, t)
     nbuf = eval_param(obmd.nbuf, t)
 
+    prev_alive = state.alive
     state, vnewl, vnewr = delete_outside(cfg, state)
 
-    # file deletions + movers into the table; tombstone freed slots
+    # tombstone freed slots: their ids may linger in other rows until the
+    # next rebuild, so they must not be re-bound to a new atom
     nbrs = state.nbrs
-    newly_dead = nbrs.cell_id != spec.n_cells
-    nbrs = update_table(nparams, nbrs, state.x, state.alive)
-    dead_now = ~state.alive & newly_dead
+    dead_now = prev_alive & ~state.alive
     nbrs = nbrs.replace(tombstone=nbrs.tombstone | dead_now)
-    # rebuild now if the incremental path flagged trouble (keeps insertion
-    # energies exact)
+    # rebuild now if flagged / displacement tripped (keeps insertion rows
+    # consistent with the current configuration)
     nbrs = maybe_rebuild(nparams, box, nbrs, state.x, state.alive)
     state = state.replace(nbrs=nbrs)
 
@@ -159,20 +159,39 @@ def _obmd_stage_fast(cfg, spec, nparams, state):
     nins_l = feedback_count(cnt_left, obmd.mol_len, alpha, nbuf, dt, tau)
     nins_r = feedback_count(cnt_right, obmd.mol_len, alpha, nbuf, dt, tau)
 
-    ctab = CellTable(table=state.nbrs.table, overflow=jnp.zeros((), jnp.int32))
+    # per-buffer subsets (pad by cutoff+skin: serves both USHER energies and
+    # the new atoms' neighbor rows)
+    from .obmd.subset import region_subset, subset_rows
+    b_max = cfg.capacity.insert_region_max or (cfg.capacity.n_max // 3)
+    pad = cfg.pair.max_cut + cfg.skin
+    sub_l = region_subset(cfg, state, obmd.region5, pad, b_max)
+    sub_r = region_subset(cfg, state, obmd.region6, pad, b_max)
+
     # free-slot choice must avoid tombstoned slots (stale list references)
     masked_alive = state.alive | state.nbrs.tombstone
-    state_ins, new_slots = insert_particles(
-        cfg, spec, state.replace(alive=masked_alive), nins_l, nins_r,
-        ctab=ctab)
-    # restore true alive: insertion marked its new slots alive in the masked
-    # view; translate back
+    from .obmd.stage import insert_particles_subset
+    state_ins, new_slots = insert_particles_subset(
+        cfg, state.replace(alive=masked_alive), nins_l, nins_r, sub_l, sub_r)
+    # restore true alive: translate the masked view back
     n = state.capacity
     added = jnp.zeros((n,), bool).at[new_slots].set(new_slots < n, mode="drop")
     state = state_ins.replace(alive=state.alive | added)
 
-    nbrs = patch_insertions(nparams, box, state.nbrs, state.x, state.alive,
-                            new_slots)
+    # patch the Verlet list: fresh rows from the side-specific subsets
+    from .neighbors import apply_new_rows
+    K = cfg.obmd.insert_kmax
+    pos_all = state.x[jnp.clip(new_slots, 0, n - 1)]
+    act = new_slots < n
+    row_l, ok_l, ov_l = subset_rows(nparams, cfg.box, sub_l,
+                                    pos_all[:K], new_slots[:K], act[:K])
+    row_r, ok_r, ov_r = subset_rows(nparams, cfg.box, sub_r,
+                                    pos_all[K:], new_slots[K:], act[K:])
+    row = jnp.concatenate([row_l, row_r])
+    row_ok = jnp.concatenate([ok_l, ok_r])
+    nbrs = apply_new_rows(nparams, state.nbrs, state.x, new_slots, row,
+                          row_ok, ov_l + ov_r)
+    nbrs = nbrs.replace(
+        force_rebuild=nbrs.force_rebuild | sub_l.overflow | sub_r.overflow)
     state = state.replace(nbrs=nbrs)
 
     # second deletion pass (ref :596-597) is a no-op for ATOM-mode insertion

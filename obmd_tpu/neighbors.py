@@ -229,7 +229,6 @@ def patch_insertions(p: NeighborParams, box: Box, ns: NeighborState,
     their neighbors' rows."""
     n = x.shape[0]
     k = p.k_max
-    m = new_slots.shape[0]
     act = new_slots < n
 
     # table filing: reuse update_table (their cell_id is stale = trash)
@@ -248,9 +247,22 @@ def patch_insertions(p: NeighborParams, box: Box, ns: NeighborState,
     _, cols = jax.lax.top_k(key, k)
     row = jnp.take_along_axis(jdx, cols, axis=1)
     row_ok = jnp.take_along_axis(ok, cols, axis=1)
+    row_over = jnp.sum(jnp.maximum(jnp.sum(ok, axis=1) - k, 0)).astype(jnp.int32)
+    return apply_new_rows(p, ns, x, new_slots, row, row_ok, row_over)
+
+
+def apply_new_rows(p: NeighborParams, ns: NeighborState, x, new_slots,
+                   row, row_ok, row_over):
+    """Write fresh rows for newly inserted atoms and append them
+    symmetrically into their neighbors' rows.  row/row_ok: [M, K]."""
+    n = x.shape[0]
+    k = p.k_max
+    m = new_slots.shape[0]
+    act = new_slots < n
+    pos = gather_padded(x, new_slots, 0.0)
+
     row = jnp.where(row_ok, row, n).astype(jnp.int32)
     rcount = jnp.sum(row_ok, axis=1).astype(jnp.int32)
-    row_over = jnp.sum(jnp.maximum(jnp.sum(ok, axis=1) - k, 0))
 
     nlist = ns.nlist.at[new_slots].set(row, mode="drop")
     ncount = ns.ncount.at[new_slots].set(rcount, mode="drop")

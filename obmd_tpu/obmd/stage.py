@@ -319,6 +319,74 @@ def insert_particles(cfg: SceneConfig, spec: GridSpec, state: State,
     return state, new_slots
 
 
+def insert_particles_subset(cfg: SceneConfig, state: State,
+                            ninsert_left, ninsert_right, sub_l, sub_r):
+    """Fast-path insertion: identical semantics to insert_particles, but
+    candidate energies/steering run brute-force against per-buffer subsets
+    (obmd.subset) instead of the cell table — zero gathers per USHER
+    iteration."""
+    from .subset import near_check_subset, usher_search_subset
+
+    obmd = cfg.obmd
+    dtype = state.dtype
+    K = obmd.insert_kmax
+    n = state.capacity
+
+    key = rng.fold_key(state.key, state.step)
+    kl, kr, knext = jax.random.split(key, 3)
+
+    def one_side(k_key, region, budget, sub):
+        u = jax.random.uniform(k_key, (K, 3), dtype=dtype)
+        cand = region.sample_uniform(u)
+        ctype = jnp.full((K,), obmd.ntype, jnp.int32)
+        if obmd.usher is not None:
+            pos, ok, iters = usher_search_subset(cfg, sub, cand, ctype,
+                                                 region)
+        else:
+            ok = near_check_subset(cfg, sub, cand)
+            pos, iters = cand, jnp.zeros((K,), jnp.int32)
+        budget = jnp.clip(budget, 0, K)
+        accepted, count = _sequential_accept(cfg, pos, ctype, ok, budget)
+        return pos, accepted, count, iters
+
+    pos_l, acc_l, cnt_l, it_l = one_side(kl, obmd.region5, ninsert_left, sub_l)
+    pos_r, acc_r, cnt_r, it_r = one_side(kr, obmd.region6, ninsert_right,
+                                         sub_r)
+
+    pos = jnp.concatenate([pos_l, pos_r], axis=0)
+    accepted = jnp.concatenate([acc_l, acc_r], axis=0)
+
+    free = jnp.nonzero(~state.alive, size=2 * K, fill_value=n)[0]
+    order = jnp.cumsum(accepted.astype(jnp.int32)) - 1
+    slot = jnp.where(accepted, free[jnp.clip(order, 0, 2 * K - 1)], n)
+    landed = accepted & (slot < n)
+    new_tag = state.maxtag + 1 + order.astype(jnp.int32)
+
+    x = state.x.at[slot].set(pos, mode="drop")
+    v = state.v.at[slot].set(jnp.zeros((2 * K, 3), dtype), mode="drop")
+    f = state.f.at[slot].set(jnp.zeros((2 * K, 3), dtype), mode="drop")
+    typ = state.type.at[slot].set(jnp.full((2 * K,), obmd.ntype, jnp.int32),
+                                  mode="drop")
+    tag = state.tag.at[slot].set(new_tag, mode="drop")
+    qn = state.q.at[slot].set(jnp.zeros((2 * K,), dtype), mode="drop")
+    moln = state.mol.at[slot].set(jnp.zeros((2 * K,), jnp.int32), mode="drop")
+    alive = state.alive.at[slot].set(True, mode="drop")
+
+    n_landed = jnp.sum(landed.astype(jnp.int32))
+    want = jnp.clip(ninsert_left, 0) + jnp.clip(ninsert_right, 0)
+    fails = jnp.maximum(want - n_landed, 0)
+
+    state = state.replace(
+        x=x, v=v, f=f, type=typ, tag=tag, q=qn, mol=moln, alive=alive,
+        maxtag=state.maxtag + n_landed, key=knext,
+        obmd=state.obmd.replace(
+            ninserted=state.obmd.ninserted + n_landed,
+            insert_fail=state.obmd.insert_fail + fails,
+            usher_iters=state.obmd.usher_iters + jnp.sum(it_l) + jnp.sum(it_r)))
+    new_slots = jnp.where(landed, slot, n)
+    return state, new_slots
+
+
 # --------------------------------------------------------------------------
 # the full pre-exchange stage (ref :550-633)
 # --------------------------------------------------------------------------
