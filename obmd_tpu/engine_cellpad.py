@@ -1,0 +1,238 @@
+"""The cellpad engine: fused step over the padded cell-major layout with the
+Pallas DPD force kernel.  Fast path for the flagship OBMD_DPD workload
+(single-type DPD, open x).  Step order mirrors Verlet::run exactly like
+integrate.make_step (SURVEY.md §3.2)."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import rng
+from .cellpad import (PadAux, layout_build, maybe_rebuild, place_insertions,
+                      slab_slice_bounds)
+from .cells import BIG
+from .config import DPDParams, SceneConfig, eval_param
+from .forces.pallas_dpd import PadGeometry, make_dpd_kernel
+from .geometry import RegionBlock
+from .obmd.stage import (_sequential_accept, apply_boundary_force,
+                         delete_outside, feedback_count, region_count)
+from .obmd.subset import (Subset, expand_region, near_check_subset,
+                          usher_search_subset)
+from .state import State, per_atom_mass
+
+PURPOSE_PAIR_NOISE = 1
+
+
+def supports(cfg: SceneConfig) -> bool:
+    return (isinstance(cfg.pair, DPDParams) and cfg.ntypes == 1
+            and not cfg.box.periodic[0])
+
+
+def make_geometry(cfg: SceneConfig) -> PadGeometry:
+    return PadGeometry.create(cfg.box, cfg.pair.max_cut + cfg.skin,
+                              cfg.capacity.cell_capacity)
+
+
+def _make_kernel(cfg: SceneConfig, geom: PadGeometry):
+    p: DPDParams = cfg.pair
+    a0 = p.a0[0][0]
+    gamma = p.gamma[0][0]
+    sigma = p.sigma[0][0]
+    cut = p.cut[0][0]
+    return make_dpd_kernel(geom, a0=a0, gamma=gamma, sigma=sigma, cut=cut,
+                           dt=cfg.dt)
+
+
+def _forces(cfg, geom, kern, state: State):
+    nb, cap, lanes = geom.n_blocks, geom.cap, geom.lanes
+    a3 = state.alive[:, None]
+    xm = jnp.where(a3, state.x, BIG).astype(jnp.float32)
+    fld = jnp.concatenate([xm, state.v.astype(jnp.float32)], axis=1)  # [N,6]
+    fld = fld.reshape(nb, cap, lanes, 6).transpose(0, 3, 1, 2)
+    tag = state.tag.reshape(nb, cap, lanes)
+    salt = rng.step_salt(cfg.pair.seed, state.step, PURPOSE_PAIR_NOISE)
+    fpad = kern(fld, tag, salt)                      # [nb, 3, cap, lanes]
+    f = fpad.transpose(0, 2, 3, 1).reshape(-1, 3).astype(state.x.dtype)
+    if cfg.obmd is not None:
+        f = apply_boundary_force(cfg, state, f)
+    return jnp.where(a3, f, 0.0)
+
+
+def _subset_slice(cfg, geom, state, region, pad):
+    """Buffer subset as a contiguous slot slice (no gather)."""
+    a, b = slab_slice_bounds(geom, cfg.box, region.lo[0] - pad,
+                             region.hi[0] + pad)
+    exp = expand_region(region, pad)
+    xs = jax.lax.slice_in_dim(state.x, a, b, axis=0)
+    al = jax.lax.slice_in_dim(state.alive, a, b, axis=0)
+    valid = al & exp.match(xs)
+    n = b - a
+    return Subset(
+        idx=jnp.arange(a, b, dtype=jnp.int32),
+        x=jnp.where(valid[:, None], xs, BIG),
+        type=jax.lax.slice_in_dim(state.type, a, b, axis=0),
+        q=jax.lax.slice_in_dim(state.q, a, b, axis=0),
+        valid=valid,
+        overflow=jnp.zeros((), bool))
+
+
+def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
+    obmd = cfg.obmd
+    dtype = state.dtype
+    K = obmd.insert_kmax
+    n_slots = geom.n_slots
+
+    key = rng.fold_key(state.key, state.step)
+    kl, kr, knext = jax.random.split(key, 3)
+
+    def one_side(k_key, region, budget, sub):
+        u = jax.random.uniform(k_key, (K, 3), dtype=dtype)
+        cand = region.sample_uniform(u)
+        ctype = jnp.full((K,), obmd.ntype, jnp.int32)
+        if obmd.usher is not None:
+            pos, ok, iters = usher_search_subset(cfg, sub, cand, ctype,
+                                                 region)
+        else:
+            ok = near_check_subset(cfg, sub, cand)
+            pos, iters = cand, jnp.zeros((K,), jnp.int32)
+        budget = jnp.clip(budget, 0, K)
+        accepted, _cnt = _sequential_accept(cfg, pos, ctype, ok, budget)
+        return pos, accepted, iters
+
+    pos_l, acc_l, it_l = one_side(kl, obmd.region5, nins_l, sub_l)
+    pos_r, acc_r, it_r = one_side(kr, obmd.region6, nins_r, sub_r)
+    pos = jnp.concatenate([pos_l, pos_r])
+    accepted = jnp.concatenate([acc_l, acc_r])
+
+    slot, landed = place_insertions(geom, state, pos, accepted)
+    order = jnp.cumsum(landed.astype(jnp.int32)) - 1
+    new_tag = state.maxtag + 1 + order
+
+    m = 2 * K
+    x = state.x.at[slot].set(pos, mode="drop")
+    v = state.v.at[slot].set(jnp.zeros((m, 3), dtype), mode="drop")
+    f = state.f.at[slot].set(jnp.zeros((m, 3), dtype), mode="drop")
+    typ = state.type.at[slot].set(jnp.full((m,), obmd.ntype, jnp.int32),
+                                  mode="drop")
+    tag = state.tag.at[slot].set(new_tag, mode="drop")
+    qn = state.q.at[slot].set(jnp.zeros((m,), dtype), mode="drop")
+    aliv = state.alive.at[slot].set(True, mode="drop")
+
+    aux: PadAux = state.nbrs
+    aux = aux.replace(xref=aux.xref.at[slot].set(pos, mode="drop"))
+
+    n_landed = jnp.sum(landed.astype(jnp.int32))
+    want = jnp.clip(nins_l, 0) + jnp.clip(nins_r, 0)
+    return state.replace(
+        x=x, v=v, f=f, type=typ, tag=tag, q=qn, alive=aliv, nbrs=aux,
+        maxtag=state.maxtag + n_landed, key=knext,
+        obmd=state.obmd.replace(
+            ninserted=state.obmd.ninserted + n_landed,
+            insert_fail=state.obmd.insert_fail +
+            jnp.maximum(want - n_landed, 0),
+            usher_iters=state.obmd.usher_iters + jnp.sum(it_l) + jnp.sum(it_r)))
+
+
+def _obmd_stage(cfg, geom, state: State) -> State:
+    obmd = cfg.obmd
+    box = cfg.box
+    dtype = state.x.dtype.type
+    dt = dtype(cfg.dt)
+    t = state.sim_time
+
+    pxx = eval_param(obmd.pxx, t)
+    pxy = eval_param(obmd.pxy, t)
+    pxz = eval_param(obmd.pxz, t)
+    dpxx = eval_param(obmd.dpxx, t)
+    freq = eval_param(obmd.freq, t)
+    alpha = eval_param(obmd.alpha, t)
+    tau = eval_param(obmd.tau, t)
+    nbuf = eval_param(obmd.nbuf, t)
+
+    state, vnewl, vnewr = delete_outside(cfg, state)
+    state = maybe_rebuild(geom, box, cfg.skin, state)
+
+    nins_l = feedback_count(region_count(state, obmd.region1),
+                            obmd.mol_len, alpha, nbuf, dt, tau)
+    nins_r = feedback_count(region_count(state, obmd.region2),
+                            obmd.mol_len, alpha, nbuf, dt, tau)
+
+    pad = cfg.pair.max_cut + cfg.skin
+    sub_l = _subset_slice(cfg, geom, state, obmd.region5, pad)
+    sub_r = _subset_slice(cfg, geom, state, obmd.region6, pad)
+    state = _insert(cfg, geom, state, nins_l, nins_r, sub_l, sub_r)
+
+    area = dtype(box.cross_area)
+    sim_time = t + dt
+    factor = pxx + dpxx * jnp.sin(2.0 * jnp.pi * freq * sim_time)
+    mfl = jnp.stack([vnewl[0] / dt + factor * area, vnewl[1] / dt,
+                     vnewl[2] / dt])
+    mfr = jnp.stack([vnewr[0] / dt - pxx * area, vnewr[1] / dt,
+                     vnewr[2] / dt])
+    sfl = jnp.stack([dtype(0.0), pxy * area, pxz * area])
+    arr = state.x.dtype
+    return state.replace(
+        sim_time=sim_time,
+        obmd=state.obmd.replace(
+            momentum_force_left=mfl.astype(arr),
+            momentum_force_right=mfr.astype(arr),
+            shear_force_left=sfl.astype(arr),
+            shear_force_right=(-sfl).astype(arr)))
+
+
+def setup_cellpad(cfg: SceneConfig, state: State) -> State:
+    """Pack into cellpad layout + initial force evaluation."""
+    cfg = cfg.finalize()
+    geom = make_geometry(cfg)
+    kern = _make_kernel(cfg, geom)
+
+    @jax.jit
+    def _go(state):
+        state = state.replace(x=cfg.box.wrap(state.x))
+        state = layout_build(geom, cfg.box, state)
+        if cfg.obmd is not None:
+            state = _obmd_stage(cfg, geom, state)
+        f = _forces(cfg, geom, kern, state)
+        return state.replace(f=f)
+
+    return _go(state)
+
+
+def make_step_cellpad(cfg: SceneConfig):
+    cfg = cfg.finalize()
+    if not supports(cfg):
+        raise ValueError("cellpad path: single-type DPD with open x only")
+    geom = make_geometry(cfg)
+    kern = _make_kernel(cfg, geom)
+    dt = float(cfg.dt)
+
+    def step(state: State) -> State:
+        dtype = state.x.dtype.type
+        m = per_atom_mass(cfg, state)[:, None]
+        a3 = state.alive[:, None]
+        dtf = dtype(0.5 * dt)
+
+        v = jnp.where(a3, state.v + dtf * state.f / m, state.v)
+        x = jnp.where(a3, state.x + dtype(dt) * v, state.x)
+        x = cfg.box.wrap(x)
+        state = state.replace(x=x, v=v)
+
+        if cfg.obmd is not None:
+            nfreq = cfg.obmd.nfreq
+            if nfreq <= 1:
+                state = _obmd_stage(cfg, geom, state)
+            else:
+                state = jax.lax.cond(state.step % nfreq == 0,
+                                     lambda s: _obmd_stage(cfg, geom, s),
+                                     lambda s: s, state)
+        else:
+            state = maybe_rebuild(geom, cfg.box, cfg.skin, state)
+
+        f = _forces(cfg, geom, kern, state)
+
+        m = per_atom_mass(cfg, state)[:, None]
+        v = jnp.where(state.alive[:, None], state.v + dtf * f / m, state.v)
+        return state.replace(v=v, f=f, step=state.step + 1)
+
+    return step

@@ -1,0 +1,287 @@
+"""Pallas DPD force kernel over the padded cell-major layout.
+
+The hot force op of the engine (counterpart of PairDPD::compute,
+DPD-BASIC/pair_dpd.cpp:66-163), designed around what the TPU does well:
+
+  * State lives in a padded cell-major layout: slot = (block, rank, lane)
+    where a lane is a cell.  A block's 128 lanes span P x-slabs of S = ny*nz
+    cells each (P = 128 // S when S divides 128).  Neighbor-cell access then
+    never gathers: y/z neighbors are lane *rolls* (two rolls + a static
+    select implement the periodic wrap), x neighbors come from the
+    prev/mid/next block windows fetched by BlockSpec.
+  * Dead/padding slots carry position BIG, so the r < cutoff and r > eps
+    masks eliminate them with zero extra bookkeeping.
+  * The DPD random force is generated in-kernel from the pair-symmetric
+    counter hash (the rng.pair_noise construction, uint32 ops) — Newton's
+    third law holds bitwise, no reverse-communication analogue needed.
+
+Single atom type (the OBMD_DPD flagship workload); multi-type systems use
+the XLA paths.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_U32 = jnp.uint32
+
+
+class PadGeometry(NamedTuple):
+    """Static geometry of the padded cell-major layout."""
+
+    dims: Tuple[int, int, int]       # cells per axis (nx, ny, nz)
+    cell_size: Tuple[float, float, float]
+    lo: Tuple[float, float, float]
+    s: int                           # ny*nz (cells per x-slab)
+    p: int                           # x-slabs per block
+    lanes: int                       # p*s == 128, or s padded up to 128k
+    n_blocks: int
+    cap: int
+
+    @property
+    def n_slots(self) -> int:
+        return self.n_blocks * self.cap * self.lanes
+
+    @property
+    def n_cells(self) -> int:
+        nx, ny, nz = self.dims
+        return nx * ny * nz
+
+    @staticmethod
+    def create(box, cutoff: float, cap: int) -> "PadGeometry":
+        if box.periodic[0]:
+            raise NotImplementedError("cellpad path expects open x")
+        dims = []
+        csize = []
+        for L, per in zip(box.lengths, box.periodic):
+            n = max(1, int(np.floor(L / cutoff)))
+            if per and n < 3:
+                n = 1
+            dims.append(n)
+            csize.append(L / n)
+        nx, ny, nz = dims
+        if ny == 2 or nz == 2:
+            raise ValueError("periodic axis with exactly 2 cells unsupported")
+        s = ny * nz
+        if s <= 128 and 128 % s == 0:
+            p = 128 // s
+            lanes = 128
+        else:
+            p = 1
+            lanes = ((s + 127) // 128) * 128
+        n_blocks = (nx + p - 1) // p
+        return PadGeometry(dims=tuple(dims), cell_size=tuple(csize),
+                           lo=box.lo, s=s, p=p, lanes=lanes,
+                           n_blocks=n_blocks, cap=cap)
+
+    def cell_of(self, x):
+        """Linear cell id in (block, lane)-compatible order for [...,3]."""
+        lo = jnp.asarray(self.lo, dtype=x.dtype)
+        cs = jnp.asarray(self.cell_size, dtype=x.dtype)
+        nd = jnp.asarray(self.dims, dtype=jnp.int32)
+        c = jnp.clip(jnp.floor((x - lo) / cs).astype(jnp.int32), 0, nd - 1)
+        nx, ny, nz = self.dims
+        return (c[..., 0] * ny + c[..., 1]) * nz + c[..., 2]
+
+    def slot_of_cell(self, cell):
+        """(block, lane) of a linear cell id, accounting for lane padding
+        when p == 1 and s < lanes."""
+        slab = cell // self.s
+        within = cell % self.s
+        if self.p == 1:
+            return slab, within
+        block = slab // self.p
+        lane = (slab % self.p) * self.s + within
+        return block, lane
+
+
+def _avalanche_u32(h):
+    h = h ^ (h >> 16)
+    h = h * _U32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * _U32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def make_dpd_kernel(geom: PadGeometry, *, a0: float, gamma: float,
+                    sigma: float, cut: float, dt: float):
+    """Build fn(fld, tag, salt) -> f for this geometry + DPD coefficients.
+
+      fld: f32 [n_blocks, 6, cap, lanes]  (x, y, z, vx, vy, vz; dead = BIG)
+      tag: i32 [n_blocks, cap, lanes]
+      salt: u32 [1] (step salt for the pair noise)
+      f:   f32 [n_blocks, 3, cap, lanes]
+    """
+    nx, ny, nz = geom.dims
+    s, p, lanes, cap = geom.s, geom.p, geom.lanes, geom.cap
+    nb = geom.n_blocks
+    ly = float(ny * geom.cell_size[1])
+    lz = float(nz * geom.cell_size[2])
+    dtinvsqrt = float(1.0 / np.sqrt(dt))
+    cutsq = float(cut * cut)
+    eps = 1.0e-10
+    sqrt3 = float(np.sqrt(3.0))
+    a0f, gamf, sigf, cutf = map(float, (a0, gamma, sigma, cut))
+
+    def kernel(salt_ref, prev_f, mid_f, next_f, prev_t, mid_t, next_t,
+               out_ref, acc):
+        i = pl.program_id(0)
+        salt = salt_ref[0]
+        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (cap, lanes), 1)
+        rank_idx = jax.lax.broadcasted_iota(jnp.int32, (cap, lanes), 0)
+        slab_q = lane_idx // s
+
+        acc[...] = jnp.zeros((3, cap, lanes), jnp.float32)
+
+        def nbr(val, dstride: int, group: int):
+            """out[l] = val[l + dstride], wrapping inside `group`-aligned
+            lane groups (two rolls + static select)."""
+            if dstride == 0:
+                return val
+            r1 = pltpu.roll(val, (-dstride) % lanes, 1)
+            pos = lane_idx % group
+            if dstride > 0:
+                r2 = pltpu.roll(val, (group - dstride) % lanes, 1)
+                wrapped = pos >= group - dstride
+            else:
+                r2 = pltpu.roll(val, (-dstride - group) % lanes, 1)
+                wrapped = pos < -dstride
+            return jnp.where(wrapped, r2, r1)
+
+        def contrib(src_f, src_t, dlane: int, dy: int, dz: int, x_valid,
+                    same_cell: bool):
+            fields = []
+            for fidx in range(6):
+                v = src_f[0, fidx]
+                v = nbr(v, dlane, lanes)
+                v = nbr(v, dy * nz, s)
+                v = nbr(v, dz, nz)
+                fields.append(v)
+            tj = nbr(nbr(nbr(src_t[0], dlane, lanes), dy * nz, s), dz, nz)
+            xj, yj, zj, vxj, vyj, vzj = fields
+
+            def si_body(si, _):
+                dx = mid_f[0, 0, si][None, :] - xj
+                dyy = mid_f[0, 1, si][None, :] - yj
+                dzz = mid_f[0, 2, si][None, :] - zj
+                dyy = dyy - ly * jnp.round(dyy * (1.0 / ly))
+                dzz = dzz - lz * jnp.round(dzz * (1.0 / lz))
+                rsq = dx * dx + dyy * dyy + dzz * dzz
+                r = jnp.sqrt(rsq)
+                ok = (rsq < cutsq) & (r > eps) & x_valid
+                if same_cell:
+                    ok = ok & (rank_idx != si)
+
+                rinv = jax.lax.rsqrt(jnp.maximum(rsq, eps * eps))
+                wd = 1.0 - r * (1.0 / cutf)
+                dot = (dx * (mid_f[0, 3, si][None, :] - vxj)
+                       + dyy * (mid_f[0, 4, si][None, :] - vyj)
+                       + dzz * (mid_f[0, 5, si][None, :] - vzj))
+
+                # tags are non-negative int32: min/max in signed domain
+                # (unsigned vector min is unsupported), hash in u32
+                ti = jnp.broadcast_to(mid_t[0, si][None, :], (cap, lanes))
+                lo = pltpu.bitcast(jnp.minimum(ti, tj), _U32)
+                hi = pltpu.bitcast(jnp.maximum(ti, tj), _U32)
+                h = _avalanche_u32(lo ^ _U32(0x9E3779B9))
+                h = _avalanche_u32(h ^ hi * _U32(0x85EBCA77))
+                h = _avalanche_u32(h ^ salt * _U32(0xC2B2AE3D))
+                # u32 -> f32 cast unsupported in Mosaic: go via int32 (the
+                # top-24-bit value is always non-negative)
+                u24 = pltpu.bitcast(h >> 8, jnp.int32)
+                u01 = u24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+                noise = sqrt3 * (2.0 * u01 - 1.0)
+
+                fpair = a0f * wd
+                fpair = fpair - gamf * wd * wd * dot * rinv
+                fpair = fpair + sigf * wd * noise * dtinvsqrt
+                fpair = fpair * rinv
+                fpair = jnp.where(ok, fpair, 0.0)
+
+                acc[0, si, :] += jnp.sum(fpair * dx, axis=0)
+                acc[1, si, :] += jnp.sum(fpair * dyy, axis=0)
+                acc[2, si, :] += jnp.sum(fpair * dzz, axis=0)
+                return 0
+
+            jax.lax.fori_loop(0, cap, si_body, 0)
+
+        all_ok = jnp.ones((cap, lanes), bool)
+        for dy in ((-1, 0, 1) if ny >= 3 else (0,)):
+            for dz in ((-1, 0, 1) if nz >= 3 else (0,)):
+                for dxs in (-1, 0, 1):
+                    same = dxs == 0 and dy == 0 and dz == 0
+                    gslab = i * p + slab_q + dxs
+                    gok = (gslab >= 0) & (gslab < nx)
+                    if dxs == 0:
+                        contrib(mid_f, mid_t, 0, dy, dz, all_ok, same)
+                        continue
+                    if p == 1:
+                        src_f, src_t = ((next_f, next_t) if dxs == 1
+                                        else (prev_f, prev_t))
+                        contrib(src_f, src_t, 0, dy, dz, gok, False)
+                        continue
+                    # mid-internal slab shift (lanes whose q+dxs stays in
+                    # this block)
+                    in_mid = (slab_q + dxs >= 0) & (slab_q + dxs < p)
+                    contrib(mid_f, mid_t, dxs * s, dy, dz, in_mid & gok,
+                            False)
+                    if dxs == 1:
+                        contrib(next_f, next_t, -(p - 1) * s, dy, dz,
+                                (~in_mid) & gok, False)
+                    else:
+                        contrib(prev_f, prev_t, (p - 1) * s, dy, dz,
+                                (~in_mid) & gok, False)
+
+        out_ref[0] = acc[...]
+
+    def ip(i, *_):
+        return (jnp.maximum(i - 1, 0), 0, 0, 0)
+
+    def im(i, *_):
+        return (i, 0, 0, 0)
+
+    def inx(i, *_):
+        return (jnp.minimum(i + 1, nb - 1), 0, 0, 0)
+
+    def ipt(i, *_):
+        return (jnp.maximum(i - 1, 0), 0, 0)
+
+    def imt(i, *_):
+        return (i, 0, 0)
+
+    def inxt(i, *_):
+        return (jnp.minimum(i + 1, nb - 1), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 6, cap, lanes), ip),
+            pl.BlockSpec((1, 6, cap, lanes), im),
+            pl.BlockSpec((1, 6, cap, lanes), inx),
+            pl.BlockSpec((1, cap, lanes), ipt),
+            pl.BlockSpec((1, cap, lanes), imt),
+            pl.BlockSpec((1, cap, lanes), inxt),
+        ],
+        out_specs=pl.BlockSpec((1, 3, cap, lanes), im),
+        scratch_shapes=[pltpu.VMEM((3, cap, lanes), jnp.float32)],
+    )
+
+    # Non-TPU backends (CPU tests) run the kernel in interpreter mode.
+    interpret = jax.default_backend() not in ("tpu", "axon")
+
+    def dpd_forces(fld, tag, salt):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb, 3, cap, lanes), jnp.float32),
+            interpret=interpret,
+        )(jnp.asarray(salt, _U32).reshape(1), fld, fld, fld, tag, tag, tag)
+
+    return dpd_forces

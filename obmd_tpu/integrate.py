@@ -80,6 +80,9 @@ def setup(cfg: SceneConfig, state: State) -> State:
     (Verlet::setup, verlet.cpp:93).  Runs the OBMD stage first like
     setup_pre_exchange (ref fix_obmd_merged.cpp:542)."""
     cfg = cfg.finalize()
+    if cfg.force_path == "cellpad":
+        from .engine_cellpad import setup_cellpad
+        return setup_cellpad(cfg, state)
     spec = make_grid_spec(cfg)
     nparams = make_neighbor_params(cfg)
 
@@ -111,6 +114,11 @@ def rebuild_neighbors(cfg: SceneConfig, state: State) -> State:
     restart path (checkpoint stores physical state only) and the recovery
     path after external state edits."""
     cfg = cfg.finalize()
+    if cfg.force_path == "cellpad":
+        from .cellpad import layout_build
+        from .engine_cellpad import make_geometry
+        geom = make_geometry(cfg)
+        return jax.jit(lambda s: layout_build(geom, cfg.box, s))(state)
     nparams = make_neighbor_params(cfg)
 
     @jax.jit
@@ -218,6 +226,9 @@ def _obmd_stage_fast(cfg, spec, nparams, state):
 def make_step(cfg: SceneConfig):
     """Build the jitted one-step function for this scene."""
     cfg = cfg.finalize()
+    if cfg.force_path == "cellpad":
+        from .engine_cellpad import make_step_cellpad
+        return make_step_cellpad(cfg)
     spec = make_grid_spec(cfg)
     nparams = make_neighbor_params(cfg)
     dt = float(cfg.dt)
