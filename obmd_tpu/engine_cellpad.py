@@ -52,7 +52,11 @@ def _forces(cfg, geom, kern, state: State):
     fld = fld.reshape(nb, cap, lanes, 6).transpose(0, 3, 1, 2)
     tag = state.tag.reshape(nb, cap, lanes)
     salt = rng.step_salt(cfg.pair.seed, state.step, PURPOSE_PAIR_NOISE)
-    fpad = kern(fld, tag, salt)                      # [nb, 3, cap, lanes]
+    # per-block highest occupied rank + 1 (i-side loop bound in the kernel)
+    rank = jnp.arange(cap, dtype=jnp.int32)[None, :, None]
+    occ = jnp.max(jnp.where(state.alive.reshape(nb, cap, lanes), rank, -1),
+                  axis=(1, 2)) + 1
+    fpad = kern(fld, tag, salt, occ)                 # [nb, 3, cap, lanes]
     f = fpad.transpose(0, 2, 3, 1).reshape(-1, 3).astype(state.x.dtype)
     if cfg.obmd is not None:
         f = apply_boundary_force(cfg, state, f)

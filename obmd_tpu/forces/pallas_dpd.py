@@ -129,10 +129,14 @@ def make_dpd_kernel(geom: PadGeometry, *, a0: float, gamma: float,
     sqrt3 = float(np.sqrt(3.0))
     a0f, gamf, sigf, cutf = map(float, (a0, gamma, sigma, cut))
 
-    def kernel(salt_ref, prev_f, mid_f, next_f, prev_t, mid_t, next_t,
-               out_ref, acc):
+    def kernel(salt_ref, occ_ref, prev_f, mid_f, next_f, prev_t, mid_t,
+               next_t, out_ref, acc):
         i = pl.program_id(0)
         salt = salt_ref[0]
+        # highest occupied rank + 1 of this block: the i-side loop stops
+        # there (rows above hold only dead/padding slots).  The j side stays
+        # cap-wide (vector dim) — dead slots are distance-masked.
+        si_max = occ_ref[i]
         lane_idx = jax.lax.broadcasted_iota(jnp.int32, (cap, lanes), 1)
         rank_idx = jax.lax.broadcasted_iota(jnp.int32, (cap, lanes), 0)
         slab_q = lane_idx // s
@@ -209,7 +213,7 @@ def make_dpd_kernel(geom: PadGeometry, *, a0: float, gamma: float,
                 acc[2, si, :] += jnp.sum(fpair * dzz, axis=0)
                 return 0
 
-            jax.lax.fori_loop(0, cap, si_body, 0)
+            jax.lax.fori_loop(0, si_max, si_body, 0)
 
         all_ok = jnp.ones((cap, lanes), bool)
         for dy in ((-1, 0, 1) if ny >= 3 else (0,)):
@@ -259,7 +263,7 @@ def make_dpd_kernel(geom: PadGeometry, *, a0: float, gamma: float,
         return (jnp.minimum(i + 1, nb - 1), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 6, cap, lanes), ip),
@@ -276,12 +280,13 @@ def make_dpd_kernel(geom: PadGeometry, *, a0: float, gamma: float,
     # Non-TPU backends (CPU tests) run the kernel in interpreter mode.
     interpret = jax.default_backend() not in ("tpu", "axon")
 
-    def dpd_forces(fld, tag, salt):
+    def dpd_forces(fld, tag, salt, occ):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nb, 3, cap, lanes), jnp.float32),
             interpret=interpret,
-        )(jnp.asarray(salt, _U32).reshape(1), fld, fld, fld, tag, tag, tag)
+        )(jnp.asarray(salt, _U32).reshape(1), occ.astype(jnp.int32),
+          fld, fld, fld, tag, tag, tag)
 
     return dpd_forces

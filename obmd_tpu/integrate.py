@@ -170,7 +170,7 @@ def _obmd_stage_fast(cfg, spec, nparams, state):
     # per-buffer subsets (pad by cutoff+skin: serves both USHER energies and
     # the new atoms' neighbor rows)
     from .obmd.subset import region_subset, subset_rows
-    b_max = cfg.capacity.insert_region_max or (cfg.capacity.n_max // 3)
+    b_max = cfg.capacity.insert_region_max or (cfg.capacity.n_max // 2)
     pad = cfg.pair.max_cut + cfg.skin
     sub_l = region_subset(cfg, state, obmd.region5, pad, b_max)
     sub_r = region_subset(cfg, state, obmd.region6, pad, b_max)

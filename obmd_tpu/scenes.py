@@ -29,7 +29,8 @@ def obmd_dpd_config(scale: float = 1.0, n_max: Optional[int] = None,
                     nbuf: Optional[float] = None, usher: bool = True,
                     dtype: str = "float32",
                     cell_capacity: int = 24,
-                    insert_kmax: int = 16) -> SceneConfig:
+                    insert_kmax: int = 16,
+                    force_path: str = "cellpad") -> SceneConfig:
     """The OBMD_DPD deck (input.py values), box stretched `scale`x in x."""
     xhi = 33.594 * scale
     yhi = zhi = 11.198
@@ -70,7 +71,7 @@ def obmd_dpd_config(scale: float = 1.0, n_max: Optional[int] = None,
     return SceneConfig(
         box=box, masses=(1.0,), pair=pair, dt=0.001464,
         capacity=Capacity(n_max=n_max, cell_capacity=cell_capacity),
-        obmd=obmd, dtype=dtype,
+        obmd=obmd, dtype=dtype, force_path=force_path,
     ).finalize()
 
 
