@@ -11,6 +11,12 @@ from ..state import State
 
 def write_xyz_frame(path: str, cfg: SceneConfig, state: State,
                     append: bool = True):
+    try:
+        from . import native
+        if native.write_xyz_native(path, state, append):
+            return
+    except Exception:
+        pass
     alive = np.asarray(state.alive)
     x = np.asarray(state.x)[alive]
     t = np.asarray(state.type)[alive]
@@ -25,7 +31,16 @@ def write_xyz_frame(path: str, cfg: SceneConfig, state: State,
 def write_custom_frame(path: str, cfg: SceneConfig, state: State,
                        cols=("id", "type", "x", "y", "z", "vx", "vy", "vz"),
                        append: bool = True):
-    """`dump custom` style frame: ITEM: headers + per-atom columns."""
+    """`dump custom` style frame: ITEM: headers + per-atom columns.
+    The default column set routes through the native writer when built."""
+    if cols == ("id", "type", "x", "y", "z", "vx", "vy", "vz",
+                "fx", "fy", "fz"):
+        try:
+            from . import native
+            if native.write_dump_custom_native(path, cfg, state, append):
+                return
+        except Exception:
+            pass
     alive = np.asarray(state.alive)
     x = np.asarray(state.x)[alive]
     v = np.asarray(state.v)[alive]

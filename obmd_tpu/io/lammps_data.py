@@ -46,7 +46,20 @@ def _tokens(line: str):
     return line.split()
 
 
-def read_data(path: str, atom_style: str = "atomic") -> DataFile:
+def read_data(path: str, atom_style: str = "atomic",
+              prefer_native: bool = True) -> DataFile:
+    if prefer_native:
+        try:
+            from . import native
+            df = native.read_data_native(path, atom_style)
+            if df is not None:
+                return df
+        except Exception:
+            pass  # fall back to the pure-python parser
+    return _read_data_py(path, atom_style)
+
+
+def _read_data_py(path: str, atom_style: str = "atomic") -> DataFile:
     with open(path) as fh:
         lines = fh.readlines()
 

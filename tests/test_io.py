@@ -107,3 +107,30 @@ def test_dump_writers(tmp_path):
     write_custom_frame(cus, sc.cfg, sc.state, append=False)
     content = open(cus).read()
     assert "ITEM: TIMESTEP" in content and "ITEM: ATOMS" in content
+
+
+def test_native_io_roundtrip(tmp_path):
+    """Native C++ parser must agree with the python parser, and native dump
+    writers must produce parseable frames."""
+    from obmd_tpu.io import native
+    if not native.available():
+        pytest.skip("native library not built")
+    ref = "/root/reference/examples/OBMD_DPD/dpd_8map_obmd.data"
+    if not os.path.exists(ref):
+        pytest.skip("reference data file unavailable")
+    a = lammps_data.read_data(ref, prefer_native=True)
+    b = lammps_data._read_data_py(ref)
+    np.testing.assert_allclose(a.x, b.x)
+    np.testing.assert_array_equal(a.tags, b.tags)
+    np.testing.assert_allclose(a.masses, b.masses)
+
+    from obmd_tpu import scenes
+    from obmd_tpu.io.dump import write_custom_frame
+    sc = scenes.closed_dpd_scene(n=40, box_l=4.0, seed=2)
+    p = str(tmp_path / "n.dump")
+    write_custom_frame(p, sc.cfg, sc.state,
+                       cols=("id", "type", "x", "y", "z", "vx", "vy", "vz",
+                             "fx", "fy", "fz"), append=False)
+    content = open(p).read()
+    assert "ITEM: ATOMS id type x y z vx vy vz fx fy fz" in content
+    assert content.count("\n") == 9 + 40
