@@ -3,7 +3,12 @@ sharding is validated without TPU hardware; single-chip tests just use
 device 0).  Must set env before jax import."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The hosting environment pre-imports jax (sitecustomize) with its TPU
+# plugin selected, so env mutation alone is too late — but backends
+# initialize lazily, so the config update below still takes effect as long
+# as no device has been touched yet.  Tests run on a virtual 8-device CPU
+# mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,4 +16,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_threefry_partitionable", True)
