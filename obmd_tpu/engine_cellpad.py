@@ -12,7 +12,7 @@ from . import rng
 from .cellpad import (PadAux, layout_build, maybe_rebuild, place_insertions,
                       slab_slice_bounds)
 from .cells import BIG
-from .config import DPDParams, SceneConfig, eval_param
+from .config import DPDParams, LJCutParams, SceneConfig, eval_param
 from .forces.pallas_dpd import PadGeometry, make_dpd_kernel
 from .geometry import RegionBlock
 from .obmd.stage import (_sequential_accept, apply_boundary_force,
@@ -25,8 +25,15 @@ PURPOSE_PAIR_NOISE = 1
 
 
 def supports(cfg: SceneConfig) -> bool:
-    return (isinstance(cfg.pair, DPDParams) and cfg.ntypes == 1
-            and not cfg.box.periodic[0])
+    """Single-type DPD or LJ.  Periodic x is supported only without the
+    OBMD stage (open boundaries require open x by definition)."""
+    if cfg.ntypes != 1:
+        return False
+    if not isinstance(cfg.pair, (DPDParams, LJCutParams)):
+        return False
+    if cfg.box.periodic[0] and cfg.obmd is not None:
+        return False
+    return True
 
 
 def make_geometry(cfg: SceneConfig) -> PadGeometry:
@@ -35,13 +42,13 @@ def make_geometry(cfg: SceneConfig) -> PadGeometry:
 
 
 def _make_kernel(cfg: SceneConfig, geom: PadGeometry):
-    p: DPDParams = cfg.pair
-    a0 = p.a0[0][0]
-    gamma = p.gamma[0][0]
-    sigma = p.sigma[0][0]
-    cut = p.cut[0][0]
-    return make_dpd_kernel(geom, a0=a0, gamma=gamma, sigma=sigma, cut=cut,
-                           dt=cfg.dt)
+    p = cfg.pair
+    if isinstance(p, DPDParams):
+        return make_dpd_kernel(geom, a0=p.a0[0][0], gamma=p.gamma[0][0],
+                               sigma=p.sigma[0][0], cut=p.cut[0][0],
+                               dt=cfg.dt, law="dpd")
+    return make_dpd_kernel(geom, cut=p.cut[0][0], dt=cfg.dt, law="lj",
+                           lj_eps=p.epsilon[0][0], lj_sig=p.sigma[0][0])
 
 
 def _forces(cfg, geom, kern, state: State):
@@ -206,7 +213,8 @@ def setup_cellpad(cfg: SceneConfig, state: State) -> State:
 def make_step_cellpad(cfg: SceneConfig):
     cfg = cfg.finalize()
     if not supports(cfg):
-        raise ValueError("cellpad path: single-type DPD with open x only")
+        raise ValueError(
+            "cellpad path: single-type DPD/LJ; open x required with OBMD")
     geom = make_geometry(cfg)
     kern = _make_kernel(cfg, geom)
     dt = float(cfg.dt)

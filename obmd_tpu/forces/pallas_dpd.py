@@ -42,6 +42,7 @@ class PadGeometry(NamedTuple):
     lanes: int                       # p*s == 128, or s padded up to 128k
     n_blocks: int
     cap: int
+    periodic_x: bool = False
 
     @property
     def n_slots(self) -> int:
@@ -54,8 +55,7 @@ class PadGeometry(NamedTuple):
 
     @staticmethod
     def create(box, cutoff: float, cap: int) -> "PadGeometry":
-        if box.periodic[0]:
-            raise NotImplementedError("cellpad path expects open x")
+        periodic_x = bool(box.periodic[0])
         dims = []
         csize = []
         for L, per in zip(box.lengths, box.periodic):
@@ -67,6 +67,8 @@ class PadGeometry(NamedTuple):
         nx, ny, nz = dims
         if ny == 2 or nz == 2:
             raise ValueError("periodic axis with exactly 2 cells unsupported")
+        if periodic_x and nx < 3:
+            raise ValueError("periodic x needs >= 3 cells on the cellpad path")
         s = ny * nz
         if s <= 128 and 128 % s == 0:
             p = 128 // s
@@ -74,10 +76,19 @@ class PadGeometry(NamedTuple):
         else:
             p = 1
             lanes = ((s + 127) // 128) * 128
+        if periodic_x:
+            # blocks must tile the x axis exactly so block-index wrap is a
+            # clean periodic image
+            while p > 1 and nx % p != 0:
+                p //= 2
+            lanes = p * s if p * s == 128 else ((s + 127) // 128) * 128
+            if p == 1:
+                lanes = ((s + 127) // 128) * 128
         n_blocks = (nx + p - 1) // p
         return PadGeometry(dims=tuple(dims), cell_size=tuple(csize),
                            lo=box.lo, s=s, p=p, lanes=lanes,
-                           n_blocks=n_blocks, cap=cap)
+                           n_blocks=n_blocks, cap=cap,
+                           periodic_x=periodic_x)
 
     def cell_of(self, x):
         """Linear cell id in (block, lane)-compatible order for [...,3]."""
@@ -109,14 +120,20 @@ def _avalanche_u32(h):
     return h
 
 
-def make_dpd_kernel(geom: PadGeometry, *, a0: float, gamma: float,
-                    sigma: float, cut: float, dt: float):
-    """Build fn(fld, tag, salt) -> f for this geometry + DPD coefficients.
+def make_dpd_kernel(geom: PadGeometry, *, a0: float = 0.0,
+                    gamma: float = 0.0, sigma: float = 0.0, cut: float = 1.0,
+                    dt: float = 0.01, law: str = "dpd",
+                    lj_eps: float = 1.0, lj_sig: float = 1.0):
+    """Build fn(fld, tag, salt, occ) -> f for this geometry + pair law.
 
       fld: f32 [n_blocks, 6, cap, lanes]  (x, y, z, vx, vy, vz; dead = BIG)
       tag: i32 [n_blocks, cap, lanes]
       salt: u32 [1] (step salt for the pair noise)
+      occ: i32 [n_blocks] (highest occupied rank + 1 per block)
       f:   f32 [n_blocks, 3, cap, lanes]
+
+    law = "dpd" (conservative+drag+noise, pair_dpd.cpp:128-137) or
+    "lj" (12-6 LJ forces, the reference's headline melt benchmark pair).
     """
     nx, ny, nz = geom.dims
     s, p, lanes, cap = geom.s, geom.p, geom.lanes, geom.cap
@@ -128,6 +145,11 @@ def make_dpd_kernel(geom: PadGeometry, *, a0: float, gamma: float,
     eps = 1.0e-10
     sqrt3 = float(np.sqrt(3.0))
     a0f, gamf, sigf, cutf = map(float, (a0, gamma, sigma, cut))
+    lx = float(nx * geom.cell_size[0])
+    per_x = geom.periodic_x
+    s6 = float(lj_sig) ** 6
+    lj1 = 48.0 * float(lj_eps) * s6 * s6
+    lj2 = 24.0 * float(lj_eps) * s6
 
     def kernel(salt_ref, occ_ref, prev_f, mid_f, next_f, prev_t, mid_t,
                next_t, out_ref, acc):
@@ -174,6 +196,8 @@ def make_dpd_kernel(geom: PadGeometry, *, a0: float, gamma: float,
                 dx = mid_f[0, 0, si][None, :] - xj
                 dyy = mid_f[0, 1, si][None, :] - yj
                 dzz = mid_f[0, 2, si][None, :] - zj
+                if per_x:
+                    dx = dx - lx * jnp.round(dx * (1.0 / lx))
                 dyy = dyy - ly * jnp.round(dyy * (1.0 / ly))
                 dzz = dzz - lz * jnp.round(dzz * (1.0 / lz))
                 rsq = dx * dx + dyy * dyy + dzz * dzz
@@ -182,31 +206,38 @@ def make_dpd_kernel(geom: PadGeometry, *, a0: float, gamma: float,
                 if same_cell:
                     ok = ok & (rank_idx != si)
 
-                rinv = jax.lax.rsqrt(jnp.maximum(rsq, eps * eps))
-                wd = 1.0 - r * (1.0 / cutf)
-                dot = (dx * (mid_f[0, 3, si][None, :] - vxj)
-                       + dyy * (mid_f[0, 4, si][None, :] - vyj)
-                       + dzz * (mid_f[0, 5, si][None, :] - vzj))
+                if law == "lj":
+                    r2inv = jnp.where(ok, 1.0 / jnp.maximum(rsq, eps * eps),
+                                      0.0)
+                    r6inv = r2inv * r2inv * r2inv
+                    fpair = r6inv * (lj1 * r6inv - lj2) * r2inv
+                    fpair = jnp.where(ok, fpair, 0.0)
+                else:
+                    rinv = jax.lax.rsqrt(jnp.maximum(rsq, eps * eps))
+                    wd = 1.0 - r * (1.0 / cutf)
+                    dot = (dx * (mid_f[0, 3, si][None, :] - vxj)
+                           + dyy * (mid_f[0, 4, si][None, :] - vyj)
+                           + dzz * (mid_f[0, 5, si][None, :] - vzj))
 
-                # tags are non-negative int32: min/max in signed domain
-                # (unsigned vector min is unsupported), hash in u32
-                ti = jnp.broadcast_to(mid_t[0, si][None, :], (cap, lanes))
-                lo = pltpu.bitcast(jnp.minimum(ti, tj), _U32)
-                hi = pltpu.bitcast(jnp.maximum(ti, tj), _U32)
-                h = _avalanche_u32(lo ^ _U32(0x9E3779B9))
-                h = _avalanche_u32(h ^ hi * _U32(0x85EBCA77))
-                h = _avalanche_u32(h ^ salt * _U32(0xC2B2AE3D))
-                # u32 -> f32 cast unsupported in Mosaic: go via int32 (the
-                # top-24-bit value is always non-negative)
-                u24 = pltpu.bitcast(h >> 8, jnp.int32)
-                u01 = u24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
-                noise = sqrt3 * (2.0 * u01 - 1.0)
+                    # tags are non-negative int32: min/max in signed domain
+                    # (unsigned vector min is unsupported), hash in u32
+                    ti = jnp.broadcast_to(mid_t[0, si][None, :], (cap, lanes))
+                    lo = pltpu.bitcast(jnp.minimum(ti, tj), _U32)
+                    hi = pltpu.bitcast(jnp.maximum(ti, tj), _U32)
+                    h = _avalanche_u32(lo ^ _U32(0x9E3779B9))
+                    h = _avalanche_u32(h ^ hi * _U32(0x85EBCA77))
+                    h = _avalanche_u32(h ^ salt * _U32(0xC2B2AE3D))
+                    # u32 -> f32 cast unsupported in Mosaic: via int32 (the
+                    # top-24-bit value is always non-negative)
+                    u24 = pltpu.bitcast(h >> 8, jnp.int32)
+                    u01 = u24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+                    noise = sqrt3 * (2.0 * u01 - 1.0)
 
-                fpair = a0f * wd
-                fpair = fpair - gamf * wd * wd * dot * rinv
-                fpair = fpair + sigf * wd * noise * dtinvsqrt
-                fpair = fpair * rinv
-                fpair = jnp.where(ok, fpair, 0.0)
+                    fpair = a0f * wd
+                    fpair = fpair - gamf * wd * wd * dot * rinv
+                    fpair = fpair + sigf * wd * noise * dtinvsqrt
+                    fpair = fpair * rinv
+                    fpair = jnp.where(ok, fpair, 0.0)
 
                 acc[0, si, :] += jnp.sum(fpair * dx, axis=0)
                 acc[1, si, :] += jnp.sum(fpair * dyy, axis=0)
@@ -220,8 +251,11 @@ def make_dpd_kernel(geom: PadGeometry, *, a0: float, gamma: float,
             for dz in ((-1, 0, 1) if nz >= 3 else (0,)):
                 for dxs in (-1, 0, 1):
                     same = dxs == 0 and dy == 0 and dz == 0
-                    gslab = i * p + slab_q + dxs
-                    gok = (gslab >= 0) & (gslab < nx)
+                    if per_x:
+                        gok = jnp.ones((cap, lanes), bool)
+                    else:
+                        gslab = i * p + slab_q + dxs
+                        gok = (gslab >= 0) & (gslab < nx)
                     if dxs == 0:
                         contrib(mid_f, mid_t, 0, dy, dz, all_ok, same)
                         continue
@@ -244,23 +278,36 @@ def make_dpd_kernel(geom: PadGeometry, *, a0: float, gamma: float,
 
         out_ref[0] = acc[...]
 
+    if geom.periodic_x:
+        def _prev(i):
+            return (i - 1) % nb
+
+        def _next(i):
+            return (i + 1) % nb
+    else:
+        def _prev(i):
+            return jnp.maximum(i - 1, 0)
+
+        def _next(i):
+            return jnp.minimum(i + 1, nb - 1)
+
     def ip(i, *_):
-        return (jnp.maximum(i - 1, 0), 0, 0, 0)
+        return (_prev(i), 0, 0, 0)
 
     def im(i, *_):
         return (i, 0, 0, 0)
 
     def inx(i, *_):
-        return (jnp.minimum(i + 1, nb - 1), 0, 0, 0)
+        return (_next(i), 0, 0, 0)
 
     def ipt(i, *_):
-        return (jnp.maximum(i - 1, 0), 0, 0)
+        return (_prev(i), 0, 0)
 
     def imt(i, *_):
         return (i, 0, 0)
 
     def inxt(i, *_):
-        return (jnp.minimum(i + 1, nb - 1), 0, 0)
+        return (_next(i), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

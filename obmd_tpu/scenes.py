@@ -13,7 +13,7 @@ from typing import Optional
 
 import numpy as np
 
-from .config import (Capacity, DPDParams, ObmdParams, SceneConfig,
+from .config import (Capacity, DPDParams, LJCutParams, ObmdParams, SceneConfig,
                      UsherParams)
 from .geometry import Box, RegionBlock
 from .state import State, init_state
@@ -91,6 +91,34 @@ def obmd_dpd_scene(scale: float = 1.0, seed: int = 12345,
     v -= v.mean(axis=0)  # zero net momentum
     state = init_state(cfg, x, v=v, seed=seed)
     return Scene(cfg=cfg, state=state)
+
+
+def lj_melt_scene(nx: int = 20, dtype: str = "float32",
+                  force_path: str = "cellpad") -> Scene:
+    """The reference's headline benchmark: LJ melt (code/bench/in.lj) —
+    fcc lattice at rho* = 0.8442, 4*nx^3 atoms (nx=20 -> 32,000 like the
+    published logs), T0 = 1.44, rc = 2.5, dt = 0.005, NVE."""
+    rho = 0.8442
+    a = (4.0 / rho) ** (1.0 / 3.0)          # fcc lattice constant
+    L = nx * a
+    box = Box((0.0, 0.0, 0.0), (L, L, L), (True, True, True))
+    # fcc basis
+    basis = np.asarray([[0.0, 0.0, 0.0], [0.5, 0.5, 0.0],
+                        [0.5, 0.0, 0.5], [0.0, 0.5, 0.5]])
+    cells = np.stack(np.meshgrid(np.arange(nx), np.arange(nx),
+                                 np.arange(nx), indexing="ij"),
+                     axis=-1).reshape(-1, 1, 3)
+    x = ((cells + basis[None, :, :]) * a).reshape(-1, 3)
+    n = len(x)
+    rng = np.random.default_rng(87287)
+    v = rng.normal(0.0, np.sqrt(1.44), (n, 3))
+    v -= v.mean(axis=0)
+    pair = LJCutParams.create(cutoff=2.5, epsilon=1.0, sigma=1.0)
+    cfg = SceneConfig(box=box, masses=(1.0,), pair=pair, dt=0.005,
+                      capacity=Capacity(n_max=n, cell_capacity=40),
+                      obmd=None, skin=0.3, dtype=dtype,
+                      force_path=force_path)
+    return Scene(cfg=cfg, state=init_state(cfg, x, v=v))
 
 
 def closed_dpd_scene(n: int = 3000, box_l: float = 10.0, seed: int = 0,

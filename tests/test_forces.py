@@ -187,7 +187,7 @@ def test_lj_matches_brute():
     params = LJCutParams.create(cutoff=2.5, epsilon=[[1.0, 0.8], [0.8, 0.6]],
                                 sigma=[[1.0, 0.9], [0.9, 0.8]], ntypes=2)
     pf = _sweep(params, box, x, np.zeros_like(x), types, tags,
-                np.zeros(n, np.float32), cap=32)
+                np.zeros(n, np.float32), cap=96)
     fb, eb = _brute_lj(params, box, x, types)
     np.testing.assert_allclose(np.asarray(pf.f), fb, rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(pf.pe), eb, rtol=2e-3, atol=2e-3)
@@ -246,7 +246,7 @@ def test_ljrf_matches_brute():
                                   sigma=[[1.0, 0.9], [0.9, 0.8]],
                                   eps_rf=[[80.0, 80.0], [80.0, 80.0]],
                                   ntypes=2)
-    pf = _sweep(params, box, x, np.zeros_like(x), types, tags, q, cap=32)
+    pf = _sweep(params, box, x, np.zeros_like(x), types, tags, q, cap=80)
     fb, eb = _brute_ljrf(params, box, x, types, q)
     np.testing.assert_allclose(np.asarray(pf.f), fb, rtol=3e-3, atol=3e-3)
     np.testing.assert_allclose(np.asarray(pf.pe), eb, rtol=3e-3, atol=3e-3)
