@@ -58,7 +58,7 @@ def _forces(cfg, geom, kern, state: State):
     fld = jnp.concatenate([xm, state.v.astype(jnp.float32)], axis=1)  # [N,6]
     fld = fld.reshape(nb, cap, lanes, 6).transpose(0, 3, 1, 2)
     tag = state.tag.reshape(nb, cap, lanes)
-    salt = rng.step_salt(cfg.pair.seed, state.step, PURPOSE_PAIR_NOISE)
+    salt = rng.step_salt(getattr(cfg.pair, "seed", 0), state.step, PURPOSE_PAIR_NOISE)
     # per-block highest occupied rank + 1 (i-side loop bound in the kernel)
     rank = jnp.arange(cap, dtype=jnp.int32)[None, :, None]
     occ = jnp.max(jnp.where(state.alive.reshape(nb, cap, lanes), rank, -1),

@@ -144,3 +144,18 @@ def test_cellpad_vs_nlist_consistency():
     assert set(mc) == set(mn)
     diffs = [np.abs(mc[t] - mn[t]).max() for t in mc]
     assert max(diffs) < 5e-3
+
+
+def test_lj_melt_kernel_matches_sweep():
+    """The reference's headline workload (LJ melt, bench/in.lj) on the
+    Pallas periodic-x path vs the sweep reference."""
+    from obmd_tpu import scenes
+    from obmd_tpu.integrate import compute_forces, make_grid_spec, setup
+    sc = scenes.lj_melt_scene(nx=6)
+    state = setup(sc.cfg, sc.state)
+    cfg_sweep = dataclasses.replace(sc.cfg, force_path="sweep")
+    spec = make_grid_spec(cfg_sweep)
+    pf, _ = jax.jit(lambda s: compute_forces(cfg_sweep, spec, s))(state)
+    f_ref = np.asarray(jnp.where(state.alive[:, None], pf.f, 0.0))
+    d = np.abs(f_ref - np.asarray(state.f))
+    assert d.max() < 1e-3
