@@ -33,6 +33,11 @@ def supports(cfg: SceneConfig) -> bool:
         return False
     if cfg.box.periodic[0] and cfg.obmd is not None:
         return False
+    try:
+        PadGeometry.create(cfg.box, cfg.pair.max_cut + cfg.skin,
+                           cfg.capacity.cell_capacity)
+    except (ValueError, NotImplementedError):
+        return False
     return True
 
 

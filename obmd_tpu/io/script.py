@@ -470,7 +470,15 @@ class Interpreter:
         self.cfg = SceneConfig(
             box=box, masses=tuple(masses), pair=pair, dt=self.dt,
             capacity=Capacity(n_max=n_max, cell_capacity=self.cell_capacity),
-            obmd=obmd, skin=0.0).finalize()
+            obmd=obmd, skin=max(self.skin, 0.0)).finalize()
+        # pick the fastest engine this scene supports
+        from ..engine_cellpad import supports
+        if supports(self.cfg):
+            import dataclasses as _dc
+            self.cfg = _dc.replace(self.cfg, force_path="cellpad")
+        else:
+            import dataclasses as _dc
+            self.cfg = _dc.replace(self.cfg, force_path="nlist")
 
         from ..state import init_state
         v = self.data.v
