@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from .cells import BIG
 from .forces.pallas_dpd import PadGeometry
 from .geometry import Box
 from .state import State

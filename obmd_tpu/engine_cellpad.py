@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from . import rng
 from .cellpad import (PadAux, layout_build, maybe_rebuild, place_insertions,
@@ -14,7 +13,6 @@ from .cellpad import (PadAux, layout_build, maybe_rebuild, place_insertions,
 from .cells import BIG
 from .config import DPDParams, LJCutParams, SceneConfig, eval_param
 from .forces.pallas_dpd import PadGeometry, make_dpd_kernel
-from .geometry import RegionBlock
 from .obmd.stage import (_sequential_accept, apply_boundary_force,
                          delete_outside, feedback_count, region_count)
 from .obmd.subset import (Subset, expand_region, near_check_subset,

@@ -13,9 +13,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .. import rng
 from ..cells import BIG, CellTable, GridSpec, gather_padded
-from ..config import DPDParams, LJCutRFParams, PairParams
+from ..config import LJCutRFParams, PairParams
 from ..geometry import Box
 from .pairs import make_pair_law
 

@@ -11,8 +11,6 @@ force-cutoff split of the standard Verlet-list scheme.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 
 from ..cells import BIG, gather_padded

@@ -24,15 +24,13 @@ import jax
 import jax.numpy as jnp
 
 from . import rng
-from .cells import CellTable, GridSpec, build_cells
+from .cells import GridSpec, build_cells
 from .config import SceneConfig
 from .forces.nlist import nlist_sweep
 from .forces.pairs import pair_sweep
-from .neighbors import (NeighborParams, full_rebuild, maybe_rebuild,
-                        patch_insertions, update_table)
+from .neighbors import NeighborParams, full_rebuild, maybe_rebuild
 from .obmd.stage import (apply_boundary_force, delete_outside, eval_param,
-                         feedback_count, insert_particles, pre_exchange,
-                         region_count)
+                         feedback_count, pre_exchange, region_count)
 from .state import State, per_atom_mass
 
 PURPOSE_PAIR_NOISE = 1

@@ -9,7 +9,7 @@ Example file: /root/reference/examples/OBMD_DPD/dpd_8map_obmd.data.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

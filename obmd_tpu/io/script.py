@@ -18,14 +18,13 @@ from __future__ import annotations
 import dataclasses
 import math
 import re
-import shlex
 from typing import Callable, Dict, List, Optional
 
 import numpy as np
 
 from ..config import (Capacity, DPDParams, LJCutParams, LJCutRFParams,
                       ObmdParams, SceneConfig, UsherParams)
-from ..geometry import Box, RegionBlock
+from ..geometry import RegionBlock
 from . import lammps_data
 
 
@@ -251,7 +250,6 @@ class Interpreter:
 
     def cmd_write_data(self, a):
         self._build()
-        from ..state import per_atom_mass
         import numpy as np
         st = self.state
         alive = np.asarray(st.alive)
@@ -284,11 +282,9 @@ class Interpreter:
             fn = self.variables.get(name)
             if fn is None:
                 raise ScriptError(f"undefined variable {name}")
-            # expose as a jnp-composable callable of sim time: we close over
-            # the interpreter's evaluator; time-dependence comes through the
+            # expose as a callable of sim time: we close over the
+            # interpreter's evaluator; time-dependence comes through the
             # traced `t` only if the expression uses `time`.
-            import jax.numpy as jnp
-
             expr_fn = fn
 
             def param(t):

@@ -26,7 +26,6 @@ full rebuild at runtime.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,14 +24,12 @@ Deviations from the reference (deliberate; see SURVEY.md §2.1 quirks):
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
 from .. import rng
 from ..cells import GridSpec, build_cells
-from ..config import ObmdParams, SceneConfig, eval_param
+from ..config import SceneConfig, eval_param
 from ..forces.pairs import trial_energy_force
 from ..state import State, per_atom_mass
 
@@ -192,7 +190,7 @@ def _sequential_accept(cfg: SceneConfig, cand_x, cand_type, cand_ok, budget):
     candidate order, that the extra energy from previously-accepted
     candidates keeps E below etarget (USHER) / distance above `near`.
     """
-    from ..config import DPDParams, LJCutParams, LJCutRFParams
+    from ..config import DPDParams
     obmd = cfg.obmd
     k = cand_x.shape[0]
     d = cfg.box.min_image(cand_x[:, None, :] - cand_x[None, :, :])

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cells import BIG
-from ..config import DPDParams, LJCutParams, LJCutRFParams, SceneConfig
+from ..config import DPDParams, LJCutRFParams, SceneConfig
 from ..geometry import RegionBlock
 from ..state import State
 

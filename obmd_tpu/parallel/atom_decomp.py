@@ -27,7 +27,6 @@ the device that owns free slot rank j — deterministic, no communication.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -40,9 +39,9 @@ from ..cells import GridSpec, build_cells
 from ..config import SceneConfig, eval_param
 from ..forces.gathered import forces_for_subset
 from ..integrate import PURPOSE_PAIR_NOISE, make_grid_spec
-from ..obmd.stage import (EPSILON, _sequential_accept, _usher_search,
-                          _near_check, feedback_count, smooth_weight)
-from ..state import State, masses_array
+from ..obmd.stage import (_sequential_accept, _usher_search, _near_check,
+                          feedback_count, smooth_weight)
+from ..state import State
 
 AXIS = "atoms"
 
