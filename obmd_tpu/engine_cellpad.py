@@ -148,7 +148,7 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
             usher_iters=state.obmd.usher_iters + jnp.sum(it_l) + jnp.sum(it_r)))
 
 
-def _obmd_stage(cfg, geom, state: State) -> State:
+def _obmd_stage(cfg, geom, state: State, with_rebuild: bool = True) -> State:
     obmd = cfg.obmd
     box = cfg.box
     dtype = state.x.dtype.type
@@ -165,7 +165,8 @@ def _obmd_stage(cfg, geom, state: State) -> State:
     nbuf = eval_param(obmd.nbuf, t)
 
     state, vnewl, vnewr = delete_outside(cfg, state)
-    state = maybe_rebuild(geom, box, cfg.skin, state)
+    if with_rebuild:
+        state = maybe_rebuild(geom, box, cfg.skin, state)
 
     nins_l = feedback_count(region_count(state, obmd.region1),
                             obmd.mol_len, alpha, nbuf, dt, tau)
@@ -251,3 +252,10 @@ def make_step_cellpad(cfg: SceneConfig):
         return state.replace(v=v, f=f, step=state.step + 1)
 
     return step
+
+
+# NOTE: a rebuild-segmented runner (nested lax.while_loop with the half-skin
+# check in the loop condition) was prototyped and measured ~30% SLOWER than
+# lax.scan over the cond-carrying step at 100k atoms: TPU while-loop carries
+# copy buffers per iteration where scan carries alias.  The scan + lax.cond
+# structure in make_step_cellpad is the fast path.
