@@ -32,13 +32,15 @@ def main():
     state = run(state)            # compile + settle
     _ = np.asarray(state.x)
 
+    start_step = int(state.step)
     t0 = time.perf_counter()
     state = run(state)
     _ = np.asarray(state.x)      # force full sync through the transport
     dt_wall = time.perf_counter() - t0
+    steps_done = int(state.step) - start_step
 
     natoms = int(state.natoms)
-    mps = nsteps / dt_wall * natoms / 1e6
+    mps = steps_done / dt_wall * natoms / 1e6
     print(json.dumps({
         "metric": "OBMD_DPD Mparticle-steps/s (1 chip, %dk atoms)" % (natoms // 1000),
         "value": round(mps, 3),

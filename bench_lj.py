@@ -25,13 +25,15 @@ def main():
     state = run(state)
     _ = np.asarray(state.x)
 
+    start_step = int(state.step)
     t0 = time.perf_counter()
     state = run(state)
     _ = np.asarray(state.x)
     wall = time.perf_counter() - t0
+    steps_done = int(state.step) - start_step
 
     natoms = int(state.natoms)
-    steps_s = nsteps / wall
+    steps_s = steps_done / wall
     mps = steps_s * natoms / 1e6
     print(json.dumps({
         "metric": "LJ melt steps/s (%dk atoms, 1 chip)" % (natoms // 1000),

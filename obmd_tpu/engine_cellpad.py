@@ -254,6 +254,95 @@ def make_step_cellpad(cfg: SceneConfig):
     return step
 
 
+def _plain_step(cfg, geom, kern, state: State) -> State:
+    """One step with NO rebuild logic (the runner guarantees the half-skin
+    budget via its freeze/rebuild protocol)."""
+    dt = float(cfg.dt)
+    dtype = state.x.dtype.type
+    m = per_atom_mass(cfg, state)[:, None]
+    a3 = state.alive[:, None]
+    dtf = dtype(0.5 * dt)
+
+    v = jnp.where(a3, state.v + dtf * state.f / m, state.v)
+    x = cfg.box.wrap(jnp.where(a3, state.x + dtype(dt) * v, state.x))
+    state = state.replace(x=x, v=v)
+    if cfg.obmd is not None:
+        state = _obmd_stage(cfg, geom, state, with_rebuild=False)
+    f = _forces(cfg, geom, kern, state)
+    m = per_atom_mass(cfg, state)[:, None]
+    v = jnp.where(state.alive[:, None], state.v + dtf * f / m, state.v)
+    return state.replace(v=v, f=f, step=state.step + 1)
+
+
+def make_run_cellpad(cfg: SceneConfig, nsteps: int, chunk: int = 8):
+    """EXPERIMENTAL host-chunked runner (not the default).
+
+    Motivation: a heavy rebuild branch inside `lax.cond` costs ~9 ms/step at
+    100k atoms *even when not taken* (broken scan-carry aliasing).  This
+    variant moves the rebuild to the host between frozen-flag chunks —
+    exact semantics (a step never executes on a tripped structure) — but
+    measured 2x SLOWER end-to-end on the axon transport (per-chunk host
+    syncs + full-state masked writes).  Kept as the reference implementation
+    for the round-2 fused-kernel runner; integrate.make_run uses the
+    scan+cond path.
+    """
+    cfg = cfg.finalize()
+    if not supports(cfg):
+        raise ValueError(
+            "cellpad path: single-type DPD/LJ; open x required with OBMD")
+    geom = make_geometry(cfg)
+    kern = _make_kernel(cfg, geom)
+    skin = float(cfg.skin)
+
+    if skin <= 0.0 or (cfg.obmd is not None and cfg.obmd.nfreq > 1):
+        step = make_step_cellpad(cfg)
+
+        @jax.jit
+        def run_scan(state: State) -> State:
+            def body(c, _):
+                return step(c), None
+            c, _ = jax.lax.scan(body, state, None, length=nsteps)
+            return c
+
+        return run_scan
+
+    # 0.95 safety factor: the freeze check runs pre-drift (one step earlier
+    # than LAMMPS's post-drift check), so shave one step's drift off the
+    # half-skin budget.
+    trip2 = (0.5 * skin * 0.95) ** 2
+
+    def tripped(s):
+        aux = s.nbrs
+        d = cfg.box.min_image(s.x - aux.xref)
+        disp2 = jnp.where(s.alive, jnp.sum(d * d, axis=-1), 0.0)
+        return (jnp.max(disp2) > trip2) | aux.force_rebuild
+
+    @jax.jit
+    def chunk_run(state: State):
+        def body(c, _):
+            s, frozen = c
+            frozen = frozen | tripped(s)
+            s2 = _plain_step(cfg, geom, kern, s)
+            s3 = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(frozen, old, new), s, s2)
+            return (s3, frozen), None
+        (s, frozen), _ = jax.lax.scan(body, (state, jnp.zeros((), bool)),
+                                      None, length=chunk)
+        return s, frozen
+
+    rebuild = jax.jit(lambda s: layout_build(geom, cfg.box, s))
+
+    def run(state: State) -> State:
+        start = int(state.step)
+        while int(state.step) - start < nsteps:
+            state, frozen = chunk_run(state)
+            if bool(frozen):
+                state = rebuild(state)
+        return state
+
+    return run
+
+
 # NOTE: a rebuild-segmented runner (nested lax.while_loop with the half-skin
 # check in the loop condition) was prototyped and measured ~30% SLOWER than
 # lax.scan over the cond-carrying step at 100k atoms: TPU while-loop carries

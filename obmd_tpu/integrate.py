@@ -288,10 +288,15 @@ def make_step(cfg: SceneConfig):
 
 
 def make_run(cfg: SceneConfig, nsteps: int):
-    """Fused multi-step runner: lax.scan over the step function — one device
-    dispatch for nsteps.  (A rebuild-segmented nested-while variant was
-    measured 30% slower on TPU than scan + lax.cond: while-loop carries do
-    not alias as well as scan carries.)"""
+    """Fused multi-step runner: lax.scan over the step function, one device
+    dispatch for nsteps.
+
+    Perf note (measured at ~100k atoms on v5e): a heavy rebuild branch under
+    lax.cond costs ~9 ms/step even when not taken (broken carry aliasing),
+    but both alternatives tried are worse — nested lax.while_loop segments
+    (+30%: while carries copy) and host-chunked scans with frozen-flag
+    masked writes (2x: tunnel syncs + extra full-state selects).  The
+    round-2 fix is a fused whole-step kernel with no large carry."""
     step = make_step(cfg)
 
     @jax.jit
