@@ -55,6 +55,9 @@ def _make_kernel(cfg: SceneConfig, geom: PadGeometry):
 
 
 def _forces(cfg, geom, kern, state: State):
+    """Pair + boundary forces.  jax.named_scope phases mirror the reference
+    Timer categories (verlet.cpp:257-350: PAIR / MODIFY) for profiler
+    traces."""
     nb, cap, lanes = geom.n_blocks, geom.cap, geom.lanes
     a3 = state.alive[:, None]
     xm = jnp.where(a3, state.x, BIG).astype(jnp.float32)
@@ -66,10 +69,12 @@ def _forces(cfg, geom, kern, state: State):
     rank = jnp.arange(cap, dtype=jnp.int32)[None, :, None]
     occ = jnp.max(jnp.where(state.alive.reshape(nb, cap, lanes), rank, -1),
                   axis=(1, 2)) + 1
-    fpad = kern(fld, tag, salt, occ)                 # [nb, 3, cap, lanes]
+    with jax.named_scope("pair"):
+        fpad = kern(fld, tag, salt, occ)             # [nb, 3, cap, lanes]
     f = fpad.transpose(0, 2, 3, 1).reshape(-1, 3).astype(state.x.dtype)
     if cfg.obmd is not None:
-        f = apply_boundary_force(cfg, state, f)
+        with jax.named_scope("obmd_post_force"):
+            f = apply_boundary_force(cfg, state, f)
     return jnp.where(a3, f, 0.0)
 
 
@@ -164,9 +169,11 @@ def _obmd_stage(cfg, geom, state: State, with_rebuild: bool = True) -> State:
     tau = eval_param(obmd.tau, t)
     nbuf = eval_param(obmd.nbuf, t)
 
-    state, vnewl, vnewr = delete_outside(cfg, state)
+    with jax.named_scope("obmd_delete"):
+        state, vnewl, vnewr = delete_outside(cfg, state)
     if with_rebuild:
-        state = maybe_rebuild(geom, box, cfg.skin, state)
+        with jax.named_scope("neigh_decide"):
+            state = maybe_rebuild(geom, box, cfg.skin, state)
 
     nins_l = feedback_count(region_count(state, obmd.region1),
                             obmd.mol_len, alpha, nbuf, dt, tau)
@@ -174,9 +181,10 @@ def _obmd_stage(cfg, geom, state: State, with_rebuild: bool = True) -> State:
                             obmd.mol_len, alpha, nbuf, dt, tau)
 
     pad = cfg.pair.max_cut + cfg.skin
-    sub_l = _subset_slice(cfg, geom, state, obmd.region5, pad)
-    sub_r = _subset_slice(cfg, geom, state, obmd.region6, pad)
-    state = _insert(cfg, geom, state, nins_l, nins_r, sub_l, sub_r)
+    with jax.named_scope("obmd_insert"):
+        sub_l = _subset_slice(cfg, geom, state, obmd.region5, pad)
+        sub_r = _subset_slice(cfg, geom, state, obmd.region6, pad)
+        state = _insert(cfg, geom, state, nins_l, nins_r, sub_l, sub_r)
 
     area = dtype(box.cross_area)
     sim_time = t + dt

@@ -134,3 +134,50 @@ def test_native_io_roundtrip(tmp_path):
     content = open(p).read()
     assert "ITEM: ATOMS id type x y z vx vy vz fx fy fz" in content
     assert content.count("\n") == 9 + 40
+
+
+def test_molecule_template_reader(tmp_path):
+    p = tmp_path / "water.mol"
+    p.write_text("""# SPC/E-ish template
+
+3 atoms
+2 bonds
+1 angles
+
+Coords
+
+1 0.00000 0.00000 0.00000
+2 0.81649 0.57736 0.00000
+3 -0.81649 0.57736 0.00000
+
+Types
+
+1 1
+2 2
+3 2
+
+Charges
+
+1 -0.8476
+2 0.4238
+3 0.4238
+
+Bonds
+
+1 1 1 2
+2 1 1 3
+
+Angles
+
+1 1 2 1 3
+""")
+    from obmd_tpu.io.molecule import read_molecule
+    m = read_molecule(str(p))
+    assert m.natoms == 3
+    assert m.types.tolist() == [0, 1, 1]
+    np.testing.assert_allclose(m.q.sum(), 0.0, atol=1e-6)
+    np.testing.assert_allclose(m.center, m.x.mean(axis=0))
+    assert m.bonds.shape == (2, 3)
+    assert m.angles.shape == (1, 4)
+    # dx sums to zero by construction
+    np.testing.assert_allclose(m.dx.sum(axis=0), [0, 0, 0], atol=1e-12)
