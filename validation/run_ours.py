@@ -20,7 +20,8 @@ from obmd_tpu.observe import make_profile_fn, make_thermo_fn  # noqa: E402
 from obmd_tpu.state import init_state  # noqa: E402
 
 
-def main(total_steps=60000, warm_steps=10000, sample_every=50, nbins=50):
+def main(total_steps=60000, warm_steps=10000, sample_every=50, nbins=50,
+         mode="usher", out="/root/repo/validation/profile_ours.npz"):
     df = lammps_data.read_data(
         "/root/reference/examples/OBMD_DPD/dpd_8map_obmd.data")
     xhi = float(df.box_hi[0])
@@ -37,8 +38,10 @@ def main(total_steps=60000, warm_steps=10000, sample_every=50, nbins=50):
         ntype=0, nfreq=1, seed=777, pxx=188.0, alpha=0.7, tau=0.005,
         nbuf=1327.0, region1=r1, region2=r2, region3=deg, region4=deg,
         region5=r1, region6=r2, buffer_size=buf, g_fac=0.25, maxattempt=1,
-        usher=UsherParams(etarget=31.03, ds0=1.0, dtheta0=0.02, uovlp=1e4,
-                          dsovlp=1.5, eps=1.0, nattempt=40),
+        usher=(UsherParams(etarget=31.03, ds0=1.0, dtheta0=0.02, uovlp=1e4,
+                           dsovlp=1.5, eps=1.0, nattempt=40)
+               if mode == "usher" else None),
+        near=(0.35 if mode == "near" else None),
         insert_kmax=16)
     cfg = SceneConfig(box=box, masses=(1.0,), pair=pair, dt=0.001464,
                       capacity=Capacity(n_max=int(df.natoms * 1.3),
@@ -81,9 +84,14 @@ def main(total_steps=60000, warm_steps=10000, sample_every=50, nbins=50):
     n = int(state.natoms)
     print(f"done: {total_steps} steps in {wall:.0f}s "
           f"({total_steps / wall * n / 1e6:.2f} Mps/s), natoms={n}")
-    np.savez("/root/repo/validation/profile_ours.npz", nsamp=nsamp, **acc)
+    np.savez(out, nsamp=nsamp, **acc)
     print("saved profile_ours.npz")
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    mode = _sys.argv[1] if len(_sys.argv) > 1 else "usher"
+    out = (_sys.argv[2] if len(_sys.argv) > 2
+           else "/root/repo/validation/profile_ours.npz")
+    steps = int(_sys.argv[3]) if len(_sys.argv) > 3 else 60000
+    main(total_steps=steps, mode=mode, out=out)
