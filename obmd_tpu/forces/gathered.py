@@ -47,14 +47,27 @@ def forces_for_subset(params: PairParams, box: Box, spec: GridSpec,
     """Forces on `my` atoms [K] (their global slot ids given in `my_slot`)
     against the full system.  Self-pairs excluded by slot identity."""
     dtype = full_x.dtype
+    n_full = full_x.shape[0]
     pair_fn = make_pair_law(params, dt, dtype)
     charged = isinstance(params, LJCutRFParams)
 
     jdx = neighbor_slots(spec, ctab, my_x)           # [K, M]
-    xj = gather_padded(full_x, jdx, BIG)
-    vj = gather_padded(full_v, jdx, 0.0)
-    tj = gather_padded(full_type, jdx, 0)
-    gj = gather_padded(full_tag, jdx, -1)
+    if jnp.dtype(dtype) == jnp.float32:
+        # packed 32B-row gather (see forces/nlist.py for rationale)
+        meta = full_type.astype(jnp.int32).view(dtype)
+        packed = jnp.concatenate(
+            [full_x, full_v, full_tag.view(dtype)[:, None], meta[:, None]],
+            axis=1)
+        g = gather_padded(packed, jdx, 0.0)
+        xj = jnp.where((jdx < n_full)[..., None], g[..., 0:3], BIG)
+        vj = g[..., 3:6]
+        gj = g[..., 6].view(jnp.int32)
+        tj = g[..., 7].view(jnp.int32)
+    else:
+        xj = gather_padded(full_x, jdx, BIG)
+        vj = gather_padded(full_v, jdx, 0.0)
+        tj = gather_padded(full_type, jdx, 0)
+        gj = gather_padded(full_tag, jdx, -1)
 
     d = box.min_image(my_x[:, None, :] - xj)
     dv = my_v[:, None, :] - vj

@@ -35,11 +35,28 @@ def nlist_sweep(params: PairParams, box: Box, nlist, x, v, types, tag, q,
     charged = isinstance(params, LJCutRFParams)
 
     idx = nlist                                         # [N, K]
-    xj = gather_padded(x, idx, BIG)
-    vj = gather_padded(v, idx, 0.0)
-    tj = gather_padded(types, idx, 0)
-    gj = gather_padded(tag, idx, -1)
-    aj = gather_padded(alive, idx, False)
+    if jnp.dtype(dtype) == jnp.float32:
+        # One packed-row gather instead of five scalar-gathers: TPU gathers
+        # pay per index, so fetching a contiguous 32-byte row per neighbor
+        # beats gathering each field separately.  Row layout:
+        # [x, y, z, vx, vy, vz, tag(bitcast), meta(type|alive<<30, bitcast)].
+        meta = (types.astype(jnp.int32)
+                | (alive.astype(jnp.int32) << 30)).view(dtype)
+        packed = jnp.concatenate(
+            [x, v, tag.view(dtype)[:, None], meta[:, None]], axis=1)
+        g = gather_padded(packed, idx, 0.0)             # [N, K, 8]
+        xj = jnp.where((idx < n)[..., None], g[..., 0:3], BIG)
+        vj = g[..., 3:6]
+        gj = g[..., 6].view(jnp.int32)
+        metaj = g[..., 7].view(jnp.int32)
+        tj = metaj & 0xFFFF
+        aj = (metaj >> 30) > 0
+    else:
+        xj = gather_padded(x, idx, BIG)
+        vj = gather_padded(v, idx, 0.0)
+        tj = gather_padded(types, idx, 0)
+        gj = gather_padded(tag, idx, -1)
+        aj = gather_padded(alive, idx, False)
 
     d = box.min_image(x[:, None, :] - xj)               # [N, K, 3]
     dv = v[:, None, :] - vj

@@ -84,12 +84,15 @@ _NLIST_CHUNK = 16384
 
 
 def _nlist_chunk(p: NeighborParams, box: Box, table, x, alive, me, xi, ai):
-    """Rows for one chunk of atoms (positions xi [C,3], slot ids me [C])."""
+    """Rows for one chunk of atoms (positions xi [C,3], slot ids me [C]).
+    Positions are gathered as padded 4-float rows (16B-contiguous) — TPU
+    gathers pay per index, so row gathers beat per-component ones."""
     n = x.shape[0]
     k = p.k_max
     rlist2 = (p.cutoff + p.skin) ** 2
     jdx = candidate_slots(p, table, xi)                # [C, M]
-    xj = gather_padded(x, jdx, BIG)
+    x4 = jnp.concatenate([x, jnp.zeros((n, 1), x.dtype)], axis=1)
+    xj = gather_padded(x4, jdx, BIG)[..., :3]
     d = box.min_image(xi[:, None, :] - xj)
     rsq = jnp.sum(d * d, axis=-1)
     ok = (rsq < rlist2) & (jdx != me[:, None]) & \
