@@ -181,3 +181,33 @@ Angles
     assert m.angles.shape == (1, 4)
     # dx sums to zero by construction
     np.testing.assert_allclose(m.dx.sum(axis=0), [0, 0, 0], atol=1e-12)
+
+
+def test_obmd_checkpoint_resume_seamless(tmp_path):
+    """Checkpoint mid-OBMD-run and resume: per-tag physics must continue
+    identically (the reference's fix obmd loses sim_time/RNG/counters on
+    restart, SURVEY.md §5 — here the full state round-trips)."""
+    import jax
+    from tests.test_cellpad import _small_cfg, _state
+    from obmd_tpu.integrate import make_step, rebuild_neighbors, setup
+
+    cfg = _small_cfg(n=540, obmd=True)
+    st = setup(cfg, _state(cfg, n=500, seed=8))
+    step = jax.jit(make_step(cfg))
+    for _ in range(3):
+        st = step(st)
+
+    p = str(tmp_path / "obmd.npz")
+    save_checkpoint(p, cfg, st)
+    _, st2 = load_checkpoint(p, cfg=cfg)
+    st2 = rebuild_neighbors(cfg, st2)
+
+    a = step(st)
+    b = step(st2)
+    assert float(a.sim_time) == float(b.sim_time)
+    assert int(a.obmd.ninserted) == int(b.obmd.ninserted)
+    aa, ab = np.asarray(a.alive), np.asarray(b.alive)
+    ma = {int(t): np.asarray(a.x)[i] for i, t in enumerate(np.asarray(a.tag)) if aa[i]}
+    mb = {int(t): np.asarray(b.x)[i] for i, t in enumerate(np.asarray(b.tag)) if ab[i]}
+    assert set(ma) == set(mb)
+    assert max(np.abs(ma[t] - mb[t]).max() for t in ma) < 1e-5
