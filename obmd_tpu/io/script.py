@@ -497,15 +497,19 @@ class Interpreter:
             self._thermo_fn = make_thermo_fn(self.cfg)
         step = jax.jit(make_step(self.cfg), donate_argnums=0)
         self._emit_thermo()
+        emitted_last = False
         for i in range(n):
             self.state = step(self.state)
             self.total_steps += 1
-            if self.thermo_every and self.total_steps % self.thermo_every == 0:
+            emitted_last = (self.thermo_every
+                            and self.total_steps % self.thermo_every == 0)
+            if emitted_last:
                 self._emit_thermo()
             for (_id, _style, every, fname, dargs) in self.dumps:
                 if every and self.total_steps % every == 0:
                     self._write_dump(fname)
-        self._emit_thermo()
+        if not emitted_last:
+            self._emit_thermo()
 
     def _emit_thermo(self):
         th = self._thermo_fn(self.state)
