@@ -76,6 +76,7 @@ def layout_build(geom: PadGeometry, box: Box, state: State) -> State:
         alive=jnp.zeros((n_slots,), bool).at[dest].set(
             state.alive[order], mode="drop"),
         q=scat(state.q, 0), mol=scat(state.mol, 0),
+        bond1=scat(state.bond1, -1), bond2=scat(state.bond2, -1),
         step=state.step, sim_time=state.sim_time, maxtag=state.maxtag,
         key=state.key, obmd=state.obmd,
         cell_overflow=state.cell_overflow + overflow,

@@ -149,6 +149,29 @@ PairParams = Union[DPDParams, LJCutParams, LJCutRFParams]
 
 
 @dataclasses.dataclass(frozen=True)
+class BondFENEParams:
+    """`bond_style fene` (bench/in.chain: bond_coeff 1 30.0 1.5 1.0 1.0):
+    U = -0.5 K R0^2 ln(1-(r/R0)^2) + WCA(eps, sigma).  `special_bonds fene`
+    semantics are implied: 1-2 pairs are excluded from the pair style."""
+
+    k: float = 30.0
+    r0: float = 1.5
+    epsilon: float = 1.0
+    sigma: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class LangevinParams:
+    """`fix langevin T T damp seed` (fix_langevin.cpp semantics):
+    f += -(m/damp) v + sqrt(24 kB T m / (damp dt)) * uniform(-0.5, 0.5),
+    with counter-based per-(atom, step) deviates here."""
+
+    temp: float
+    damp: float
+    seed: int = 904297
+
+
+@dataclasses.dataclass(frozen=True)
 class UsherParams:
     """`usher etarget ds0 dtheta0 uovlp dsolvp eps nattempt`
     (fix_obmd_merged.cpp:2025-2038; algorithm at :1518-1616)."""
@@ -241,6 +264,8 @@ class SceneConfig:
     dt: float
     capacity: Capacity
     obmd: Optional[ObmdParams] = None
+    bond: Optional[BondFENEParams] = None    # FENE bonds (topology in State)
+    langevin: Optional[LangevinParams] = None
     skin: float = 0.3               # Verlet-list skin; cells sized cut+skin.
                                     # skin=0 -> rebuild every step.
     force_path: str = "nlist"       # "nlist" (fast: persistent Verlet list)

@@ -46,12 +46,14 @@ def make_geometry(cfg: SceneConfig) -> PadGeometry:
 
 def _make_kernel(cfg: SceneConfig, geom: PadGeometry):
     p = cfg.pair
+    exb = cfg.bond is not None
     if isinstance(p, DPDParams):
         return make_dpd_kernel(geom, a0=p.a0[0][0], gamma=p.gamma[0][0],
                                sigma=p.sigma[0][0], cut=p.cut[0][0],
-                               dt=cfg.dt, law="dpd")
+                               dt=cfg.dt, law="dpd", exclude_bonded=exb)
     return make_dpd_kernel(geom, cut=p.cut[0][0], dt=cfg.dt, law="lj",
-                           lj_eps=p.epsilon[0][0], lj_sig=p.sigma[0][0])
+                           lj_eps=p.epsilon[0][0], lj_sig=p.sigma[0][0],
+                           exclude_bonded=exb)
 
 
 def _forces(cfg, geom, kern, state: State):
@@ -69,12 +71,25 @@ def _forces(cfg, geom, kern, state: State):
     rank = jnp.arange(cap, dtype=jnp.int32)[None, :, None]
     occ = jnp.max(jnp.where(state.alive.reshape(nb, cap, lanes), rank, -1),
                   axis=(1, 2)) + 1
+    pbond = None
+    if cfg.bond is not None:
+        pbond = jnp.stack([state.bond1.reshape(nb, cap, lanes),
+                           state.bond2.reshape(nb, cap, lanes)], axis=1)
     with jax.named_scope("pair"):
-        fpad = kern(fld, tag, salt, occ)             # [nb, 3, cap, lanes]
+        fpad = kern(fld, tag, salt, occ, pbond)      # [nb, 3, cap, lanes]
     f = fpad.transpose(0, 2, 3, 1).reshape(-1, 3).astype(state.x.dtype)
     if cfg.obmd is not None:
         with jax.named_scope("obmd_post_force"):
             f = apply_boundary_force(cfg, state, f)
+    if cfg.bond is not None:
+        from .forces.bonded import fene_forces
+        with jax.named_scope("bond"):
+            fb, _ = fene_forces(cfg.bond, cfg.box, state.x, state.bond1,
+                                state.bond2, state.tag, state.alive)
+            f = f + fb
+    if cfg.langevin is not None:
+        from .forces.bonded import langevin_force
+        f = f + langevin_force(cfg.langevin, cfg, state)
     return jnp.where(a3, f, 0.0)
 
 
@@ -136,6 +151,8 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
                                   mode="drop")
     tag = state.tag.at[slot].set(new_tag, mode="drop")
     qn = state.q.at[slot].set(jnp.zeros((m,), dtype), mode="drop")
+    nb1 = state.bond1.at[slot].set(jnp.full((m,), -1, jnp.int32), mode="drop")
+    nb2 = state.bond2.at[slot].set(jnp.full((m,), -1, jnp.int32), mode="drop")
     aliv = state.alive.at[slot].set(True, mode="drop")
 
     aux: PadAux = state.nbrs
@@ -145,6 +162,7 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     want = jnp.clip(nins_l, 0) + jnp.clip(nins_r, 0)
     return state.replace(
         x=x, v=v, f=f, type=typ, tag=tag, q=qn, alive=aliv, nbrs=aux,
+        bond1=nb1, bond2=nb2,
         maxtag=state.maxtag + n_landed, key=knext,
         obmd=state.obmd.replace(
             ninserted=state.obmd.ninserted + n_landed,

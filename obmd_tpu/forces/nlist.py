@@ -21,6 +21,7 @@ from .pairs import PairFields, make_pair_law
 
 def nlist_sweep(params: PairParams, box: Box, nlist, x, v, types, tag, q,
                 alive, salt, *, dt: float,
+                bond1=None, bond2=None,
                 compute_energy: bool = False,
                 compute_virial: bool = False,
                 compute_virial_atom: bool = False) -> PairFields:
@@ -62,6 +63,9 @@ def nlist_sweep(params: PairParams, box: Box, nlist, x, v, types, tag, q,
     dv = v[:, None, :] - vj
     rsq = jnp.sum(d * d, axis=-1)
     valid = aj & alive[:, None] & (idx < n)
+    if bond1 is not None:
+        # special_bonds fene: 1-2 pairs excluded from the pair style
+        valid = valid & (gj != bond1[:, None]) & (gj != bond2[:, None])
 
     kwargs = {}
     if charged:

@@ -123,7 +123,8 @@ def _avalanche_u32(h):
 def make_dpd_kernel(geom: PadGeometry, *, a0: float = 0.0,
                     gamma: float = 0.0, sigma: float = 0.0, cut: float = 1.0,
                     dt: float = 0.01, law: str = "dpd",
-                    lj_eps: float = 1.0, lj_sig: float = 1.0):
+                    lj_eps: float = 1.0, lj_sig: float = 1.0,
+                    exclude_bonded: bool = False):
     """Build fn(fld, tag, salt, occ) -> f for this geometry + pair law.
 
       fld: f32 [n_blocks, 6, cap, lanes]  (x, y, z, vx, vy, vz; dead = BIG)
@@ -152,7 +153,12 @@ def make_dpd_kernel(geom: PadGeometry, *, a0: float = 0.0,
     lj2 = 24.0 * float(lj_eps) * s6
 
     def kernel(salt_ref, occ_ref, prev_f, mid_f, next_f, prev_t, mid_t,
-               next_t, out_ref, acc):
+               next_t, *rest):
+        if exclude_bonded:
+            pb_ref, out_ref, acc = rest
+        else:
+            out_ref, acc = rest
+            pb_ref = None
         i = pl.program_id(0)
         salt = salt_ref[0]
         # highest occupied rank + 1 of this block: the i-side loop stops
@@ -205,6 +211,11 @@ def make_dpd_kernel(geom: PadGeometry, *, a0: float = 0.0,
                 ok = (rsq < cutsq) & (r > eps) & x_valid
                 if same_cell:
                     ok = ok & (rank_idx != si)
+                if exclude_bonded:
+                    # special_bonds fene: 1-2 pairs skip the pair style
+                    p1 = pb_ref[0, 0, si][None, :]
+                    p2 = pb_ref[0, 1, si][None, :]
+                    ok = ok & (tj != p1) & (tj != p2)
 
                 if law == "lj":
                     r2inv = jnp.where(ok, 1.0 / jnp.maximum(rsq, eps * eps),
@@ -309,17 +320,22 @@ def make_dpd_kernel(geom: PadGeometry, *, a0: float = 0.0,
     def inxt(i, *_):
         return (_next(i), 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, 6, cap, lanes), ip),
+        pl.BlockSpec((1, 6, cap, lanes), im),
+        pl.BlockSpec((1, 6, cap, lanes), inx),
+        pl.BlockSpec((1, cap, lanes), ipt),
+        pl.BlockSpec((1, cap, lanes), imt),
+        pl.BlockSpec((1, cap, lanes), inxt),
+    ]
+    if exclude_bonded:
+        def imb(i, *_):
+            return (i, 0, 0, 0)
+        in_specs.append(pl.BlockSpec((1, 2, cap, lanes), imb))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, 6, cap, lanes), ip),
-            pl.BlockSpec((1, 6, cap, lanes), im),
-            pl.BlockSpec((1, 6, cap, lanes), inx),
-            pl.BlockSpec((1, cap, lanes), ipt),
-            pl.BlockSpec((1, cap, lanes), imt),
-            pl.BlockSpec((1, cap, lanes), inxt),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 3, cap, lanes), im),
         scratch_shapes=[pltpu.VMEM((3, cap, lanes), jnp.float32)],
     )
@@ -327,13 +343,16 @@ def make_dpd_kernel(geom: PadGeometry, *, a0: float = 0.0,
     # Non-TPU backends (CPU tests) run the kernel in interpreter mode.
     interpret = jax.default_backend() not in ("tpu", "axon")
 
-    def dpd_forces(fld, tag, salt, occ):
+    def dpd_forces(fld, tag, salt, occ, pbond=None):
+        args = [jnp.asarray(salt, _U32).reshape(1), occ.astype(jnp.int32),
+                fld, fld, fld, tag, tag, tag]
+        if exclude_bonded:
+            args.append(pbond)
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nb, 3, cap, lanes), jnp.float32),
             interpret=interpret,
-        )(jnp.asarray(salt, _U32).reshape(1), occ.astype(jnp.int32),
-          fld, fld, fld, tag, tag, tag)
+        )(*args)
 
     return dpd_forces

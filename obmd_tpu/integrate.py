@@ -53,6 +53,22 @@ def _salt(cfg: SceneConfig, step):
     return rng.step_salt(seed, step, PURPOSE_PAIR_NOISE)
 
 
+def _extra_forces(cfg: SceneConfig, state: State, f):
+    """OBMD boundary forces + FENE bonds + Langevin fix (post-pair force
+    hooks, mirroring the reference's Modify::post_force ordering)."""
+    if cfg.obmd is not None:
+        f = apply_boundary_force(cfg, state, f)
+    if cfg.bond is not None:
+        from .forces.bonded import fene_forces
+        fb, _ = fene_forces(cfg.bond, cfg.box, state.x, state.bond1,
+                            state.bond2, state.tag, state.alive)
+        f = f + fb
+    if cfg.langevin is not None:
+        from .forces.bonded import langevin_force
+        f = f + langevin_force(cfg.langevin, cfg, state)
+    return f
+
+
 def compute_forces(cfg: SceneConfig, spec: GridSpec, state: State,
                    *, compute_energy: bool = False,
                    compute_virial: bool = False,
@@ -67,9 +83,7 @@ def compute_forces(cfg: SceneConfig, spec: GridSpec, state: State,
                     compute_energy=compute_energy,
                     compute_virial=compute_virial,
                     compute_virial_atom=compute_virial_atom)
-    f = pf.f
-    if cfg.obmd is not None:
-        f = apply_boundary_force(cfg, state, f)
+    f = _extra_forces(cfg, state, pf.f)
     return pf._replace(f=f), ctab
 
 
@@ -94,10 +108,11 @@ def setup(cfg: SceneConfig, state: State) -> State:
         if cfg.force_path == "nlist":
             pf = nlist_sweep(cfg.pair, cfg.box, nbrs.nlist, state.x, state.v,
                              state.type, state.tag, state.q, state.alive,
-                             _salt(cfg, state.step), dt=cfg.dt)
+                             _salt(cfg, state.step), dt=cfg.dt,
+                             bond1=state.bond1 if cfg.bond else None,
+                             bond2=state.bond2 if cfg.bond else None)
             f = pf.f
-            if cfg.obmd is not None:
-                f = apply_boundary_force(cfg, state, f)
+            f = _extra_forces(cfg, state, f)
         else:
             pf, _ = compute_forces(cfg, spec, state)
             f = pf.f
@@ -266,10 +281,11 @@ def make_step(cfg: SceneConfig):
                 state = state.replace(nbrs=nbrs)
             pf = nlist_sweep(cfg.pair, cfg.box, state.nbrs.nlist, state.x,
                              state.v, state.type, state.tag, state.q,
-                             state.alive, _salt(cfg, state.step), dt=dt)
+                             state.alive, _salt(cfg, state.step), dt=dt,
+                             bond1=state.bond1 if cfg.bond else None,
+                             bond2=state.bond2 if cfg.bond else None)
             f = pf.f
-            if cfg.obmd is not None:
-                f = apply_boundary_force(cfg, state, f)
+            f = _extra_forces(cfg, state, f)
         else:
             pf, ctab = compute_forces(cfg, spec, state)
             f = pf.f

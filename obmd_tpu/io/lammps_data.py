@@ -32,6 +32,7 @@ class DataFile:
     v: Optional[np.ndarray] = None
     q: Optional[np.ndarray] = None
     mol: Optional[np.ndarray] = None
+    bonds: Optional[np.ndarray] = None  # [nb, 2] atom-tag pairs
 
     def box(self, periodic=(False, True, True)) -> Box:
         return Box(tuple(float(v) for v in self.box_lo),
@@ -48,6 +49,8 @@ def _tokens(line: str):
 
 def read_data(path: str, atom_style: str = "atomic",
               prefer_native: bool = True) -> DataFile:
+    if atom_style in ("bond", "molecular", "adress", "full"):
+        prefer_native = False   # native parser does not read Bonds yet
     if prefer_native:
         try:
             from . import native
@@ -100,6 +103,7 @@ def _read_data_py(path: str, atom_style: str = "atomic") -> DataFile:
     v = None
     q = None
     mol = None
+    bonds = None
     types = np.zeros(natoms, np.int32)
     tags = np.zeros(natoms, np.int32)
 
@@ -128,7 +132,7 @@ def _read_data_py(path: str, atom_style: str = "atomic") -> DataFile:
                     types[k] = int(t[1]) - 1
                     q[k] = float(t[2])
                     x[k] = [float(t[3]), float(t[4]), float(t[5])]
-                elif atom_style in ("molecular", "adress"):
+                elif atom_style in ("bond", "molecular", "adress"):
                     if mol is None:
                         mol = np.zeros(natoms, np.int32)
                     mol[k] = int(t[1])
@@ -146,6 +150,14 @@ def _read_data_py(path: str, atom_style: str = "atomic") -> DataFile:
                 else:
                     raise ValueError(f"unsupported atom_style {atom_style}")
                 i += 1
+        elif header == "Bonds":
+            i = _skip_blank(lines, i)
+            blist = []
+            while i < n and _tokens(lines[i]):
+                t = _tokens(lines[i])
+                blist.append((int(t[2]), int(t[3])))
+                i += 1
+            bonds = np.asarray(blist, dtype=np.int64)
         elif header == "Velocities":
             i = _skip_blank(lines, i)
             v = np.zeros((natoms, 3))
@@ -162,7 +174,7 @@ def _read_data_py(path: str, atom_style: str = "atomic") -> DataFile:
 
     return DataFile(natoms=natoms, ntypes=ntypes, box_lo=lo, box_hi=hi,
                     masses=masses, x=x, types=types, tags=tags, v=v, q=q,
-                    mol=mol)
+                    mol=mol, bonds=bonds)
 
 
 def _skip_blank(lines, i):

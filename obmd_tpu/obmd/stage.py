@@ -295,6 +295,8 @@ def insert_particles(cfg: SceneConfig, spec: GridSpec, state: State,
     tag = scat(state.tag, new_tag)
     qn = scat(state.q, jnp.zeros((2 * K,), dtype))
     moln = scat(state.mol, jnp.zeros((2 * K,), jnp.int32))
+    nb1 = scat(state.bond1, jnp.full((2 * K,), -1, jnp.int32))
+    nb2 = scat(state.bond2, jnp.full((2 * K,), -1, jnp.int32))
     alive = state.alive.at[slot].set(True, mode="drop")
 
     n_landed = jnp.sum(landed.astype(jnp.int32))
@@ -303,6 +305,7 @@ def insert_particles(cfg: SceneConfig, spec: GridSpec, state: State,
 
     state = state.replace(
         x=x, v=v, f=f, type=typ, tag=tag, q=qn, mol=moln, alive=alive,
+        bond1=nb1, bond2=nb2,
         maxtag=state.maxtag + n_landed,
         key=knext,
         obmd=state.obmd.replace(
@@ -368,6 +371,8 @@ def insert_particles_subset(cfg: SceneConfig, state: State,
     tag = state.tag.at[slot].set(new_tag, mode="drop")
     qn = state.q.at[slot].set(jnp.zeros((2 * K,), dtype), mode="drop")
     moln = state.mol.at[slot].set(jnp.zeros((2 * K,), jnp.int32), mode="drop")
+    nb1 = state.bond1.at[slot].set(jnp.full((2 * K,), -1, jnp.int32), mode="drop")
+    nb2 = state.bond2.at[slot].set(jnp.full((2 * K,), -1, jnp.int32), mode="drop")
     alive = state.alive.at[slot].set(True, mode="drop")
 
     n_landed = jnp.sum(landed.astype(jnp.int32))
@@ -376,6 +381,7 @@ def insert_particles_subset(cfg: SceneConfig, state: State,
 
     state = state.replace(
         x=x, v=v, f=f, type=typ, tag=tag, q=qn, mol=moln, alive=alive,
+        bond1=nb1, bond2=nb2,
         maxtag=state.maxtag + n_landed, key=knext,
         obmd=state.obmd.replace(
             ninserted=state.obmd.ninserted + n_landed,

@@ -255,11 +255,16 @@ def _pre_exchange_spmd(cfg: SceneConfig, spec: GridSpec, state: State,
                                   mode="drop")
     tag = state.tag.at[slot].set(new_tag, mode="drop")
     qn = state.q.at[slot].set(jnp.zeros((2 * K,), dtype_arr), mode="drop")
+    nb1 = state.bond1.at[slot].set(jnp.full((2 * K,), -1, jnp.int32),
+                                   mode="drop")
+    nb2 = state.bond2.at[slot].set(jnp.full((2 * K,), -1, jnp.int32),
+                                   mode="drop")
     alive = state.alive.at[slot].set(True, mode="drop")
 
     want = jnp.clip(nins_l, 0) + jnp.clip(nins_r, 0)
     state = state.replace(
         x=x, v=v, f=f, type=typ, tag=tag, q=qn, alive=alive,
+        bond1=nb1, bond2=nb2,
         maxtag=state.maxtag + n_acc_total, key=knext,
         obmd=state.obmd.replace(
             ninserted=state.obmd.ninserted + n_acc_total,

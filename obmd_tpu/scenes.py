@@ -121,6 +121,30 @@ def lj_melt_scene(nx: int = 20, dtype: str = "float32",
     return Scene(cfg=cfg, state=init_state(cfg, x, v=v))
 
 
+def chain_scene(data_path: str = "/root/reference/code/bench/data.chain",
+                force_path: str = "cellpad", skin: float = 0.98,
+                cell_capacity: int = 34) -> Scene:
+    """The reference's chain headline benchmark (bench/in.chain): FENE
+    bead-spring melt — 32k beads, WCA pair (lj/cut 1.12 shifted, 1-2 pairs
+    excluded per `special_bonds fene`), bond fene 30.0 1.5 1.0 1.0,
+    Langevin thermostat T=1 damp=10, dt=0.012."""
+    from .config import BondFENEParams, LangevinParams
+    from .io.lammps_data import read_data
+    df = read_data(data_path, atom_style="bond")
+    box = df.box(periodic=(True, True, True))
+    pair = LJCutParams.create(cutoff=1.12, epsilon=1.0, sigma=1.0,
+                              shift=True)
+    cfg = SceneConfig(
+        box=box, masses=(1.0,), pair=pair, dt=0.012,
+        capacity=Capacity(n_max=df.natoms, cell_capacity=cell_capacity),
+        bond=BondFENEParams(k=30.0, r0=1.5, epsilon=1.0, sigma=1.0),
+        langevin=LangevinParams(temp=1.0, damp=10.0, seed=904297),
+        skin=skin, force_path=force_path)
+    state = init_state(cfg, df.x, v=df.v, types=df.types, tags=df.tags,
+                       mol=df.mol, bonds=df.bonds)
+    return Scene(cfg=cfg, state=state)
+
+
 def closed_dpd_scene(n: int = 3000, box_l: float = 10.0, seed: int = 0,
                      temp: float = 1.0, n_max: Optional[int] = None,
                      dtype: str = "float32") -> Scene:

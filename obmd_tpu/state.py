@@ -61,6 +61,8 @@ class State:
     alive: jnp.ndarray    # [N] bool
     q: jnp.ndarray        # [N] per-atom charge (atom_vec_adress.cpp:23 q_flag)
     mol: jnp.ndarray      # [N] i32 molecule id (0 = not in a molecule)
+    bond1: jnp.ndarray    # [N] i32 tag of 1st bond partner (-1 = none)
+    bond2: jnp.ndarray    # [N] i32 tag of 2nd bond partner (-1 = none)
     step: jnp.ndarray     # i32 scalar
     sim_time: jnp.ndarray # scalar, advanced in the OBMD stage like the
                           # reference's simulation_time (fix_obmd_merged.cpp:612)
@@ -84,8 +86,12 @@ class State:
 
 
 def init_state(cfg: SceneConfig, x, v=None, types=None, seed: int = 0,
-               tags=None, q=None, mol=None) -> State:
-    """Build a State from host arrays of n <= n_max real atoms."""
+               tags=None, q=None, mol=None, bonds=None) -> State:
+    """Build a State from host arrays of n <= n_max real atoms.
+
+    bonds: optional [nb, 2] 1-based atom-tag pairs (chain topology: each
+    atom appears in at most two bonds; stored as per-atom partner tags so
+    the topology survives slot permutations)."""
     import numpy as np
 
     dtype = jnp.dtype(cfg.dtype)
@@ -117,11 +123,27 @@ def init_state(cfg: SceneConfig, x, v=None, types=None, seed: int = 0,
     molp = np.zeros((n_max,), dtype=np.int32)
     if mol is not None:
         molp[:n] = np.asarray(mol, dtype=np.int32)
+    b1 = np.full((n_max,), -1, dtype=np.int32)
+    b2 = np.full((n_max,), -1, dtype=np.int32)
+    if bonds is not None:
+        tag2row = {int(t): i for i, t in enumerate(tagp[:n])}
+        for a, b in np.asarray(bonds, dtype=np.int64):
+            for me, other in ((int(a), int(b)), (int(b), int(a))):
+                row = tag2row[me]
+                if b1[row] < 0:
+                    b1[row] = other
+                elif b2[row] < 0:
+                    b2[row] = other
+                else:
+                    raise ValueError(
+                        f"atom tag {me} has more than two bonds; chain "
+                        "topology only in this round")
 
     return State(
         x=jnp.asarray(xp), v=jnp.asarray(vp), f=jnp.zeros((n_max, 3), dtype),
         type=jnp.asarray(tp), tag=jnp.asarray(tagp), alive=jnp.asarray(alive),
         q=jnp.asarray(qp), mol=jnp.asarray(molp),
+        bond1=jnp.asarray(b1), bond2=jnp.asarray(b2),
         step=jnp.zeros((), jnp.int32), sim_time=jnp.zeros((), dtype),
         maxtag=jnp.asarray(int(tagp.max(initial=0)), jnp.int32),
         key=jax.random.PRNGKey(seed),
