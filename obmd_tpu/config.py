@@ -172,6 +172,40 @@ class LangevinParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class MolTemplate:
+    """Static molecule template for molecule-mode insertion (the reference's
+    `mol template mol_len` keyword, fix_obmd_merged.cpp:2039-2054, with the
+    template file parsed by io.molecule.read_molecule).
+
+    dx: per-atom displacements from the insertion anchor (the geometric
+    center, Molecule::compute_center / ref :216).  bonds: 0-based intra-
+    molecule atom index pairs (each atom in <= 2 bonds).
+    """
+
+    dx: Tuple[Tuple[float, float, float], ...]
+    types: Tuple[int, ...] = ()
+    q: Tuple[float, ...] = ()
+    bonds: Tuple[Tuple[int, int], ...] = ()
+
+    @property
+    def natoms(self) -> int:
+        return len(self.dx)
+
+    @staticmethod
+    def from_file(path: str) -> "MolTemplate":
+        from .io.molecule import read_molecule
+        m = read_molecule(path)
+        return MolTemplate(
+            dx=tuple(tuple(float(v) for v in row) for row in m.dx),
+            types=tuple(int(t) for t in m.types),
+            q=tuple(float(v) for v in (m.q if m.q is not None
+                                       else np.zeros(m.natoms))),
+            bonds=tuple((int(a) - 1, int(b) - 1)
+                        for _t, a, b in (m.bonds if m.bonds is not None
+                                         else [])))
+
+
+@dataclasses.dataclass(frozen=True)
 class UsherParams:
     """`usher etarget ds0 dtheta0 uovlp dsolvp eps nattempt`
     (fix_obmd_merged.cpp:2025-2038; algorithm at :1518-1616)."""
@@ -224,7 +258,8 @@ class ObmdParams:
     usher: Optional[UsherParams] = None
     near: Optional[float] = None    # `near 1 dist` -> minimum allowed distance
     charged: bool = False
-    mol_len: int = 1
+    mol_len: int = 1                # atoms per inserted entity (= mol.natoms)
+    mol: Optional[MolTemplate] = None  # molecule-mode insertion template
 
     # Batched-insertion capacity: max candidates evaluated per buffer per
     # pre_exchange (the TPU replacement for the reference's sequential

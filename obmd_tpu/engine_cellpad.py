@@ -111,7 +111,113 @@ def _subset_slice(cfg, geom, state, region, pad):
         overflow=jnp.zeros((), bool))
 
 
+def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
+    """Molecule-mode insertion (ref try_inserting MOLECULE branch): K
+    template candidates per buffer with random rotations (ref :1012-1024),
+    translation-USHER or near check over all template atoms, all-or-nothing
+    placement (check_mol_proc analogue, ref :1098-1107), intra-molecule
+    bonds wired into the per-slot partner tags."""
+    import numpy as np
+    from .obmd.subset import (mol_candidates, mol_sequential_accept,
+                              near_check_subset_mol, random_rotations,
+                              usher_search_subset_mol)
+    obmd = cfg.obmd
+    tpl = obmd.mol
+    m = tpl.natoms
+    dtype = state.dtype
+    K = obmd.insert_kmax
+    n_slots = geom.n_slots
+
+    key = rng.fold_key(state.key, state.step)
+    kl, krl, kr_, krr, knext = jax.random.split(key, 5)
+    mol_types = (jnp.asarray(np.asarray(tpl.types), jnp.int32)
+                 + jnp.int32(obmd.ntype))
+
+    def one_side(k_key, k_rot, region, budget, sub):
+        u = jax.random.uniform(k_key, (K, 3), dtype=dtype)
+        centers = region.sample_uniform(u)
+        rots = random_rotations(k_rot, K, dtype)
+        coords = mol_candidates(tpl, centers, rots)       # [K, m, 3]
+        if obmd.usher is not None:
+            pos, ok, iters = usher_search_subset_mol(cfg, sub, coords,
+                                                     mol_types, region)
+        else:
+            ok = near_check_subset_mol(cfg, sub, coords)
+            pos, iters = coords, jnp.zeros((K,), jnp.int32)
+        # all atoms must sit inside the box/region (check_mol_region)
+        ok = ok & jnp.all(region.match(pos), axis=1)
+        budget = jnp.clip(budget, 0, K)
+        accepted, _ = mol_sequential_accept(cfg, pos, mol_types, ok, budget)
+        return pos, accepted, iters
+
+    pos_l, acc_l, it_l = one_side(kl, krl, obmd.region5, nins_l, sub_l)
+    pos_r, acc_r, it_r = one_side(kr_, krr, obmd.region6, nins_r, sub_r)
+    pos = jnp.concatenate([pos_l, pos_r])                 # [2K, m, 3]
+    accepted = jnp.concatenate([acc_l, acc_r])            # [2K]
+
+    km = 2 * K
+    apos = pos.reshape(km * m, 3)
+    a_acc = jnp.repeat(accepted, m)
+    slot, landed = place_insertions(geom, state, apos, a_acc)
+    landed_mol = jnp.all(landed.reshape(km, m), axis=1)
+    act = jnp.repeat(landed_mol, m)
+    slot = jnp.where(act, slot, n_slots)                  # atomic commit
+
+    mol_rank = jnp.cumsum(landed_mol.astype(jnp.int32)) - 1
+    tag_base = state.maxtag + mol_rank * m                # [2K]
+    atom_idx = jnp.tile(jnp.arange(m, dtype=jnp.int32), (km,))
+    new_tag = jnp.repeat(tag_base, m) + atom_idx + 1
+    mol_id = jnp.repeat(tag_base + 1, m)                  # first atom's tag
+
+    # intra-molecule bond partners from the static template graph
+    pidx = np.full((m, 2), -1, np.int64)
+    for a, b in tpl.bonds:
+        for me, other in ((a, b), (b, a)):
+            if pidx[me, 0] < 0:
+                pidx[me, 0] = other
+            elif pidx[me, 1] < 0:
+                pidx[me, 1] = other
+            else:
+                raise ValueError("template atom in >2 bonds")
+    p1_idx = jnp.tile(jnp.asarray(pidx[:, 0], jnp.int32), (km,))
+    p2_idx = jnp.tile(jnp.asarray(pidx[:, 1], jnp.int32), (km,))
+    base_rep = jnp.repeat(tag_base, m)
+    p1_tag = jnp.where(p1_idx >= 0, base_rep + p1_idx + 1, -1)
+    p2_tag = jnp.where(p2_idx >= 0, base_rep + p2_idx + 1, -1)
+
+    types_flat = jnp.tile(mol_types, (km,))
+    q_flat = jnp.tile(jnp.asarray(np.asarray(tpl.q), dtype), (km,))
+
+    x = state.x.at[slot].set(apos, mode="drop")
+    v = state.v.at[slot].set(jnp.zeros((km * m, 3), dtype), mode="drop")
+    f = state.f.at[slot].set(jnp.zeros((km * m, 3), dtype), mode="drop")
+    typ = state.type.at[slot].set(types_flat, mode="drop")
+    tag = state.tag.at[slot].set(new_tag, mode="drop")
+    qn = state.q.at[slot].set(q_flat, mode="drop")
+    moln = state.mol.at[slot].set(mol_id, mode="drop")
+    nb1 = state.bond1.at[slot].set(p1_tag, mode="drop")
+    nb2 = state.bond2.at[slot].set(p2_tag, mode="drop")
+    aliv = state.alive.at[slot].set(True, mode="drop")
+
+    aux: PadAux = state.nbrs
+    aux = aux.replace(xref=aux.xref.at[slot].set(apos, mode="drop"))
+
+    n_mols = jnp.sum(landed_mol.astype(jnp.int32))
+    want = jnp.clip(nins_l, 0) + jnp.clip(nins_r, 0)
+    return state.replace(
+        x=x, v=v, f=f, type=typ, tag=tag, q=qn, mol=moln, alive=aliv,
+        bond1=nb1, bond2=nb2, nbrs=aux,
+        maxtag=state.maxtag + n_mols * m, key=knext,
+        obmd=state.obmd.replace(
+            ninserted=state.obmd.ninserted + n_mols * m,
+            insert_fail=state.obmd.insert_fail +
+            jnp.maximum(want - n_mols, 0),
+            usher_iters=state.obmd.usher_iters + jnp.sum(it_l) + jnp.sum(it_r)))
+
+
 def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
+    if cfg.obmd.mol is not None:
+        return _insert_mol(cfg, geom, state, nins_l, nins_r, sub_l, sub_r)
     obmd = cfg.obmd
     dtype = state.dtype
     K = obmd.insert_kmax

@@ -177,3 +177,136 @@ def subset_rows(p, box, sub: Subset, pos, new_slots, act):
     row_ok = jnp.take_along_axis(ok, cols, axis=1)
     over = jnp.sum(jnp.maximum(jnp.sum(ok, axis=1) - k, 0)).astype(jnp.int32)
     return row, row_ok, over
+
+
+# --------------------------------------------------------------------------
+# molecule-mode insertion (ref try_inserting MOLECULE branch :989-1026 and
+# usher molecule handling :1536-1605)
+# --------------------------------------------------------------------------
+
+def random_rotations(key, k: int, dtype):
+    """K rotation matrices from the reference's scheme (ref :1012-1024):
+    random axis = uniform cube corner normalized, angle uniform in [0, 2pi),
+    axis-angle -> matrix."""
+    import jax
+    ka, kt = jax.random.split(key)
+    axis = jax.random.uniform(ka, (k, 3), dtype=dtype) - 0.5
+    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    theta = jax.random.uniform(kt, (k,), dtype=dtype) * (2.0 * np.pi)
+    c = jnp.cos(theta)[:, None, None]
+    s = jnp.sin(theta)[:, None, None]
+    ax = axis[:, :, None] * axis[:, None, :]
+    eye = jnp.eye(3, dtype=dtype)[None]
+    sk = jnp.zeros((k, 3, 3), dtype)
+    sk = sk.at[:, 0, 1].set(-axis[:, 2]).at[:, 0, 2].set(axis[:, 1])
+    sk = sk.at[:, 1, 0].set(axis[:, 2]).at[:, 1, 2].set(-axis[:, 0])
+    sk = sk.at[:, 2, 0].set(-axis[:, 1]).at[:, 2, 1].set(axis[:, 0])
+    return c * eye + s * sk + (1.0 - c[:, 0, 0])[:, None, None] * ax
+
+
+def mol_candidates(template, centers, rots):
+    """[K, m, 3] trial coordinates: center + R @ dx."""
+    dx = jnp.asarray(np.asarray(template.dx), centers.dtype)   # [m,3]
+    rotated = jnp.einsum("kab,mb->kma", rots, dx)
+    return centers[:, None, :] + rotated
+
+
+def mol_energy_force(cfg, sub: Subset, coords, mol_types):
+    """Total conservative energy and net force of each K-molecule trial
+    (the translation part of molecule USHER; the reference's torque update
+    is skipped — its calc_torque drops all but the last atom anyway,
+    fix_obmd_merged.cpp:1756-1770, SURVEY.md quirks)."""
+    k, m, _ = coords.shape
+    flat = coords.reshape(k * m, 3)
+    types = jnp.tile(mol_types, (k,))
+    E, F = conservative_energy_force(cfg.pair, sub, cfg.box, flat, types)
+    return E.reshape(k, m).sum(axis=1), F.reshape(k, m, 3).sum(axis=1)
+
+
+def usher_search_subset_mol(cfg, sub: Subset, coords, mol_types, region):
+    """Molecule USHER, translation steering (acceptance rule identical to
+    the reference: E < etarget + eps; leaving the region rejects)."""
+    u = cfg.obmd.usher
+
+    def body(carry, _):
+        pos, active, accepted, iters = carry
+        E, F = mol_energy_force(cfg, sub, pos, mol_types)
+        ok = E < u.etarget + EPSILON
+        newly = active & ok
+        fabs = jnp.sqrt(jnp.sum(F * F, axis=-1))
+        degen = fabs < EPSILON
+        ds_ovlp = u.dsovlp - (4.0 * u.eps / jnp.maximum(E, EPSILON)) ** (1.0 / 12.0)
+        ds_norm = jnp.minimum((E - u.etarget) / jnp.maximum(fabs, EPSILON),
+                              u.ds0)
+        ds = jnp.where(E > u.uovlp, ds_ovlp, ds_norm)
+        unit = F / jnp.maximum(fabs, EPSILON)[:, None]
+        moved = pos + (unit * ds[:, None])[:, None, :]
+        inside = jnp.all(region.match(moved), axis=1)
+        move_now = active & ~ok & ~degen
+        pos = jnp.where(move_now[:, None, None], moved, pos)
+        stopped = newly | (active & degen) | (move_now & ~inside)
+        active = active & ~stopped
+        accepted = accepted | newly
+        iters = iters + active.astype(jnp.int32)
+        return (pos, active, accepted, iters), None
+
+    import jax
+    k = coords.shape[0]
+    init = (coords, jnp.ones((k,), bool), jnp.zeros((k,), bool),
+            jnp.zeros((k,), jnp.int32))
+    (pos, active, accepted, iters), _ = jax.lax.scan(
+        body, init, None, length=u.nattempt)
+    E, _ = mol_energy_force(cfg, sub, pos, mol_types)
+    accepted = accepted | (active & (E < u.etarget + EPSILON))
+    return pos, accepted, iters
+
+
+def near_check_subset_mol(cfg, sub: Subset, coords):
+    """near-mode molecule check: every atom farther than `near` from every
+    existing atom (ref :1036-1049 loops all template atoms)."""
+    k, m, _ = coords.shape
+    d = cfg.box.min_image(coords.reshape(k * m, 1, 3) - sub.x[None, :, :])
+    rsq = jnp.sum(d * d, axis=-1)
+    min_rsq = jnp.min(jnp.where(sub.valid[None, :], rsq, jnp.inf), axis=-1)
+    return jnp.all(min_rsq.reshape(k, m) >= cfg.obmd.near ** 2, axis=1)
+
+
+def mol_sequential_accept(cfg, coords, mol_types, ok, budget):
+    """Greedy in-order acceptance with exact molecule-molecule energy
+    visibility (the batched analogue of the reference's sequential
+    insertion)."""
+    import jax
+    from ..config import DPDParams
+    obmd = cfg.obmd
+    k, m, _ = coords.shape
+    # pairwise inter-candidate energies [K, K]
+    d = cfg.box.min_image(coords[:, None, :, None, :] -
+                          coords[None, :, None, :, :])   # [K,K,m,m,3]
+    rsq = jnp.sum(d * d, axis=-1)
+    p = cfg.pair
+    if isinstance(p, DPDParams):
+        a0 = float(np.asarray(p.a0)[0][0])
+        cut = float(np.asarray(p.cut)[0][0])
+        r = jnp.sqrt(rsq)
+        wd = jnp.maximum(1.0 - r / cut, 0.0)
+        epair = jnp.sum(0.5 * a0 * cut * wd * wd, axis=(2, 3))
+    else:
+        epair = jnp.where(jnp.any(rsq < cfg.pair.max_cut ** 2, axis=(2, 3)),
+                          jnp.inf, 0.0)
+    thresh = (obmd.usher.etarget if obmd.usher is not None
+              else 0.0) + EPSILON
+
+    def body(carry, kk):
+        accepted, count = carry
+        if obmd.near is not None:
+            clash = jnp.any((epair[kk] > 0.0) & accepted)
+        else:
+            clash = jnp.sum(jnp.where(accepted, epair[kk], 0.0)) > thresh
+        take = ok[kk] & ~clash & (count < budget)
+        accepted = accepted.at[kk].set(take)
+        return (accepted, count + take.astype(jnp.int32)), None
+
+    (accepted, count), _ = jax.lax.scan(
+        body, (jnp.zeros((k,), bool), jnp.zeros((), jnp.int32)),
+        jnp.arange(k))
+    return accepted, count

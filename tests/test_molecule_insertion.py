@@ -1,0 +1,104 @@
+"""Molecule-mode OBMD insertion (the reference's `mol` keyword,
+fix_obmd_merged.cpp MOLECULE branches): dimer template with a FENE bond,
+random rotations, all-or-nothing placement, whole-molecule deletion."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from obmd_tpu.config import (BondFENEParams, Capacity, DPDParams, MolTemplate,
+                             ObmdParams, SceneConfig, UsherParams)
+from obmd_tpu.geometry import Box, RegionBlock
+from obmd_tpu.integrate import make_step, setup
+from obmd_tpu.state import init_state
+
+DIMER = MolTemplate(dx=((-0.485, 0.0, 0.0), (0.485, 0.0, 0.0)),
+                    types=(0, 0), q=(0.0, 0.0), bonds=((0, 1),))
+
+
+def _cfg(n_max=800, usher=True):
+    box = Box((0.0, 0.0, 0.0), (10.0, 4.0, 4.0), (False, True, True))
+    b = 2.0
+    r1 = RegionBlock((0.0, 0.0, 0.0), (b, 4.0, 4.0))
+    r2 = RegionBlock((8.0, 0.0, 0.0), (10.0, 4.0, 4.0))
+    deg = RegionBlock((0.0, 0.0, 0.0), (0.0, 0.0, 0.0))
+    pair = DPDParams.create(temp=1.0, cutoff=1.0, seed=3, a0=25.0, gamma=4.5)
+    obmd = ObmdParams(
+        ntype=0, nfreq=1, seed=11, pxx=5.0, alpha=0.5, tau=0.01, nbuf=160.0,
+        region1=r1, region2=r2, region3=deg, region4=deg, region5=r1,
+        region6=r2, buffer_size=b,
+        usher=UsherParams(etarget=10.0, nattempt=12) if usher else None,
+        near=None if usher else 0.6,
+        mol=DIMER, mol_len=2, insert_kmax=4)
+    return SceneConfig(box=box, masses=(1.0,), pair=pair, dt=0.01,
+                       capacity=Capacity(n_max=n_max, cell_capacity=22),
+                       obmd=obmd, bond=BondFENEParams(k=30.0, r0=1.5),
+                       skin=0.3, force_path="cellpad")
+
+
+def _run(cfg, nsteps=6, n0=300, seed=4):
+    r = np.random.default_rng(seed)
+    x = r.uniform([0.05, 0.05, 0.05], [9.95, 3.95, 3.95], (n0, 3))
+    v = r.normal(0, 1, (n0, 3))
+    st = setup(cfg, init_state(cfg, x, v=v))
+    step = jax.jit(make_step(cfg))
+    for _ in range(nsteps):
+        st = step(st)
+    return st
+
+
+def test_dimer_insertion_usher():
+    cfg = _cfg(usher=True)
+    st = _run(cfg)
+    n_ins = int(st.obmd.ninserted)
+    assert n_ins > 0 and n_ins % 2 == 0, n_ins
+    alive = np.asarray(st.alive)
+    tags = np.asarray(st.tag)
+    b1 = np.asarray(st.bond1)
+    mols = np.asarray(st.mol)
+    # every inserted atom (tag > 300) has exactly one bond partner, the
+    # partner is alive with the same molecule id, and the pair is intact
+    tag2i = {int(t): i for i, t in enumerate(tags) if alive[i]}
+    new = [i for i in range(len(tags)) if alive[i] and tags[i] > 300]
+    # inserted dimers near the open face can exit and are deleted whole, so
+    # surviving count is even and bounded by insertions
+    assert 0 < len(new) <= n_ins and len(new) % 2 == 0
+    for i in new:
+        assert b1[i] > 0
+        j = tag2i[int(b1[i])]
+        assert alive[j]
+        assert mols[i] == mols[j] > 0
+        d = np.asarray(st.x)[i] - np.asarray(st.x)[j]
+        d[1:] -= 4.0 * np.round(d[1:] / 4.0)
+        assert 0.2 < np.linalg.norm(d) < 1.45   # bonded, inside FENE range
+
+
+def test_dimer_insertion_near():
+    cfg = _cfg(usher=False)
+    st = _run(cfg, seed=5)
+    n_ins = int(st.obmd.ninserted)
+    assert n_ins % 2 == 0
+    assert int(st.natoms) == 300 - int(st.obmd.ndeleted) + n_ins
+
+
+def test_molecule_deletion_whole():
+    """A dimer straddling the boundary is deleted as a unit."""
+    cfg = _cfg(usher=True, n_max=64)
+    x = np.asarray([[5.0, 2.0, 2.0],      # bystander
+                    [0.05, 1.0, 1.0],     # dimer atom A (inside)
+                    [9.95, 3.0, 3.0]])    # unrelated atom
+    st = init_state(cfg, x)
+    # wire atoms 2,3 (tags) as a molecule; push atom A's partner outside
+    st = st.replace(
+        x=st.x.at[1].set(jnp.asarray([0.05, 1.0, 1.0])),
+        bond1=st.bond1.at[1].set(3).at[2].set(2),
+        mol=st.mol.at[1].set(7).at[2].set(7))
+    # move atom tag 3 (index 2) outside the box
+    st = st.replace(x=st.x.at[2].set(jnp.asarray([-0.2, 3.0, 3.0])))
+    from obmd_tpu.obmd.stage import delete_outside
+    st2, vnewl, vnewr = jax.jit(lambda s: delete_outside(cfg, s))(st)
+    alive = np.asarray(st2.alive)
+    # atom index 2 escaped; its bonded partner index 1 must go too
+    assert not alive[2] and not alive[1]
+    assert alive[0]
