@@ -439,7 +439,10 @@ class Interpreter:
             elif k == "charged":
                 params["charged"] = bool(int(kw[i + 1])); i += 2
             elif k == "mol":
-                raise ScriptError("molecule insertion not yet supported")
+                from ..config import MolTemplate
+                params["mol"] = MolTemplate.from_file(kw[i + 1])
+                params["mol_len"] = int(kw[i + 2])
+                i += 3
             else:
                 if self.strict:
                     raise ScriptError(f"fix obmd keyword {k} unsupported")
