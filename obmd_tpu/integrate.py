@@ -242,6 +242,10 @@ def make_step(cfg: SceneConfig):
     if cfg.force_path == "cellpad":
         from .engine_cellpad import make_step_cellpad
         return make_step_cellpad(cfg)
+    if cfg.obmd is not None and cfg.obmd.mol is not None:
+        raise NotImplementedError(
+            "molecule-mode insertion is implemented on the cellpad engine "
+            "(force_path='cellpad')")
     spec = make_grid_spec(cfg)
     nparams = make_neighbor_params(cfg)
     dt = float(cfg.dt)
