@@ -440,7 +440,12 @@ class Interpreter:
                 params["charged"] = bool(int(kw[i + 1])); i += 2
             elif k == "mol":
                 from ..config import MolTemplate
-                params["mol"] = MolTemplate.from_file(kw[i + 1])
+                try:
+                    params["mol"] = MolTemplate.from_file(kw[i + 1])
+                except OSError as e:
+                    raise ScriptError(
+                        f"fix obmd mol: cannot read template "
+                        f"'{kw[i + 1]}': {e}") from e
                 params["mol_len"] = int(kw[i + 2])
                 i += 3
             else:
