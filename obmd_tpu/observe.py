@@ -114,3 +114,41 @@ def make_profile_fn(cfg: SceneConfig, nbins: int = 64):
         )
 
     return profiles
+
+
+class ObmdMetrics(NamedTuple):
+    """Per-interval OBMD observables (SURVEY.md §5: exactly what the OBMD
+    papers plot and the reference only exposes as ad-hoc couts)."""
+
+    step: jnp.ndarray
+    nbuf_left: jnp.ndarray       # atoms in region1
+    nbuf_right: jnp.ndarray      # atoms in region2
+    ninserted: jnp.ndarray       # running totals
+    ndeleted: jnp.ndarray
+    insert_fail: jnp.ndarray
+    usher_iters: jnp.ndarray
+    momentum_force_left: jnp.ndarray   # [3] current setpoints
+    momentum_force_right: jnp.ndarray  # [3]
+
+
+def make_obmd_metrics_fn(cfg: SceneConfig):
+    cfg = cfg.finalize()
+    if cfg.obmd is None:
+        raise ValueError("scene has no OBMD stage")
+    r1, r2 = cfg.obmd.region1, cfg.obmd.region2
+
+    @jax.jit
+    def metrics(state: State) -> ObmdMetrics:
+        def count(region):
+            return jnp.sum((state.alive & region.match(state.x))
+                           .astype(jnp.int32))
+        sc = state.obmd
+        return ObmdMetrics(
+            step=state.step,
+            nbuf_left=count(r1), nbuf_right=count(r2),
+            ninserted=sc.ninserted, ndeleted=sc.ndeleted,
+            insert_fail=sc.insert_fail, usher_iters=sc.usher_iters,
+            momentum_force_left=sc.momentum_force_left,
+            momentum_force_right=sc.momentum_force_right)
+
+    return metrics

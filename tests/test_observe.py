@@ -48,3 +48,15 @@ def test_virial_pressure_matches_eos_after_equil():
     rho = 3.0
     p_eos = rho * 1.0 + 0.101 * 25.0 * rho**2
     assert abs(float(th.pressure) - p_eos) / p_eos < 0.15
+
+
+def test_obmd_metrics_stream():
+    from obmd_tpu.observe import make_obmd_metrics_fn
+    sc = scenes.obmd_dpd_scene(scale=0.15, seed=2, n_max=2600, insert_kmax=4)
+    state = setup(sc.cfg, sc.state)
+    m = make_obmd_metrics_fn(sc.cfg)(state)
+    assert int(m.nbuf_left) > 0 and int(m.nbuf_right) > 0
+    assert int(m.nbuf_left) + int(m.nbuf_right) <= int(state.natoms)
+    # setpoint x-components have the +pxx*A / -pxx*A signs (ref :607-630)
+    assert float(m.momentum_force_left[0]) > 0
+    assert float(m.momentum_force_right[0]) < 0
