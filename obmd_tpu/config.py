@@ -305,6 +305,11 @@ class SceneConfig:
                                     # skin=0 -> rebuild every step.
     force_path: str = "nlist"       # "nlist" (fast: persistent Verlet list)
                                     # or "sweep" (cell-pair reference path)
+    rebuild_every: int = 0          # cellpad runner: relayout period (static
+                                    # schedule, no lax.cond in the hot loop);
+                                    # 0 = auto from skin/dt; half-skin
+                                    # violations are counted, not reacted to
+                                    # (PadAux.skin_trips must stay 0).
     dtype: str = "float32"
 
     @property

@@ -8,11 +8,12 @@ import jax
 import jax.numpy as jnp
 
 from . import rng
-from .cellpad import (PadAux, layout_build, maybe_rebuild, place_insertions,
+from .cellpad import (PadAux, layout_build, maybe_rebuild, note_skin_check,
+                      place_insertions, relayout_incremental,
                       slab_slice_bounds)
 from .cells import BIG
 from .config import DPDParams, LJCutParams, SceneConfig, eval_param
-from .forces.pallas_dpd import PadGeometry, make_dpd_kernel
+from .forces.pallas_dpd import PadGeometry, make_pair_kernel
 from .obmd.stage import (_sequential_accept, apply_boundary_force,
                          delete_outside, feedback_count, region_count)
 from .obmd.subset import (Subset, expand_region, near_check_subset,
@@ -48,12 +49,12 @@ def _make_kernel(cfg: SceneConfig, geom: PadGeometry):
     p = cfg.pair
     exb = cfg.bond is not None
     if isinstance(p, DPDParams):
-        return make_dpd_kernel(geom, a0=p.a0[0][0], gamma=p.gamma[0][0],
-                               sigma=p.sigma[0][0], cut=p.cut[0][0],
-                               dt=cfg.dt, law="dpd", exclude_bonded=exb)
-    return make_dpd_kernel(geom, cut=p.cut[0][0], dt=cfg.dt, law="lj",
-                           lj_eps=p.epsilon[0][0], lj_sig=p.sigma[0][0],
-                           exclude_bonded=exb)
+        return make_pair_kernel(geom, a0=p.a0[0][0], gamma=p.gamma[0][0],
+                                sigma=p.sigma[0][0], cut=p.cut[0][0],
+                                dt=cfg.dt, law="dpd", exclude_bonded=exb)
+    return make_pair_kernel(geom, cut=p.cut[0][0], dt=cfg.dt, law="lj",
+                            lj_eps=p.epsilon[0][0], lj_sig=p.sigma[0][0],
+                            exclude_bonded=exb)
 
 
 def _forces(cfg, geom, kern, state: State):
@@ -73,8 +74,14 @@ def _forces(cfg, geom, kern, state: State):
                   axis=(1, 2)) + 1
     pbond = None
     if cfg.bond is not None:
-        pbond = jnp.stack([state.bond1.reshape(nb, cap, lanes),
-                           state.bond2.reshape(nb, cap, lanes)], axis=1)
+        # the kernel excludes 1-2 pairs by comparing j TAGS; partner slots
+        # resolve to tags with one gather each
+        n = state.capacity
+        def ptag(bond):
+            t = state.tag[jnp.clip(bond, 0, n - 1)]
+            return jnp.where(bond >= 0, t, -2)
+        pbond = jnp.stack([ptag(state.bond1).reshape(nb, cap, lanes),
+                           ptag(state.bond2).reshape(nb, cap, lanes)], axis=1)
     with jax.named_scope("pair"):
         fpad = kern(fld, tag, salt, occ, pbond)      # [nb, 3, cap, lanes]
     f = fpad.transpose(0, 2, 3, 1).reshape(-1, 3).astype(state.x.dtype)
@@ -85,7 +92,7 @@ def _forces(cfg, geom, kern, state: State):
         from .forces.bonded import fene_forces
         with jax.named_scope("bond"):
             fb, _ = fene_forces(cfg.bond, cfg.box, state.x, state.bond1,
-                                state.bond2, state.tag, state.alive)
+                                state.bond2, state.alive)
             f = f + fb
     if cfg.langevin is not None:
         from .forces.bonded import langevin_force
@@ -169,7 +176,8 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     new_tag = jnp.repeat(tag_base, m) + atom_idx + 1
     mol_id = jnp.repeat(tag_base + 1, m)                  # first atom's tag
 
-    # intra-molecule bond partners from the static template graph
+    # intra-molecule bond partners from the static template graph, resolved
+    # to the partner atoms' landed SLOTS (exact for any tag value)
     pidx = np.full((m, 2), -1, np.int64)
     for a, b in tpl.bonds:
         for me, other in ((a, b), (b, a)):
@@ -181,9 +189,14 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
                 raise ValueError("template atom in >2 bonds")
     p1_idx = jnp.tile(jnp.asarray(pidx[:, 0], jnp.int32), (km,))
     p2_idx = jnp.tile(jnp.asarray(pidx[:, 1], jnp.int32), (km,))
-    base_rep = jnp.repeat(tag_base, m)
-    p1_tag = jnp.where(p1_idx >= 0, base_rep + p1_idx + 1, -1)
-    p2_tag = jnp.where(p2_idx >= 0, base_rep + p2_idx + 1, -1)
+    base_flat = (jnp.arange(km * m, dtype=jnp.int32) // m) * m
+
+    def pslot(p_idx):
+        pf = jnp.clip(base_flat + p_idx, 0, km * m - 1)
+        return jnp.where((p_idx >= 0) & act, slot[pf], -1)
+
+    p1_slot = pslot(p1_idx)
+    p2_slot = pslot(p2_idx)
 
     types_flat = jnp.tile(mol_types, (km,))
     q_flat = jnp.tile(jnp.asarray(np.asarray(tpl.q), dtype), (km,))
@@ -195,8 +208,8 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     tag = state.tag.at[slot].set(new_tag, mode="drop")
     qn = state.q.at[slot].set(q_flat, mode="drop")
     moln = state.mol.at[slot].set(mol_id, mode="drop")
-    nb1 = state.bond1.at[slot].set(p1_tag, mode="drop")
-    nb2 = state.bond2.at[slot].set(p2_tag, mode="drop")
+    nb1 = state.bond1.at[slot].set(p1_slot, mode="drop")
+    nb2 = state.bond2.at[slot].set(p2_slot, mode="drop")
     aliv = state.alive.at[slot].set(True, mode="drop")
 
     aux: PadAux = state.nbrs
@@ -386,9 +399,9 @@ def make_step_cellpad(cfg: SceneConfig):
     return step
 
 
-def _plain_step(cfg, geom, kern, state: State) -> State:
-    """One step with NO rebuild logic (the runner guarantees the half-skin
-    budget via its freeze/rebuild protocol)."""
+def _plain_step(cfg, geom, kern, state: State, with_stage: bool = True) -> State:
+    """One step with NO rebuild logic (the runner owns the half-skin budget
+    via its static relayout schedule)."""
     dt = float(cfg.dt)
     dtype = state.x.dtype.type
     m = per_atom_mass(cfg, state)[:, None]
@@ -398,7 +411,7 @@ def _plain_step(cfg, geom, kern, state: State) -> State:
     v = jnp.where(a3, state.v + dtf * state.f / m, state.v)
     x = cfg.box.wrap(jnp.where(a3, state.x + dtype(dt) * v, state.x))
     state = state.replace(x=x, v=v)
-    if cfg.obmd is not None:
+    if cfg.obmd is not None and with_stage:
         state = _obmd_stage(cfg, geom, state, with_rebuild=False)
     f = _forces(cfg, geom, kern, state)
     m = per_atom_mass(cfg, state)[:, None]
@@ -406,77 +419,93 @@ def _plain_step(cfg, geom, kern, state: State) -> State:
     return state.replace(v=v, f=f, step=state.step + 1)
 
 
-def make_run_cellpad(cfg: SceneConfig, nsteps: int, chunk: int = 8):
-    """EXPERIMENTAL host-chunked runner (not the default).
+def auto_rebuild_every(cfg: SceneConfig) -> int:
+    """Static relayout period from the half-skin budget: assume a generous
+    max particle speed (LJ units) and leave 10% margin.  Violations are
+    counted in PadAux.skin_trips, so a too-optimistic period is loud."""
+    if cfg.rebuild_every > 0:
+        return cfg.rebuild_every
+    if cfg.skin <= 0.0:
+        return 1
+    # v_fast calibrated on the 100k OBMD_DPD bench: at T=1 the fastest of
+    # 100k atoms drifts ~6.8 length/time over a 15-step epoch; 9 leaves
+    # ~25% margin (skin_trips stays 0).
+    v_fast = 9.0
+    r = int(0.45 * cfg.skin / (v_fast * cfg.dt))
+    return max(1, min(r, 40))
 
-    Motivation: a heavy rebuild branch inside `lax.cond` costs ~9 ms/step at
-    100k atoms *even when not taken* (broken scan-carry aliasing).  This
-    variant moves the rebuild to the host between frozen-flag chunks —
-    exact semantics (a step never executes on a tripped structure) — but
-    measured 2x SLOWER end-to-end on the axon transport (per-chunk host
-    syncs + full-state masked writes).  Kept as the reference implementation
-    for the round-2 fused-kernel runner; integrate.make_run uses the
-    scan+cond path.
-    """
+
+def make_run_cellpad(cfg: SceneConfig, nsteps: int):
+    """Fused multi-step runner on a STATIC rebuild schedule.
+
+    Round-1 finding: the half-skin rebuild as a data-dependent `lax.cond`
+    inside a scanned step costs ~10.7 ms/step at 100k atoms *even when the
+    branch is not taken* (XLA cannot alias the large carry across the
+    branch; measured 19.7 -> 9.0 ms by deleting the cond).  Host-chunked
+    (2x worse: transport syncs) and while-loop-segmented (+30%: while
+    carries copy) variants also lost.  The fix is to make the schedule
+    static: relayout every R steps unconditionally (R from the half-skin
+    drift budget), with the displacement criterion demoted to a telemetry
+    assertion (PadAux.skin_trips).  No branch, no cond carry, one dispatch
+    for the whole run.  The reference analogue is `neigh_modify delay N
+    every N check no` (neighbor.cpp decide() :2312 without check_distance),
+    a standard LAMMPS production setting."""
     cfg = cfg.finalize()
     if not supports(cfg):
         raise ValueError(
             "cellpad path: single-type DPD/LJ; open x required with OBMD")
     geom = make_geometry(cfg)
     kern = _make_kernel(cfg, geom)
+    r_every = auto_rebuild_every(cfg)
+    if cfg.obmd is not None and cfg.obmd.nfreq > 1:
+        # keep OBMD cadence and rebuild cadence aligned (the OBMD stage
+        # must see a current layout for its slab subsets)
+        r_every = max(1, (r_every // cfg.obmd.nfreq)) * cfg.obmd.nfreq
     skin = float(cfg.skin)
 
-    if skin <= 0.0 or (cfg.obmd is not None and cfg.obmd.nfreq > 1):
-        step = make_step_cellpad(cfg)
+    nfreq = cfg.obmd.nfreq if cfg.obmd is not None else 1
 
-        @jax.jit
-        def run_scan(state: State) -> State:
-            def body(c, _):
-                return step(c), None
-            c, _ = jax.lax.scan(body, state, None, length=nsteps)
-            return c
+    def plain(s, _):
+        return _plain_step(cfg, geom, kern, s), None
 
-        return run_scan
+    def nostage(s, _):
+        return _plain_step(cfg, geom, kern, s, with_stage=False), None
 
-    # 0.95 safety factor: the freeze check runs pre-drift (one step earlier
-    # than LAMMPS's post-drift check), so shave one step's drift off the
-    # half-skin budget.
-    trip2 = (0.5 * skin * 0.95) ** 2
+    def steps(state: State, length: int) -> State:
+        if nfreq <= 1:
+            state, _ = jax.lax.scan(plain, state, None, length=length)
+            return state
+        # OBMD cadence nfreq > 1: stage on the first step of each group
+        # (chunk lengths are nfreq-aligned by construction except a final
+        # remainder, which keeps the same group phase)
+        groups, rem = divmod(length, nfreq)
 
-    def tripped(s):
-        aux = s.nbrs
-        d = cfg.box.min_image(s.x - aux.xref)
-        disp2 = jnp.where(s.alive, jnp.sum(d * d, axis=-1), 0.0)
-        return (jnp.max(disp2) > trip2) | aux.force_rebuild
+        def group(s, _):
+            s = _plain_step(cfg, geom, kern, s)
+            s, _ = jax.lax.scan(nostage, s, None, length=nfreq - 1)
+            return s, None
+        if groups:
+            state, _ = jax.lax.scan(group, state, None, length=groups)
+        if rem:
+            state = _plain_step(cfg, geom, kern, state)
+            state, _ = jax.lax.scan(nostage, state, None, length=rem - 1)
+        return state
+
+    def chunk(state: State, length: int) -> State:
+        state = note_skin_check(cfg.box, skin, state) if skin > 0 else state
+        state = relayout_incremental(geom, cfg.box, state)
+        return steps(state, length)
+
+    n_chunks, rem = divmod(nsteps, r_every)
 
     @jax.jit
-    def chunk_run(state: State):
-        def body(c, _):
-            s, frozen = c
-            frozen = frozen | tripped(s)
-            s2 = _plain_step(cfg, geom, kern, s)
-            s3 = jax.tree_util.tree_map(
-                lambda old, new: jnp.where(frozen, old, new), s, s2)
-            return (s3, frozen), None
-        (s, frozen), _ = jax.lax.scan(body, (state, jnp.zeros((), bool)),
-                                      None, length=chunk)
-        return s, frozen
-
-    rebuild = jax.jit(lambda s: layout_build(geom, cfg.box, s))
-
     def run(state: State) -> State:
-        start = int(state.step)
-        while int(state.step) - start < nsteps:
-            state, frozen = chunk_run(state)
-            if bool(frozen):
-                state = rebuild(state)
+        if n_chunks:
+            def body(s, _):
+                return chunk(s, r_every), None
+            state, _ = jax.lax.scan(body, state, None, length=n_chunks)
+        if rem:
+            state = chunk(state, rem)
         return state
 
     return run
-
-
-# NOTE: a rebuild-segmented runner (nested lax.while_loop with the half-skin
-# check in the loop condition) was prototyped and measured ~30% SLOWER than
-# lax.scan over the cond-carrying step at 100k atoms: TPU while-loop carries
-# copy buffers per iteration where scan carries alias.  The scan + lax.cond
-# structure in make_step_cellpad is the fast path.

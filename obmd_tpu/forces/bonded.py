@@ -1,11 +1,12 @@
 """Bonded forces and the Langevin thermostat fix.
 
 FENE bonds (reference: bond_style fene, bench/in.chain — the chain headline
-benchmark) evaluated symmetrically from per-slot partner tags: each atom
-pulls on itself from both of its bonds, so there is no scatter-add and the
-evaluation is permutation-proof (topology rides with the atom through
-cellpad relayouts).  Partner tags resolve to slots through a tag->slot map
-rebuilt on the fly (one scatter).
+benchmark) evaluated symmetrically from per-atom partner SLOT indices: each
+atom pulls on itself from both of its bonds, so there is no scatter-add.
+Slot references are remapped by every relayout (cellpad.layout_build /
+relayout_incremental), which makes resolution exact for arbitrarily large
+tags — a tag-keyed map capped at the capacity silently dropped bonds once
+OBMD-inserted molecule tags outgrew it (round-1 Weak #3).
 
 Langevin thermostat (reference: fix_langevin.cpp):
   f += -(m/damp) v + sqrt(24 kB T m / (dt damp)) * uniform(-0.5, 0.5)
@@ -25,18 +26,11 @@ PURPOSE_LANGEVIN = 3
 TWO_1_3 = 2.0 ** (1.0 / 3.0)
 
 
-def tag_to_slot(tag, alive, n):
-    """[n+1] map: tag -> slot (n = unknown).  Bonded tags are always from
-    the initial configuration (inserted atoms are unbonded), so tags > n
-    never need resolving."""
-    tm = jnp.full((n + 1,), n, jnp.int32)
-    idx = jnp.where(alive & (tag >= 0) & (tag <= n), tag, n)
-    return tm.at[idx].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
-
-
-def fene_forces(bond: BondFENEParams, box: Box, x, bond1, bond2, tag, alive,
+def fene_forces(bond: BondFENEParams, box: Box, x, bond1, bond2, alive,
                 compute_energy: bool = False):
     """Force on every atom from its (up to two) FENE bonds.
+
+    bond1/bond2 are partner SLOT indices (-1 = none).
 
     Matches bond_fene.cpp: fbond = -k/(1 - rsq/r0^2) (+ WCA inside
     2^(1/6) sigma); F_i = fbond * (x_i - x_j).  Over-stretched bonds
@@ -49,18 +43,17 @@ def fene_forces(bond: BondFENEParams, box: Box, x, bond1, bond2, tag, alive,
     eps = dtype.type(bond.epsilon)
     sig2 = dtype.type(bond.sigma * bond.sigma)
 
-    tm = tag_to_slot(tag, alive, n)
     x4 = jnp.concatenate([x, jnp.zeros((n, 1), dtype)], axis=1)
 
     f = jnp.zeros((n, 3), dtype)
     e = jnp.zeros((n,), dtype) if compute_energy else None
     for partner in (bond1, bond2):
-        has = alive & (partner > 0)
-        j = tm[jnp.clip(partner, 0, n)]
+        j = jnp.clip(partner, 0, n - 1)
+        has = alive & (partner >= 0) & alive[j]
         xj = gather_padded(x4, jnp.where(has, j, n), BIG)[:, :3]
         d = box.min_image(x - xj)
         rsq = jnp.sum(d * d, axis=-1)
-        ok = has & (j < n)
+        ok = has
         rlogarg = jnp.maximum(1.0 - rsq / r0sq, 0.1)   # LAMMPS guard
         fbond = -k / rlogarg
         # WCA part of the FENE potential

@@ -64,8 +64,10 @@ def nlist_sweep(params: PairParams, box: Box, nlist, x, v, types, tag, q,
     rsq = jnp.sum(d * d, axis=-1)
     valid = aj & alive[:, None] & (idx < n)
     if bond1 is not None:
-        # special_bonds fene: 1-2 pairs excluded from the pair style
-        valid = valid & (gj != bond1[:, None]) & (gj != bond2[:, None])
+        # special_bonds fene: 1-2 pairs excluded from the pair style.
+        # bond1/bond2 hold partner SLOTS; list entries are slots too, so
+        # the comparison needs no tag resolution.
+        valid = valid & (idx != bond1[:, None]) & (idx != bond2[:, None])
 
     kwargs = {}
     if charged:

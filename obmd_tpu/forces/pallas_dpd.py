@@ -120,6 +120,297 @@ def _avalanche_u32(h):
     return h
 
 
+def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
+                     gamma: float = 0.0, sigma: float = 0.0, cut: float = 1.0,
+                     dt: float = 0.01, law: str = "dpd",
+                     lj_eps: float = 1.0, lj_sig: float = 1.0,
+                     exclude_bonded: bool = False):
+    """Newton half-stencil pair kernel — each unordered pair computed ONCE
+    (the counterpart of the reference's newton-on half list,
+    npair_half_bin_newton.cpp + reverse_comm, comm_brick.cpp:598).
+
+    Directed stencil: the self cell with rank-ordered masking (sj > si) plus
+    13 directed neighbor offsets (dxs=+1 with the full 3x3 y/z fan; dxs=0
+    with dy=+1 fan; dxs=0, dy=0, dz=+1).  Per directed offset the j-side
+    reactions are accumulated in a scratch buffer and rolled back once after
+    the rank loop (rolls are linear, so the roll-back commutes with the
+    accumulation).  Pairs that cross into the next block write their j
+    reaction into a second output, which the wrapper shifts by one block and
+    adds — the reverse-communication analogue, as pure XLA adds.
+
+    Periodic y/z images are handled by the roll-wrap select itself (the
+    wrapped replica gets +-L added to its position lane), so the inner loop
+    carries no min-image rounds on axes with >= 3 cells.
+
+    Same calling convention as make_dpd_kernel:
+      fld f32 [nb, 6, cap, lanes], tag i32 [nb, cap, lanes], salt u32[1],
+      occ i32 [nb], optional pbond i32 [nb, 2, cap, lanes] -> f [nb,3,cap,lanes]
+    """
+    nx, ny, nz = geom.dims
+    s, p, lanes, cap = geom.s, geom.p, geom.lanes, geom.cap
+    nb = geom.n_blocks
+    ly = float(ny * geom.cell_size[1])
+    lz = float(nz * geom.cell_size[2])
+    lx = float(nx * geom.cell_size[0])
+    dtinvsqrt = float(1.0 / np.sqrt(dt))
+    cutsq = float(cut * cut)
+    eps = 1.0e-10
+    sqrt3 = float(np.sqrt(3.0))
+    a0f, gamf, sigf, cutf = map(float, (a0, gamma, sigma, cut))
+    per_x = geom.periodic_x
+    s6 = float(lj_sig) ** 6
+    lj1 = 48.0 * float(lj_eps) * s6 * s6
+    lj2 = 24.0 * float(lj_eps) * s6
+    mi_y = ny < 3          # single-cell periodic axis: min-image in-loop
+    mi_z = nz < 3
+
+    dys = (-1, 0, 1) if ny >= 3 else (0,)
+    dzs = (-1, 0, 1) if nz >= 3 else (0,)
+    directed = [(1, dy, dz) for dy in dys for dz in dzs]
+    if ny >= 3:
+        directed += [(0, 1, dz) for dz in dzs]
+    if nz >= 3:
+        directed += [(0, 0, 1)]
+
+    def kernel(salt_ref, occ_ref, mid_f, next_f, mid_t, next_t, *rest):
+        if exclude_bonded:
+            pb_ref, out_ref, out2_ref, acc, acc2, jacc = rest
+        else:
+            out_ref, out2_ref, acc, acc2, jacc = rest
+            pb_ref = None
+        i = pl.program_id(0)
+        salt = salt_ref[0]
+        si_max = occ_ref[i]
+        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (cap, lanes), 1)
+        rank_idx = jax.lax.broadcasted_iota(jnp.int32, (cap, lanes), 0)
+        slab_q = lane_idx // s
+
+        acc[...] = jnp.zeros((3, cap, lanes), jnp.float32)
+        acc2[...] = jnp.zeros((3, cap, lanes), jnp.float32)
+
+        def nbr(val, dstride: int, group: int, wrap_delta: float = 0.0):
+            """out[l] = val[l + dstride] wrapping inside `group`-aligned lane
+            groups; wrapped lanes get +-wrap_delta (periodic position
+            image)."""
+            if dstride == 0:
+                return val
+            r1 = pltpu.roll(val, (-dstride) % lanes, 1)
+            pos = lane_idx % group
+            if dstride > 0:
+                r2 = pltpu.roll(val, (group - dstride) % lanes, 1)
+                wrapped = pos >= group - dstride
+            else:
+                r2 = pltpu.roll(val, (-dstride - group) % lanes, 1)
+                wrapped = pos < -dstride
+            if wrap_delta != 0.0:
+                r2 = r2 + jnp.float32(wrap_delta)
+            return jnp.where(wrapped, r2, r1)
+
+        def pair_math(si, xj, yj, zj, vxj, vyj, vzj, tj, ok):
+            """fpair (cap,lanes) and the displacement components for i at
+            rank si vs the j view."""
+            dx = mid_f[0, 0, si][None, :] - xj
+            dyy = mid_f[0, 1, si][None, :] - yj
+            dzz = mid_f[0, 2, si][None, :] - zj
+            if mi_y:
+                dyy = dyy - ly * jnp.round(dyy * (1.0 / ly))
+            if mi_z:
+                dzz = dzz - lz * jnp.round(dzz * (1.0 / lz))
+            rsq = dx * dx + dyy * dyy + dzz * dzz
+            ok = ok & (rsq < cutsq) & (rsq > eps * eps)
+            if exclude_bonded:
+                p1 = pb_ref[0, 0, si][None, :]
+                p2 = pb_ref[0, 1, si][None, :]
+                ok = ok & (tj != p1) & (tj != p2)
+
+            if law == "lj":
+                r2inv = jnp.where(ok, 1.0 / jnp.maximum(rsq, eps * eps), 0.0)
+                r6inv = r2inv * r2inv * r2inv
+                fpair = r6inv * (lj1 * r6inv - lj2) * r2inv
+                fpair = jnp.where(ok, fpair, 0.0)
+            else:
+                rinv = jax.lax.rsqrt(jnp.maximum(rsq, eps * eps))
+                r = rsq * rinv
+                wd = 1.0 - r * (1.0 / cutf)
+                dot = (dx * (mid_f[0, 3, si][None, :] - vxj)
+                       + dyy * (mid_f[0, 4, si][None, :] - vyj)
+                       + dzz * (mid_f[0, 5, si][None, :] - vzj))
+                ti = jnp.broadcast_to(mid_t[0, si][None, :], (cap, lanes))
+                lo = pltpu.bitcast(jnp.minimum(ti, tj), _U32)
+                hi = pltpu.bitcast(jnp.maximum(ti, tj), _U32)
+                h = _avalanche_u32(lo ^ _U32(0x9E3779B9))
+                h = _avalanche_u32(h ^ hi * _U32(0x85EBCA77))
+                h = _avalanche_u32(h ^ salt * _U32(0xC2B2AE3D))
+                u24 = pltpu.bitcast(h >> 8, jnp.int32)
+                u01 = u24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+                noise = sqrt3 * (2.0 * u01 - 1.0)
+                fpair = a0f * wd
+                fpair = fpair - gamf * wd * wd * dot * rinv
+                fpair = fpair + sigf * wd * noise * dtinvsqrt
+                fpair = fpair * rinv
+                fpair = jnp.where(ok, fpair, 0.0)
+            return fpair, dx, dyy, dzz
+
+        # ---- self cell: rank-ordered half (sj > si), both sides in acc ----
+        def self_body(si, _):
+            ok = rank_idx > si
+            fpair, dx, dyy, dzz = pair_math(
+                si, mid_f[0, 0], mid_f[0, 1], mid_f[0, 2],
+                mid_f[0, 3], mid_f[0, 4], mid_f[0, 5], mid_t[0], ok)
+            fx, fy, fz = fpair * dx, fpair * dyy, fpair * dzz
+            acc[0, si, :] += jnp.sum(fx, axis=0)
+            acc[1, si, :] += jnp.sum(fy, axis=0)
+            acc[2, si, :] += jnp.sum(fz, axis=0)
+            acc[0] -= fx
+            acc[1] -= fy
+            acc[2] -= fz
+            return 0
+
+        jax.lax.fori_loop(0, si_max, self_body, 0)
+
+        # ---- 13 directed neighbor offsets ----
+        for dxs, dy, dz in directed:
+            # x view: stitched mid/next slab shift (j slab = i slab + dxs)
+            if dxs == 0:
+                xsrc_f = [mid_f[0, c] for c in range(6)]
+                xsrc_t = mid_t[0]
+                cross = None                      # no block crossing
+            elif p == 1:
+                xadj = (jnp.where(i == nb - 1, jnp.float32(lx),
+                                  jnp.float32(0.0)) if per_x else 0.0)
+                xsrc_f = [next_f[0, c] + (xadj if c == 0 else 0.0)
+                          for c in range(6)]
+                xsrc_t = next_t[0]
+                cross = "all"
+            else:
+                in_mid = slab_q < p - 1
+                xadj = (jnp.where(i == nb - 1, jnp.float32(lx),
+                                  jnp.float32(0.0)) if per_x else 0.0)
+
+                def stitch(vm, vn, adj=0.0):
+                    return jnp.where(in_mid, nbr(vm, s, lanes),
+                                     nbr(vn, -(p - 1) * s, lanes) + adj)
+                xsrc_f = [stitch(mid_f[0, c], next_f[0, c],
+                                 xadj if c == 0 else 0.0) for c in range(6)]
+                xsrc_t = stitch(mid_t[0].astype(jnp.float32),
+                                next_t[0].astype(jnp.float32)).astype(jnp.int32)
+                cross = "last"                    # slab_q == p-1 lanes cross
+
+            # y/z rolls with periodic image adjustment on the position lanes
+            def yz(val, fidx):
+                wy = ly if (fidx == 1 and not mi_y) else 0.0
+                wz = lz if (fidx == 2 and not mi_z) else 0.0
+                v = nbr(val, dy * nz, s, wrap_delta=wy * dy)
+                return nbr(v, dz, nz, wrap_delta=wz * dz)
+
+            fields = [yz(xsrc_f[c], c) for c in range(6)]
+            tj = yz(xsrc_t, -1)
+
+            # domain-edge validity along open x
+            if per_x or dxs == 0:
+                gok = jnp.ones((cap, lanes), bool)
+            else:
+                gok = (i * p + slab_q + dxs) < nx
+
+            jacc[...] = jnp.zeros((3, cap, lanes), jnp.float32)
+
+            def dir_body(si, _):
+                fpair, dx, dyy, dzz = pair_math(
+                    si, fields[0], fields[1], fields[2],
+                    fields[3], fields[4], fields[5], tj, gok)
+                fx, fy, fz = fpair * dx, fpair * dyy, fpair * dzz
+                acc[0, si, :] += jnp.sum(fx, axis=0)
+                acc[1, si, :] += jnp.sum(fy, axis=0)
+                acc[2, si, :] += jnp.sum(fz, axis=0)
+                jacc[0] += fx
+                jacc[1] += fy
+                jacc[2] += fz
+                return 0
+
+            jax.lax.fori_loop(0, si_max, dir_body, 0)
+
+            # roll the j reactions back: undo z, undo y, undo x-stitch
+            for c in range(3):
+                tmp = nbr(nbr(jacc[c], -dz, nz), -dy * nz, s)
+                if cross is None:
+                    acc[c] -= tmp
+                elif cross == "all":
+                    acc2[c] -= tmp
+                else:
+                    in_mid = slab_q < p - 1
+                    acc[c] -= nbr(jnp.where(in_mid, tmp, 0.0), -s, lanes)
+                    acc2[c] -= nbr(jnp.where(in_mid, 0.0, tmp),
+                                   (p - 1) * s, lanes)
+
+        out_ref[0] = acc[...]
+        out2_ref[0] = acc2[...]
+
+    if per_x:
+        def _next(i):
+            return (i + 1) % nb
+    else:
+        def _next(i):
+            return jnp.minimum(i + 1, nb - 1)
+
+    def im(i, *_):
+        return (i, 0, 0, 0)
+
+    def inx(i, *_):
+        return (_next(i), 0, 0, 0)
+
+    def imt(i, *_):
+        return (i, 0, 0)
+
+    def inxt(i, *_):
+        return (_next(i), 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 6, cap, lanes), im),
+        pl.BlockSpec((1, 6, cap, lanes), inx),
+        pl.BlockSpec((1, cap, lanes), imt),
+        pl.BlockSpec((1, cap, lanes), inxt),
+    ]
+    if exclude_bonded:
+        def imb(i, *_):
+            return (i, 0, 0, 0)
+        in_specs.append(pl.BlockSpec((1, 2, cap, lanes), imb))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, 3, cap, lanes), im),
+                   pl.BlockSpec((1, 3, cap, lanes), im)],
+        scratch_shapes=[pltpu.VMEM((3, cap, lanes), jnp.float32),
+                        pltpu.VMEM((3, cap, lanes), jnp.float32),
+                        pltpu.VMEM((3, cap, lanes), jnp.float32)],
+    )
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+
+    def pair_forces(fld, tag, salt, occ, pbond=None):
+        args = [jnp.asarray(salt, _U32).reshape(1), occ.astype(jnp.int32),
+                fld, fld, tag, tag]
+        if exclude_bonded:
+            args.append(pbond)
+        out, out2 = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((nb, 3, cap, lanes), jnp.float32),
+                       jax.ShapeDtypeStruct((nb, 3, cap, lanes), jnp.float32)],
+            interpret=interpret,
+        )(*args)
+        # reverse-comm analogue: block i's cross reactions belong to block
+        # i+1's atoms
+        if per_x:
+            carry = jnp.roll(out2, 1, axis=0)
+        else:
+            carry = jnp.concatenate(
+                [jnp.zeros_like(out2[:1]), out2[:-1]], axis=0)
+        return out + carry
+
+    return pair_forces
+
+
 def make_dpd_kernel(geom: PadGeometry, *, a0: float = 0.0,
                     gamma: float = 0.0, sigma: float = 0.0, cut: float = 1.0,
                     dt: float = 0.01, law: str = "dpd",

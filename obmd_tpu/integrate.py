@@ -61,7 +61,7 @@ def _extra_forces(cfg: SceneConfig, state: State, f):
     if cfg.bond is not None:
         from .forces.bonded import fene_forces
         fb, _ = fene_forces(cfg.bond, cfg.box, state.x, state.bond1,
-                            state.bond2, state.tag, state.alive)
+                            state.bond2, state.alive)
         f = f + fb
     if cfg.langevin is not None:
         from .forces.bonded import langevin_force
@@ -308,15 +308,16 @@ def make_step(cfg: SceneConfig):
 
 
 def make_run(cfg: SceneConfig, nsteps: int):
-    """Fused multi-step runner: lax.scan over the step function, one device
-    dispatch for nsteps.
+    """Fused multi-step runner, one device dispatch for nsteps.
 
-    Perf note (measured at ~100k atoms on v5e): a heavy rebuild branch under
-    lax.cond costs ~9 ms/step even when not taken (broken carry aliasing),
-    but both alternatives tried are worse — nested lax.while_loop segments
-    (+30%: while carries copy) and host-chunked scans with frozen-flag
-    masked writes (2x: tunnel syncs + extra full-state selects).  The
-    round-2 fix is a fused whole-step kernel with no large carry."""
+    cellpad: static rebuild schedule (engine_cellpad.make_run_cellpad) —
+    no data-dependent lax.cond in the hot loop (a cond-guarded rebuild
+    measured ~10.7 ms/step of pure carry overhead at 100k atoms).
+    Other paths: lax.scan over the step function."""
+    cfg = cfg.finalize()
+    if cfg.force_path == "cellpad":
+        from .engine_cellpad import make_run_cellpad
+        return make_run_cellpad(cfg, nsteps)
     step = make_step(cfg)
 
     @jax.jit
@@ -337,20 +338,17 @@ def equilibrate(cfg: SceneConfig, state: State, nsteps: int,
     a0 needs a few hundred tempered steps first)."""
     from .state import temperature
     cfg = cfg.finalize()
-    step = make_step(cfg)
+    run = make_run(cfg, rescale_every)
 
     @jax.jit
-    def block(state):
-        def body(s, _):
-            return step(s), None
-        state, _ = jax.lax.scan(body, state, None, length=rescale_every)
+    def rescale(state):
         t_now = temperature(cfg, state)
         scale = jnp.sqrt(temp / jnp.maximum(t_now, 1e-6))
         v = jnp.where(state.alive[:, None], state.v * scale, state.v)
         return state.replace(v=v)
 
     for _ in range(max(1, nsteps // rescale_every)):
-        state = block(state)
+        state = rescale(run(state))
     return state
 
 

@@ -72,6 +72,11 @@ def obmd_dpd_config(scale: float = 1.0, n_max: Optional[int] = None,
         box=box, masses=(1.0,), pair=pair, dt=0.001464,
         capacity=Capacity(n_max=n_max, cell_capacity=cell_capacity),
         obmd=obmd, dtype=dtype, force_path=force_path,
+        # 0.39 keeps the cell grid at ny=nz=8 (s=64 divides the 128 lanes,
+        # p=2 — the zero-padding-waste packing) while widening the
+        # half-skin drift budget enough for a ~13-step static relayout
+        # period with margin (see engine_cellpad.auto_rebuild_every).
+        skin=0.39,
     ).finalize()
 
 

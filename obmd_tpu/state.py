@@ -61,8 +61,13 @@ class State:
     alive: jnp.ndarray    # [N] bool
     q: jnp.ndarray        # [N] per-atom charge (atom_vec_adress.cpp:23 q_flag)
     mol: jnp.ndarray      # [N] i32 molecule id (0 = not in a molecule)
-    bond1: jnp.ndarray    # [N] i32 tag of 1st bond partner (-1 = none)
-    bond2: jnp.ndarray    # [N] i32 tag of 2nd bond partner (-1 = none)
+    bond1: jnp.ndarray    # [N] i32 SLOT of 1st bond partner (-1 = none);
+    bond2: jnp.ndarray    # [N] i32 SLOT of 2nd bond partner (-1 = none).
+                          # Slot references are remapped by every relayout
+                          # (cellpad.layout_build / relayout_incremental), so
+                          # resolution is exact for any tag value — unlike a
+                          # tag-keyed map, which breaks once inserted tags
+                          # outgrow the capacity (round-1 Weak #3).
     step: jnp.ndarray     # i32 scalar
     sim_time: jnp.ndarray # scalar, advanced in the OBMD stage like the
                           # reference's simulation_time (fix_obmd_merged.cpp:612)
@@ -90,8 +95,8 @@ def init_state(cfg: SceneConfig, x, v=None, types=None, seed: int = 0,
     """Build a State from host arrays of n <= n_max real atoms.
 
     bonds: optional [nb, 2] 1-based atom-tag pairs (chain topology: each
-    atom appears in at most two bonds; stored as per-atom partner tags so
-    the topology survives slot permutations)."""
+    atom appears in at most two bonds; stored as per-atom partner SLOTS,
+    remapped on every relayout)."""
     import numpy as np
 
     dtype = jnp.dtype(cfg.dtype)
@@ -130,10 +135,11 @@ def init_state(cfg: SceneConfig, x, v=None, types=None, seed: int = 0,
         for a, b in np.asarray(bonds, dtype=np.int64):
             for me, other in ((int(a), int(b)), (int(b), int(a))):
                 row = tag2row[me]
+                orow = tag2row[other]
                 if b1[row] < 0:
-                    b1[row] = other
+                    b1[row] = orow
                 elif b2[row] < 0:
-                    b2[row] = other
+                    b2[row] = orow
                 else:
                     raise ValueError(
                         f"atom tag {me} has more than two bonds; chain "

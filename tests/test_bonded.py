@@ -47,10 +47,10 @@ def test_fene_analytic():
     box = Box((0, 0, 0), (10, 10, 10), (True, True, True))
     bp = BondFENEParams(k=30.0, r0=1.5, epsilon=1.0, sigma=1.0)
     x = jnp.asarray([[1.0, 1, 1], [1.97, 1, 1], [2.94, 1, 1]], jnp.float32)
-    b1 = jnp.asarray([2, 1, 2], jnp.int32)
-    b2 = jnp.asarray([-1, 3, -1], jnp.int32)
-    tag = jnp.asarray([1, 2, 3], jnp.int32)
-    f, e = fene_forces(bp, box, x, b1, b2, tag, jnp.ones(3, bool),
+    # partner SLOTS: 0-1 and 1-2 bonded
+    b1 = jnp.asarray([1, 0, 1], jnp.int32)
+    b2 = jnp.asarray([-1, 2, -1], jnp.int32)
+    f, e = fene_forces(bp, box, x, b1, b2, jnp.ones(3, bool),
                        compute_energy=True)
     r = 0.97
     fb = -30.0 / (1 - (r / 1.5) ** 2)
@@ -71,16 +71,15 @@ def test_chain_forces_match_brute_and_engines_agree():
     sn = setup(_cfg(n, "nlist"), st0)
     scp = setup(_cfg(n, "cellpad"), st0)
 
-    b1 = np.asarray(st0.bond1)
+    b1 = np.asarray(st0.bond1)   # partner slots (rows of the init layout)
     b2 = np.asarray(st0.bond2)
-    tags = np.asarray(st0.tag)
     L = 8.0
     F = np.zeros((n, 3))
     for i in range(n):
         for j in range(n):
             if i == j:
                 continue
-            bonded = (b1[i] == tags[j]) or (b2[i] == tags[j])
+            bonded = (b1[i] == j) or (b2[i] == j)
             d = x[i] - x[j]
             d -= L * np.round(d / L)
             rsq = d @ d

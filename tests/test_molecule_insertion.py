@@ -59,14 +59,13 @@ def test_dimer_insertion_usher():
     mols = np.asarray(st.mol)
     # every inserted atom (tag > 300) has exactly one bond partner, the
     # partner is alive with the same molecule id, and the pair is intact
-    tag2i = {int(t): i for i, t in enumerate(tags) if alive[i]}
     new = [i for i in range(len(tags)) if alive[i] and tags[i] > 300]
     # inserted dimers near the open face can exit and are deleted whole, so
     # surviving count is even and bounded by insertions
     assert 0 < len(new) <= n_ins and len(new) % 2 == 0
     for i in new:
-        assert b1[i] > 0
-        j = tag2i[int(b1[i])]
+        assert b1[i] >= 0          # partner SLOT
+        j = int(b1[i])
         assert alive[j]
         assert mols[i] == mols[j] > 0
         d = np.asarray(st.x)[i] - np.asarray(st.x)[j]
@@ -82,6 +81,41 @@ def test_dimer_insertion_near():
     assert int(st.natoms) == 300 - int(st.obmd.ndeleted) + n_ins
 
 
+def test_late_inserted_dimer_keeps_bond_past_tag_overflow():
+    """Round-1 Weak #3 regression: with tag-keyed bond resolution, a dimer
+    inserted after maxtag > capacity silently lost its FENE bond.  Partner
+    SLOTS make resolution exact for any tag value: start with maxtag far
+    beyond the capacity and check that freshly inserted dimers still feel a
+    bond force and still die as a unit."""
+    from obmd_tpu.forces.bonded import fene_forces
+    cfg = _cfg(usher=True)
+    r = np.random.default_rng(9)
+    x = r.uniform([0.05, 0.05, 0.05], [9.95, 3.95, 3.95], (300, 3))
+    st = setup(cfg, init_state(cfg, x, v=r.normal(0, 1, (300, 3))))
+    st = st.replace(maxtag=jnp.asarray(10_000_000, jnp.int32))
+    step = jax.jit(make_step(cfg))
+    for _ in range(6):
+        st = step(st)
+    alive = np.asarray(st.alive)
+    tags = np.asarray(st.tag)
+    new = [i for i in range(len(tags)) if alive[i] and tags[i] > 10_000_000]
+    assert len(new) >= 2, "no insertions landed"
+    f, _ = fene_forces(cfg.bond, cfg.box, st.x, st.bond1, st.bond2, st.alive)
+    f = np.asarray(f)
+    b1 = np.asarray(st.bond1)
+    for i in new:
+        j = int(b1[i])
+        assert j >= 0 and alive[j] and tags[j] > 10_000_000
+        assert np.abs(f[i]).max() > 1e-6, "late-inserted dimer feels no bond"
+    # whole-molecule deletion still fires for them: doom one atom's position
+    i = new[0]
+    st2 = st.replace(x=st.x.at[i].set(jnp.asarray([-0.3, 1.0, 1.0])))
+    from obmd_tpu.obmd.stage import delete_outside
+    st3, _, _ = jax.jit(lambda s: delete_outside(cfg, s))(st2)
+    alive3 = np.asarray(st3.alive)
+    assert not alive3[i] and not alive3[int(b1[i])]
+
+
 def test_molecule_deletion_whole():
     """A dimer straddling the boundary is deleted as a unit."""
     cfg = _cfg(usher=True, n_max=64)
@@ -89,10 +123,10 @@ def test_molecule_deletion_whole():
                     [0.05, 1.0, 1.0],     # dimer atom A (inside)
                     [9.95, 3.0, 3.0]])    # unrelated atom
     st = init_state(cfg, x)
-    # wire atoms 2,3 (tags) as a molecule; push atom A's partner outside
+    # wire rows 1,2 as a molecule (partner SLOTS); push one atom outside
     st = st.replace(
         x=st.x.at[1].set(jnp.asarray([0.05, 1.0, 1.0])),
-        bond1=st.bond1.at[1].set(3).at[2].set(2),
+        bond1=st.bond1.at[1].set(2).at[2].set(1),
         mol=st.mol.at[1].set(7).at[2].set(7))
     # move atom tag 3 (index 2) outside the box
     st = st.replace(x=st.x.at[2].set(jnp.asarray([-0.2, 3.0, 3.0])))
