@@ -287,13 +287,15 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                 xadj = (jnp.where(i == nb - 1, jnp.float32(lx),
                                   jnp.float32(0.0)) if per_x else 0.0)
 
-                def stitch(vm, vn, adj=0.0):
-                    return jnp.where(in_mid, nbr(vm, s, lanes),
-                                     nbr(vn, -(p - 1) * s, lanes) + adj)
+                def stitch(vm, vn, adj=None):
+                    vn_r = nbr(vn, -(p - 1) * s, lanes)
+                    if adj is not None:
+                        vn_r = vn_r + adj
+                    return jnp.where(in_mid, nbr(vm, s, lanes), vn_r)
                 xsrc_f = [stitch(mid_f[0, c], next_f[0, c],
-                                 xadj if c == 0 else 0.0) for c in range(6)]
-                xsrc_t = stitch(mid_t[0].astype(jnp.float32),
-                                next_t[0].astype(jnp.float32)).astype(jnp.int32)
+                                 xadj if (c == 0 and per_x) else None)
+                          for c in range(6)]
+                xsrc_t = stitch(mid_t[0], next_t[0])
                 cross = "last"                    # slab_q == p-1 lanes cross
 
             # y/z rolls with periodic image adjustment on the position lanes

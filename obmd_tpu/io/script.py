@@ -50,6 +50,7 @@ class Interpreter:
         self.cell_capacity = cell_capacity
         self.log = log_fn
         self.variables: Dict[str, object] = {}
+        self.var_exprs: Dict[str, str] = {}   # python source of equal vars
         self.regions: Dict[str, RegionBlock] = {}
         self.boundary = ("f", "p", "p")
         self.atom_style = "atomic"
@@ -148,7 +149,7 @@ class Interpreter:
         name, style = a[0], a[1]
         if style in ("equal", "internal"):
             expr = " ".join(a[2:])
-            self.variables[name] = self._compile_expr(expr)
+            self.variables[name] = self._compile_expr(expr, name)
         elif style in ("index", "string"):
             self.variables[name] = a[2]
         elif style == "delete":
@@ -156,7 +157,7 @@ class Interpreter:
         else:
             raise ScriptError(f"variable style {style} unsupported")
 
-    def _compile_expr(self, expr: str):
+    def _compile_expr(self, expr: str, name: str = ""):
         """Tiny equal-style expression evaluator (variable.cpp subset):
         numbers, + - * / ^ ( ), sin cos exp sqrt PI, time (= step*dt),
         references to other equal variables via v_name."""
@@ -165,6 +166,8 @@ class Interpreter:
                 "ceil": math.ceil, "PI": math.pi, "ln": math.log}
         py = expr.replace("^", "**")
         py = re.sub(r"v_(\w+)", r"_V('\1')", py)
+        if name:
+            self.var_exprs[name] = py
 
         def fn():
             env = dict(safe)
@@ -174,6 +177,34 @@ class Interpreter:
             env["dt"] = self.dt
             return eval(py, {"__builtins__": {}}, env)  # noqa: S307
         return fn
+
+    _TRACED_SAFE = None
+
+    @classmethod
+    def _traced_env(cls):
+        if cls._TRACED_SAFE is None:
+            import jax.numpy as jnp
+            cls._TRACED_SAFE = {
+                "sin": jnp.sin, "cos": jnp.cos, "exp": jnp.exp,
+                "sqrt": jnp.sqrt, "abs": jnp.abs, "floor": jnp.floor,
+                "ceil": jnp.ceil, "PI": math.pi, "ln": jnp.log}
+        return dict(cls._TRACED_SAFE)
+
+    def _eval_traced(self, name: str, t):
+        """Evaluate an equal-style variable with `time` bound to the traced
+        sim time t (jnp ops), recursing into referenced variables."""
+        py = self.var_exprs.get(name)
+        if py is None:
+            v = self.variables.get(name)
+            if v is None:
+                raise ScriptError(f"undefined variable {name}")
+            return float(v() if callable(v) else v)
+        env = self._traced_env()
+        env["_V"] = lambda nm: self._eval_traced(nm, t)
+        env["time"] = t
+        env["step"] = t / self.dt
+        env["dt"] = self.dt
+        return eval(py, {"__builtins__": {}}, env)  # noqa: S307
 
     def cmd_region(self, a):
         # region ID block xlo xhi ylo yhi zlo zhi [units box]
@@ -282,23 +313,40 @@ class Interpreter:
             fn = self.variables.get(name)
             if fn is None:
                 raise ScriptError(f"undefined variable {name}")
-            # expose as a callable of sim time: we close over the
-            # interpreter's evaluator; time-dependence comes through the
-            # traced `t` only if the expression uses `time`.
-            expr_fn = fn
-
-            def param(t):
-                # re-evaluate with `time` bound to traced t where possible:
-                # only pure-python exprs of `time` are supported traced.
-                try:
-                    return expr_fn()
-                except Exception:
-                    return 0.0
-            return float(expr_fn()) if not self._uses_time(name) else param
+            if not self._uses_time(name):
+                return float(fn() if callable(fn) else fn)
+            # time-dependent equal variable: compile into a jnp-traceable
+            # callable of the traced sim time (the reference re-evaluates
+            # v_ params every pre_exchange, fix_obmd_merged.cpp:563-572).
+            # Unsupported constructs fail HERE, at build, not silently.
+            param = lambda t, _n=name: self._eval_traced(_n, t)
+            try:
+                import jax
+                import jax.numpy as jnp
+                jax.eval_shape(param, jax.ShapeDtypeStruct((), jnp.float32))
+            except ScriptError:
+                raise
+            except Exception as e:
+                raise ScriptError(
+                    f"variable {name} cannot be traced as a function of "
+                    f"time: {e}") from e
+            return param
         return float(tok)
 
-    def _uses_time(self, name) -> bool:
-        return False  # conservative: equal vars resolved at build time
+    def _uses_time(self, name, _seen=None) -> bool:
+        """True when the equal-style expression (transitively) references
+        `time` or `step`."""
+        _seen = _seen or set()
+        if name in _seen:
+            return False
+        _seen.add(name)
+        py = self.var_exprs.get(name)
+        if py is None:
+            return False
+        if re.search(r"\b(time|step)\b", py):
+            return True
+        return any(self._uses_time(m, _seen)
+                   for m in re.findall(r"_V\('(\w+)'\)", py))
 
     def _build_pair(self, ntypes: int):
         p = self.pair

@@ -99,3 +99,69 @@ def test_unknown_command_strict(tmp_path):
         it.one("kspace_style pppm 1e-4")
     it2 = Interpreter(strict=False, log_fn=lambda *a: None)
     it2.one("kspace_style pppm 1e-4")  # warns only
+
+
+def test_deck_time_dependent_variable(tmp_path):
+    """Round-1 Weak #4 regression: `fix obmd ... v_p ...` with a
+    time-dependent equal variable must compile into a traced callable of
+    sim time (ref re-evaluates v_ params every pre_exchange,
+    fix_obmd_merged.cpp:563-572), not freeze to a build-time constant or
+    silently become 0."""
+    import jax.numpy as jnp
+    data = _write_data(tmp_path)
+    deck = f"""
+units           lj
+boundary        f p p
+atom_style      atomic
+region          leftB block 0.0 1.6 0.0 4.0 0.0 4.0
+region          rightB block 6.4 8.0 0.0 4.0 0.0 4.0
+region          zs block 0.0 0.0 0.0 0.0 0.0 0.0
+pair_style      dpd 1.0 1.0 4321
+read_data       {data}
+pair_coeff      * * 25.0 4.5 1.0
+timestep        0.01
+variable        amp equal 60
+variable        p equal 188+v_amp*sin(2*PI*2*time)
+fix             1 all nve
+fix             2 all obmd 1 1 987 v_p 0.0 0.0 0.0 0.0 0.7 0.01 130 &
+                region1 leftB region2 rightB region3 zs region4 zs &
+                region5 leftB region6 rightB buffersize 1.6 near 1 0.5
+run             2
+"""
+    out = []
+    it = Interpreter(log_fn=out.append)
+    it.run_lines(deck.splitlines())
+    pxx = it.cfg.obmd.pxx
+    assert callable(pxx)
+    # pxx(t) = 188 + 60 sin(4 pi t)
+    for t in (0.0, 0.125, 0.37):
+        want = 188.0 + 60.0 * np.sin(4.0 * np.pi * t)
+        got = float(pxx(jnp.asarray(t, jnp.float32)))
+        assert abs(got - want) < 1e-3, (t, got, want)
+    # constant v_ params still resolve to plain floats at build
+    assert isinstance(it.cfg.obmd.alpha, float)
+
+
+def test_deck_untraceable_variable_raises(tmp_path):
+    data = _write_data(tmp_path)
+    deck = f"""
+units           lj
+boundary        f p p
+atom_style      atomic
+region          leftB block 0.0 1.6 0.0 4.0 0.0 4.0
+region          rightB block 6.4 8.0 0.0 4.0 0.0 4.0
+region          zs block 0.0 0.0 0.0 0.0 0.0 0.0
+pair_style      dpd 1.0 1.0 4321
+read_data       {data}
+pair_coeff      * * 25.0 4.5 1.0
+variable        bad equal time+v_missing
+fix             1 all nve
+fix             2 all obmd 1 1 987 v_bad 0.0 0.0 0.0 0.0 0.7 0.01 130 &
+                region1 leftB region2 rightB region3 zs region4 zs &
+                region5 leftB region6 rightB buffersize 1.6 near 1 0.5
+timestep        0.01
+run             0
+"""
+    it = Interpreter()
+    with pytest.raises(ScriptError):
+        it.run_lines(deck.splitlines())
