@@ -1,0 +1,673 @@
+"""Multi-chip SPMD step: spatial x-slab decomposition with ppermute halos.
+
+The scale-out path (SURVEY.md §2.4): the box is cut into `ndev` equal
+x-slabs, device d owns the atoms whose x falls in slab d, and each step does
+
+  * **halo exchange** — atoms within the pair cutoff of a slab face are
+    copied to the adjacent device with `lax.ppermute` over ICI (the
+    borders()/forward_comm() analogue, comm_brick.cpp:771/:538; velocities
+    ride along as DPD requires, comm.cpp:192,201),
+  * **migration** — atoms that drifted across a slab face move to the
+    neighbor device's free slots (the exchange() analogue,
+    comm_brick.cpp:652), also via `ppermute`,
+  * **local forces** — full-neighbor evaluation over (owned + halo) atoms
+    through a per-slab cell grid, so no reverse_comm analogue is needed
+    (each owner computes both sides of its atoms' pairs; the counter-based
+    pair noise keyed by the unordered TAG pair makes Newton's third law
+    hold bitwise across devices),
+  * **psum** for every global scalar the reference computes with
+    MPI_Allreduce (deletion tallies, buffer census, weight normalizations,
+    fix_obmd_merged.cpp:604-605,677-678,1305).
+
+Per-device memory is O(N/ndev + halo): positions are never all-gathered.
+OBMD insertion is rank-collective in the reference by construction
+(same-seeded RanPark on every rank, fix_obmd_merged.cpp:275, with each
+rank scanning only its local atoms and 3 MPI_Allreduce per USHER
+iteration, :1561-1563): here every device draws identical candidates from
+the replicated key, computes candidate-vs-local partial energies, and a
+`psum` of the [K]-sized partials completes them — every device then steps
+the identical USHER trajectory and reaches the identical acceptance with
+no position communication at all.  Accepted candidates are written by the
+device whose slab contains them.
+
+Supported: ATOM-mode scenes (no bonds / molecule templates), open x.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import rng
+from ..cells import BIG, GridSpec, build_cells
+from ..config import SceneConfig, eval_param
+from ..forces.gathered import forces_for_subset
+from ..integrate import PURPOSE_PAIR_NOISE
+from ..obmd.stage import _sequential_accept, feedback_count, smooth_weight
+from ..obmd.subset import Subset, expand_region
+from ..state import State
+
+AXIS = "slabs"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()[:n_devices] if n_devices else jax.devices()
+    return Mesh(np.asarray(devs), (AXIS,))
+
+
+@dataclasses.dataclass(frozen=True)
+class SlabGeom:
+    """Static geometry of the x-slab decomposition."""
+
+    ndev: int
+    n_loc: int          # per-device slot capacity
+    slab_w: float       # slab width (uniform)
+    x0: float           # box.lo[0]
+    h_max: int          # halo buffer capacity per face
+    m_max: int          # migration buffer capacity per face per step
+    b_max: int          # per-device insertion-subset capacity
+    spec_local: GridSpec  # per-slab cell grid in the slab frame
+    halo_w: float       # halo width (= pair cutoff)
+
+    @property
+    def capacity(self) -> int:
+        return self.ndev * self.n_loc
+
+
+def make_slab_geom(cfg: SceneConfig, ndev: int, *, n_loc: int = 0,
+                   h_max: int = 0, m_max: int = 0,
+                   b_max: int = 0) -> SlabGeom:
+    cfg = cfg.finalize()
+    box = cfg.box
+    if box.periodic[0]:
+        raise ValueError("slab decomposition requires open (non-periodic) x")
+    if cfg.bond is not None or (cfg.obmd is not None
+                                and cfg.obmd.mol is not None):
+        raise NotImplementedError("slab path: ATOM-mode scenes only")
+    cut = float(cfg.pair.max_cut)
+    lx = box.lengths[0]
+    slab_w = lx / ndev
+    if slab_w < cut:
+        raise ValueError(f"slab width {slab_w:.3g} < cutoff {cut:.3g}: "
+                         f"too many devices for this box")
+    n_max = cfg.capacity.n_max
+    if n_loc <= 0:
+        n_loc = -(-n_max // ndev)
+    # per-slab grid in the slab frame x' = x - lo_d: one pad cell per face
+    # holds the halo (cell size >= cutoff by construction)
+    gs = GridSpec.create(box, cut + cfg.skin, cfg.capacity.cell_capacity)
+    csx_in = cut + cfg.skin
+    n_in = max(1, int(np.floor(slab_w / csx_in)))
+    cs_x = slab_w / n_in
+    spec_local = GridSpec(
+        dims=(n_in + 2, gs.dims[1], gs.dims[2]),
+        cell_size=(cs_x, gs.cell_size[1], gs.cell_size[2]),
+        lo=(-cs_x, box.lo[1], box.lo[2]),
+        periodic=(False, box.periodic[1], box.periodic[2]),
+        capacity=cfg.capacity.cell_capacity)
+    if h_max <= 0:
+        # halo volume fraction of the slab, with 4x headroom
+        h_max = max(64, int(4 * n_loc * cut / slab_w))
+    if m_max <= 0:
+        m_max = max(32, n_loc // 8)
+    if b_max <= 0:
+        # a device can contribute at most its own atoms to a region subset
+        b_max = min(n_loc, cfg.capacity.insert_region_max or n_loc)
+    return SlabGeom(ndev=ndev, n_loc=n_loc, slab_w=slab_w, x0=box.lo[0],
+                    h_max=h_max, m_max=m_max, b_max=b_max,
+                    spec_local=spec_local, halo_w=cut)
+
+
+def shard_by_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
+                  mesh: Mesh) -> State:
+    """Host-side: repack a (setup) state into slab-major slot order, pad each
+    slab to n_loc, and place it sharded over the mesh."""
+    ndev, n_loc = geom.ndev, geom.n_loc
+    x = np.asarray(state.x)
+    alive = np.asarray(state.alive)
+    slab = np.clip(((x[:, 0] - geom.x0) / geom.slab_w).astype(np.int64),
+                   0, ndev - 1)
+    center = np.asarray([(l + h) * 0.5
+                         for l, h in zip(cfg.box.lo, cfg.box.hi)], x.dtype)
+
+    def blank(arr, fill):
+        out = np.full((ndev * n_loc,) + arr.shape[1:], fill, arr.dtype)
+        return out
+
+    nx = blank(x, 0.0)
+    nx[:] = center
+    nv = blank(np.asarray(state.v), 0.0)
+    nf = blank(np.asarray(state.f), 0.0)
+    nt = blank(np.asarray(state.type), 0)
+    ng = blank(np.asarray(state.tag), -1)
+    na = blank(alive, False)
+    nq = blank(np.asarray(state.q), 0.0)
+    nm = blank(np.asarray(state.mol), 0)
+    fills = np.zeros(ndev, np.int64)
+    for i in np.nonzero(alive)[0]:
+        d = slab[i]
+        j = d * n_loc + fills[d]
+        if fills[d] >= n_loc:
+            raise ValueError(f"slab {d} holds more than n_loc={n_loc} atoms")
+        fills[d] += 1
+        nx[j] = x[i]
+        nv[j] = np.asarray(state.v)[i]
+        nf[j] = np.asarray(state.f)[i]
+        nt[j] = np.asarray(state.type)[i]
+        ng[j] = np.asarray(state.tag)[i]
+        na[j] = True
+        nq[j] = np.asarray(state.q)[i]
+        nm[j] = np.asarray(state.mol)[i]
+
+    n_cap = ndev * n_loc
+    new = State(
+        x=jnp.asarray(nx), v=jnp.asarray(nv), f=jnp.asarray(nf),
+        type=jnp.asarray(nt), tag=jnp.asarray(ng), alive=jnp.asarray(na),
+        q=jnp.asarray(nq), mol=jnp.asarray(nm),
+        bond1=jnp.full((n_cap,), -1, jnp.int32),
+        bond2=jnp.full((n_cap,), -1, jnp.int32),
+        step=state.step, sim_time=state.sim_time, maxtag=state.maxtag,
+        key=state.key, obmd=state.obmd, cell_overflow=state.cell_overflow,
+        nbrs=None)
+
+    def put(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and \
+                leaf.shape[0] == n_cap:
+            return jax.device_put(leaf, NamedSharding(mesh, P(AXIS)))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+    return jax.tree_util.tree_map(put, new)
+
+
+# --------------------------------------------------------------------------
+# ppermute plumbing
+# --------------------------------------------------------------------------
+
+def _send_right(val, ndev):
+    """Device d's val goes to device d+1 (device 0 receives zeros)."""
+    return jax.lax.ppermute(val, AXIS,
+                            [(i, i + 1) for i in range(ndev - 1)])
+
+
+def _send_left(val, ndev):
+    return jax.lax.ppermute(val, AXIS,
+                            [(i, i - 1) for i in range(1, ndev)])
+
+
+def _pack_rows(mask, cap, *arrays, n):
+    """Compact rows selected by `mask` into fixed-size [cap] buffers.
+    Returns (idx [cap] with n = padding, packed arrays, n_missed)."""
+    idx = jnp.nonzero(mask, size=cap, fill_value=n)[0].astype(jnp.int32)
+    valid = idx < n
+    safe = jnp.clip(idx, 0, n - 1)
+    packed = [jnp.where(valid if a.ndim == 1 else valid[:, None],
+                        a[safe], jnp.zeros_like(a[safe])) for a in arrays]
+    missed = jnp.sum(mask.astype(jnp.int32)) - jnp.sum(valid.astype(jnp.int32))
+    return idx, valid, packed, missed
+
+
+# --------------------------------------------------------------------------
+# the sharded step
+# --------------------------------------------------------------------------
+
+def make_slab_step(cfg: SceneConfig, mesh: Mesh,
+                   geom: Optional[SlabGeom] = None):
+    """Jitted sharded step(state) -> state over the x-slab mesh; same
+    semantics as integrate.make_step (validated in tests/test_slab.py)."""
+    cfg = cfg.finalize()
+    ndev = mesh.devices.size
+    if geom is None:
+        geom = make_slab_geom(cfg, ndev)
+    if geom.ndev != ndev:
+        raise ValueError("geom/mesh device count mismatch")
+    n_loc, h_max, m_max = geom.n_loc, geom.h_max, geom.m_max
+    dt = float(cfg.dt)
+    obmd = cfg.obmd
+    masses = tuple(cfg.masses)
+    box = cfg.box
+    spec_local = geom.spec_local
+    seed = getattr(cfg.pair, "seed", 0)
+
+    def local_mass(types, dtype):
+        return jnp.asarray(masses, dtype=dtype)[types]
+
+    def my_lo(me, dtype):
+        return dtype(geom.x0) + me.astype(dtype) * dtype(geom.slab_w)
+
+    def spmd_step(state: State) -> State:
+        dtype = state.x.dtype.type
+        me = jax.lax.axis_index(AXIS)
+        lo_d = my_lo(me, dtype)
+        hi_d = lo_d + dtype(geom.slab_w)
+
+        m = local_mass(state.type, state.x.dtype)[:, None]
+        alive3 = state.alive[:, None]
+        dtf = dtype(0.5 * dt)
+
+        # ---- initial integrate (local) + wrap (y/z) ----
+        v = jnp.where(alive3, state.v + dtf * state.f / m, state.v)
+        x = jnp.where(alive3, state.x + dtype(dt) * v, state.x)
+        state = state.replace(x=box.wrap(x), v=v)
+
+        # ---- OBMD pre-exchange (delete / census / insert; psum scalars) ----
+        if obmd is not None:
+            nfreq = obmd.nfreq
+            if nfreq <= 1:
+                state = _pre_exchange_slab(cfg, geom, state, me, lo_d, hi_d)
+            else:
+                state = jax.lax.cond(
+                    state.step % nfreq == 0,
+                    lambda s: _pre_exchange_slab(cfg, geom, s, me, lo_d, hi_d),
+                    lambda s: s, state)
+
+        # ---- migration: atoms that crossed a slab face (exchange()) ----
+        state = _migrate(cfg, geom, state, me, lo_d, hi_d)
+
+        # ---- halo exchange + local forces ----
+        f, miss = _forces_slab(cfg, geom, state, me, lo_d)
+        state = state.replace(cell_overflow=state.cell_overflow + miss)
+        if obmd is not None:
+            f = _boundary_force_psum(cfg, state, f)
+        f = jnp.where(state.alive[:, None], f, 0.0)
+
+        # ---- final integrate (local) ----
+        m = local_mass(state.type, state.x.dtype)[:, None]
+        v = jnp.where(state.alive[:, None], state.v + dtf * f / m, state.v)
+        return state.replace(v=v, f=f, step=state.step + 1)
+
+    n_cap = geom.capacity
+
+    def leaf_spec(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and \
+                leaf.shape[0] == n_cap:
+            return P(AXIS)
+        return P()
+
+    def step(state: State) -> State:
+        sp = jax.tree_util.tree_map(leaf_spec, state)
+        fn = jax.shard_map(spmd_step, mesh=mesh, in_specs=(sp,),
+                           out_specs=sp, check_vma=False)
+        return fn(state)
+
+    return jax.jit(step)
+
+
+def _migrate(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d, hi_d):
+    """Move atoms whose x left my slab to the adjacent device's free slots
+    (comm_brick.cpp:652 exchange(), dim-by-dim -> here only x can cross).
+    Atoms beyond the open box faces stay with the edge device until the OBMD
+    stage deletes them."""
+    ndev, n_loc, m_max = geom.ndev, geom.n_loc, geom.m_max
+    x0 = state.x[:, 0]
+    go_l = state.alive & (x0 < lo_d) & (me > 0)
+    go_r = state.alive & (x0 >= hi_d) & (me < ndev - 1)
+
+    def pack_dir(mask):
+        idx, valid, (px, pv, pq), missed = _pack_rows(
+            mask, m_max, state.x, state.v, state.q, n=n_loc)
+        safe = jnp.clip(idx, 0, n_loc - 1)
+        pt = jnp.where(valid, state.type[safe], 0)
+        pg = jnp.where(valid, state.tag[safe], 0)
+        pm = jnp.where(valid, state.mol[safe], 0)
+        ints = jnp.stack([pt, pg, pm, valid.astype(jnp.int32)], axis=1)
+        return idx, px, pv, pq, ints, missed
+
+    idx_l, xl, vl, ql, il, miss_l = pack_dir(go_l)
+    idx_r, xr, vr, qr, ir, miss_r = pack_dir(go_r)
+
+    # clear movers locally (their payload is in flight)
+    gone = go_l | go_r
+    alive = state.alive & ~gone
+    tag = jnp.where(gone, -1, state.tag)
+
+    # exchange: my left-movers arrive at device me-1 as its from-right batch
+    rx, rv, rq, ri = (_send_left(a, ndev) for a in (xl, vl, ql, il))
+    lx_, lv_, lq_, li_ = (_send_right(a, ndev) for a in (xr, vr, qr, ir))
+
+    ax = jnp.concatenate([rx, lx_])
+    av = jnp.concatenate([rv, lv_])
+    aq = jnp.concatenate([rq, lq_])
+    ai = jnp.concatenate([ri, li_])
+    avalid = ai[:, 3] > 0
+
+    # place arrivals into local free slots
+    m2 = 2 * m_max
+    free = jnp.nonzero(~alive, size=m2, fill_value=n_loc)[0].astype(jnp.int32)
+    order = jnp.cumsum(avalid.astype(jnp.int32)) - 1
+    slot = jnp.where(avalid, free[jnp.clip(order, 0, m2 - 1)], n_loc)
+    landed = avalid & (slot < n_loc)
+    lost = (jnp.sum(avalid.astype(jnp.int32))
+            - jnp.sum(landed.astype(jnp.int32)) + miss_l + miss_r)
+
+    x = state.x.at[slot].set(ax, mode="drop")
+    v = state.v.at[slot].set(av, mode="drop")
+    q = state.q.at[slot].set(aq, mode="drop")
+    typ = state.type.at[slot].set(ai[:, 0], mode="drop")
+    tag = tag.at[slot].set(ai[:, 1], mode="drop")
+    mol = state.mol.at[slot].set(ai[:, 2], mode="drop")
+    alive = alive.at[slot].set(landed, mode="drop")
+
+    lost_all = jax.lax.psum(lost, AXIS)
+    return state.replace(x=x, v=v, q=q, type=typ, tag=tag, mol=mol,
+                         alive=alive,
+                         cell_overflow=state.cell_overflow + lost_all)
+
+
+def _halo_arrays(cfg: SceneConfig, geom: SlabGeom, state: State, lo_d):
+    """Build (xs_full, v_full, type_full, tag_full, q_full, valid_full) =
+    owned + left-halo + right-halo, positions shifted into the slab frame
+    x' = x - lo_d.  The halo payloads travel by ppermute (borders() +
+    forward_comm() with velocities, comm_brick.cpp:771/:538)."""
+    ndev, n_loc, h_max = geom.ndev, geom.n_loc, geom.h_max
+    dtype = state.x.dtype.type
+    w = dtype(geom.halo_w)
+    hi_d = lo_d + dtype(geom.slab_w)
+    x0 = state.x[:, 0]
+
+    near_lo = state.alive & (x0 < lo_d + w)     # -> left neighbor's halo
+    near_hi = state.alive & (x0 >= hi_d - w)    # -> right neighbor's halo
+
+    def pack(mask):
+        idx, valid, (px, pv), missed = _pack_rows(
+            mask, h_max, state.x, state.v, n=n_loc)
+        safe = jnp.clip(idx, 0, n_loc - 1)
+        pq = jnp.where(valid, state.q[safe], dtype(0.0))
+        pt = jnp.where(valid, state.type[safe], 0)
+        pg = jnp.where(valid, state.tag[safe], 0)
+        ints = jnp.stack([pt, pg, valid.astype(jnp.int32)], axis=1)
+        return px, pv, pq, ints, missed
+
+    lx, lv, lq, li, miss_l = pack(near_lo)
+    rx, rv, rq, ri, miss_r = pack(near_hi)
+
+    # my lower-edge batch goes left and arrives as the LEFT neighbor's
+    # right halo; symmetrically my upper-edge batch goes right.  So my own
+    # right halo is the right neighbor's lower-edge batch (sent left), and
+    # my left halo is the left neighbor's upper-edge batch (sent right).
+    halo_r_x, halo_r_v, halo_r_q, halo_r_i = (
+        _send_left(a, ndev) for a in (lx, lv, lq, li))
+    halo_l_x, halo_l_v, halo_l_q, halo_l_i = (
+        _send_right(a, ndev) for a in (rx, rv, rq, ri))
+
+    shift = jnp.stack([lo_d, dtype(0.0), dtype(0.0)])
+
+    def frame(xs, valid):
+        xs = xs - shift[None, :]
+        return jnp.where(valid[:, None], xs, dtype(BIG))
+
+    valid_l = halo_l_i[:, 2] > 0
+    valid_r = halo_r_i[:, 2] > 0
+    xs_full = jnp.concatenate([
+        frame(state.x, state.alive),
+        frame(halo_l_x, valid_l),
+        frame(halo_r_x, valid_r)])
+    v_full = jnp.concatenate([state.v, halo_l_v, halo_r_v])
+    q_full = jnp.concatenate([state.q, halo_l_q, halo_r_q])
+    t_full = jnp.concatenate([state.type, halo_l_i[:, 0], halo_r_i[:, 0]])
+    g_full = jnp.concatenate([state.tag, halo_l_i[:, 1], halo_r_i[:, 1]])
+    valid_full = jnp.concatenate([state.alive, valid_l, valid_r])
+    miss = miss_l + miss_r
+    return xs_full, v_full, t_full, g_full, q_full, valid_full, miss
+
+
+def _forces_slab(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d):
+    """Pair forces on owned atoms from (owned + halo) neighbors through the
+    per-slab cell grid.  Returns (f, n_missed) where n_missed counts halo
+    buffer + cell-table overflow (loud diagnostic, must stay 0)."""
+    n_loc = geom.n_loc
+    spec = geom.spec_local
+    (xs_full, v_full, t_full, g_full, q_full, valid_full,
+     halo_miss) = _halo_arrays(cfg, geom, state, lo_d)
+
+    ctab = build_cells(spec, xs_full, valid_full)
+    salt = rng.step_salt(getattr(cfg.pair, "seed", 0), state.step,
+                         PURPOSE_PAIR_NOISE)
+    my_slot = jnp.arange(n_loc, dtype=jnp.int32)
+    f, _pe = forces_for_subset(
+        cfg.pair, cfg.box, spec, ctab, xs_full, v_full, t_full, g_full,
+        q_full, my_slot, xs_full[:n_loc], state.v, state.type, state.tag,
+        state.q, salt, dt=float(cfg.dt))
+    miss_all = jax.lax.psum(halo_miss + ctab.overflow, AXIS)
+    return f, miss_all
+
+
+def _local_region_subset(cfg: SceneConfig, geom: SlabGeom, state: State,
+                         region, pad: float):
+    """MY atoms within `pad` of `region` as a fixed [b_max] Subset.  Each
+    device contributes only its own slab's slice; candidate energies are
+    completed by psum — the reference's per-rank energy() scan +
+    MPI_Allreduce scheme (fix_obmd_merged.cpp:1561-1563,1774-1812), which
+    keeps per-device memory O(N/ndev) with no gathered positions."""
+    n_loc, b_max = geom.n_loc, geom.b_max
+    dtype = state.x.dtype.type
+    exp = expand_region(region, pad)
+    mask = state.alive & exp.match(state.x)
+    idx, valid, (px,), missed = _pack_rows(mask, b_max, state.x, n=n_loc)
+    safe = jnp.clip(idx, 0, n_loc - 1)
+    pt = jnp.where(valid, state.type[safe], 0)
+    pq = jnp.where(valid, state.q[safe], dtype(0.0))
+    px = jnp.where(valid[:, None], px, dtype(BIG))
+    overflow = jax.lax.psum(missed, AXIS) > 0
+    return Subset(idx=idx, x=px, type=pt, q=pq, valid=valid,
+                  overflow=overflow)
+
+
+def _psum_energy_force(cfg, sub: Subset, pos, ctype):
+    """Total trial E/F = psum of the candidate-vs-local partials (the 3
+    MPI_Allreduce at fix_obmd_merged.cpp:1561-1563)."""
+    from ..obmd.subset import conservative_energy_force
+    E, F = conservative_energy_force(cfg.pair, sub, cfg.box, pos, ctype)
+    return jax.lax.psum(E, AXIS), jax.lax.psum(F, AXIS)
+
+
+def _usher_search_psum(cfg: SceneConfig, sub: Subset, cand_x, cand_type,
+                       region):
+    """Vectorized USHER with psum-completed energies — identical iteration
+    semantics to obmd.subset.usher_search_subset (ref :1518-1616), and the
+    psum'd E/F make every device compute the identical trajectory, so
+    acceptance is rank-collective without communication of positions."""
+    from ..obmd.subset import EPSILON
+    u = cfg.obmd.usher
+
+    def body(carry, _):
+        pos, active, accepted, iters = carry
+        E, F = _psum_energy_force(cfg, sub, pos, cand_type)
+        ok = E < u.etarget + EPSILON
+        newly = active & ok
+        fabs = jnp.sqrt(jnp.sum(F * F, axis=-1))
+        degen = fabs < EPSILON
+        ds_ovlp = u.dsovlp - (4.0 * u.eps
+                              / jnp.maximum(E, EPSILON)) ** (1.0 / 12.0)
+        ds_norm = jnp.minimum((E - u.etarget) / jnp.maximum(fabs, EPSILON),
+                              u.ds0)
+        ds = jnp.where(E > u.uovlp, ds_ovlp, ds_norm)
+        unit = F / jnp.maximum(fabs, EPSILON)[:, None]
+        moved = pos + unit * ds[:, None]
+        inside = region.match(moved)
+        move_now = active & ~ok & ~degen
+        pos = jnp.where(move_now[:, None], moved, pos)
+        stopped = newly | (active & degen) | (move_now & ~inside)
+        active = active & ~stopped
+        accepted = accepted | newly
+        iters = iters + active.astype(jnp.int32)
+        return (pos, active, accepted, iters), None
+
+    k = cand_x.shape[0]
+    init = (cand_x, jnp.ones((k,), bool), jnp.zeros((k,), bool),
+            jnp.zeros((k,), jnp.int32))
+    (pos, active, accepted, iters), _ = jax.lax.scan(
+        body, init, None, length=u.nattempt)
+    E, _ = _psum_energy_force(cfg, sub, pos, cand_type)
+    accepted = accepted | (active & (E < u.etarget + EPSILON))
+    return pos, accepted, iters
+
+
+def _near_check_psum(cfg: SceneConfig, sub: Subset, cand_x):
+    """`near` distance test with the global minimum over all devices'
+    local subsets (pmin = the Allreduce MIN analogue)."""
+    d = cfg.box.min_image(cand_x[:, None, :] - sub.x[None, :, :])
+    rsq = jnp.sum(d * d, axis=-1)
+    min_rsq = jnp.min(jnp.where(sub.valid[None, :], rsq, jnp.inf), axis=-1)
+    min_rsq = jax.lax.pmin(min_rsq, AXIS)
+    return min_rsq >= cfg.obmd.near ** 2
+
+
+def _pre_exchange_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
+                       me, lo_d, hi_d):
+    """OBMD stage under the slab decomposition: local deletion with psum
+    tallies, psum census, rank-collective insertion on gathered buffer
+    subsets with placement by the positional owner."""
+    obmd = cfg.obmd
+    box = cfg.box
+    dtype = state.x.dtype.type
+    dt = dtype(cfg.dt)
+    t = state.sim_time
+    n_loc = geom.n_loc
+
+    pxx = eval_param(obmd.pxx, t)
+    pxy = eval_param(obmd.pxy, t)
+    pxz = eval_param(obmd.pxz, t)
+    dpxx = eval_param(obmd.dpxx, t)
+    freq = eval_param(obmd.freq, t)
+    alpha = eval_param(obmd.alpha, t)
+    tau = eval_param(obmd.tau, t)
+    nbuf = eval_param(obmd.nbuf, t)
+
+    # ---- deletion (ref try_deleting :639-865): local + psum tallies ----
+    x0 = state.x[:, 0]
+    doomed = state.alive & ((x0 < box.lo[0]) | (x0 > box.hi[0]))
+    mid = 0.5 * (box.lo[0] + box.hi[0])
+    left = doomed & (x0 < mid)
+    m = jnp.asarray(cfg.masses, state.x.dtype)[state.type]
+    mv = m[:, None] * state.v
+    vnewl = jax.lax.psum(
+        jnp.sum(jnp.where(left[:, None], mv, 0.0), axis=0), AXIS)
+    vnewr = jax.lax.psum(
+        jnp.sum(jnp.where((doomed & ~left)[:, None], mv, 0.0), axis=0), AXIS)
+    ndel = jax.lax.psum(jnp.sum(doomed.astype(jnp.int32)), AXIS)
+    state = state.replace(alive=state.alive & ~doomed,
+                          tag=jnp.where(doomed, -1, state.tag),
+                          obmd=state.obmd.replace(
+                              ndeleted=state.obmd.ndeleted + ndel))
+
+    # ---- census + feedback law (group.cpp:793 + ref :586-589) ----
+    def pcount(region):
+        local = jnp.sum((state.alive
+                         & region.match(state.x)).astype(jnp.int32))
+        return jax.lax.psum(local, AXIS)
+
+    nins_l = feedback_count(pcount(obmd.region1), obmd.mol_len, alpha, nbuf,
+                            dt, tau)
+    nins_r = feedback_count(pcount(obmd.region2), obmd.mol_len, alpha, nbuf,
+                            dt, tau)
+
+    # ---- insertion: identical candidates on every device (replicated ----
+    # ---- key, ref :275 same-seeded RanPark), energies completed by ----
+    # ---- psum, placement by the positional owner ----
+    K = obmd.insert_kmax
+    pad = cfg.pair.max_cut + cfg.skin
+    sub_l = _local_region_subset(cfg, geom, state, obmd.region5, pad)
+    sub_r = _local_region_subset(cfg, geom, state, obmd.region6, pad)
+
+    key = rng.fold_key(state.key, state.step)
+    kl, kr, knext = jax.random.split(key, 3)
+
+    def one_side(k_key, region, budget, sub):
+        u = jax.random.uniform(k_key, (K, 3), dtype=state.x.dtype)
+        cand = region.sample_uniform(u)
+        ctype = jnp.full((K,), obmd.ntype, jnp.int32)
+        if obmd.usher is not None:
+            pos, ok, iters = _usher_search_psum(cfg, sub, cand, ctype,
+                                                region)
+        else:
+            ok = _near_check_psum(cfg, sub, cand)
+            pos, iters = cand, jnp.zeros((K,), jnp.int32)
+        budget = jnp.clip(budget, 0, K)
+        accepted, _cnt = _sequential_accept(cfg, pos, ctype, ok, budget)
+        return pos, accepted, iters
+
+    pos_l, acc_l, it_l = one_side(kl, obmd.region5, nins_l, sub_l)
+    pos_r, acc_r, it_r = one_side(kr, obmd.region6, nins_r, sub_r)
+    pos = jnp.concatenate([pos_l, pos_r])                 # [2K, 3]
+    accepted = jnp.concatenate([acc_l, acc_r])            # [2K]
+
+    mine = accepted & (pos[:, 0] >= lo_d) & (pos[:, 0] < hi_d)
+    # edge devices own any spill beyond the box faces (cannot happen for
+    # in-region candidates, but keep the tiling airtight)
+    ndev = geom.ndev
+    mine = mine | (accepted & (me == 0) & (pos[:, 0] < lo_d))
+    mine = mine | (accepted & (me == ndev - 1) & (pos[:, 0] >= hi_d))
+
+    m2 = 2 * K
+    free = jnp.nonzero(~state.alive, size=m2,
+                       fill_value=n_loc)[0].astype(jnp.int32)
+    lrank = jnp.cumsum(mine.astype(jnp.int32)) - 1
+    slot = jnp.where(mine, free[jnp.clip(lrank, 0, m2 - 1)], n_loc)
+    landed = mine & (slot < n_loc)
+    order = jnp.cumsum(accepted.astype(jnp.int32)) - 1    # global, replicated
+    new_tag = state.maxtag + 1 + order.astype(jnp.int32)
+
+    dtype_arr = state.x.dtype
+    x = state.x.at[slot].set(pos, mode="drop")
+    v = state.v.at[slot].set(jnp.zeros((m2, 3), dtype_arr), mode="drop")
+    f = state.f.at[slot].set(jnp.zeros((m2, 3), dtype_arr), mode="drop")
+    typ = state.type.at[slot].set(jnp.full((m2,), obmd.ntype, jnp.int32),
+                                  mode="drop")
+    tag = state.tag.at[slot].set(new_tag, mode="drop")
+    qn = state.q.at[slot].set(jnp.zeros((m2,), dtype_arr), mode="drop")
+    alive = state.alive.at[slot].set(landed, mode="drop")
+
+    n_landed = jax.lax.psum(jnp.sum(landed.astype(jnp.int32)), AXIS)
+    want = jnp.clip(nins_l, 0) + jnp.clip(nins_r, 0)
+    state = state.replace(
+        x=x, v=v, f=f, type=typ, tag=tag, q=qn, alive=alive,
+        maxtag=state.maxtag + n_landed, key=knext,
+        obmd=state.obmd.replace(
+            ninserted=state.obmd.ninserted + n_landed,
+            insert_fail=state.obmd.insert_fail +
+            jnp.maximum(want - n_landed, 0),
+            usher_iters=state.obmd.usher_iters
+            + jnp.sum(it_l) + jnp.sum(it_r)))
+
+    # ---- setpoint forces for this step's post_force (ref :607-630) ----
+    area = dtype(box.cross_area)
+    sim_time = t + dt
+    factor = pxx + dpxx * jnp.sin(2.0 * jnp.pi * freq * sim_time)
+    mfl = jnp.stack([vnewl[0] / dt + factor * area, vnewl[1] / dt,
+                     vnewl[2] / dt])
+    mfr = jnp.stack([vnewr[0] / dt - pxx * area, vnewr[1] / dt,
+                     vnewr[2] / dt])
+    sfl = jnp.stack([dtype(0.0), pxy * area, pxz * area])
+    return state.replace(
+        sim_time=sim_time,
+        obmd=state.obmd.replace(
+            momentum_force_left=mfl.astype(dtype_arr),
+            momentum_force_right=mfr.astype(dtype_arr),
+            shear_force_left=sfl.astype(dtype_arr),
+            shear_force_right=(-sfl).astype(dtype_arr)))
+
+
+def _boundary_force_psum(cfg: SceneConfig, state: State, f: jnp.ndarray):
+    """Boundary-force distribution with psum'd weight normalization (the
+    MPI_Allreduce at fix_obmd_merged.cpp:1305/1378)."""
+    obmd = cfg.obmd
+    m = jnp.asarray(cfg.masses, state.x.dtype)[state.type]
+    x0 = state.x[:, 0]
+    sc = state.obmd
+
+    def add(f, region, F, smooth):
+        member = state.alive & region.match(state.x)
+        g = smooth_weight(cfg, x0, m) if smooth else m
+        g = jnp.where(member, g, 0.0)
+        gsum = jax.lax.psum(jnp.sum(g), AXIS)
+        scale = jnp.where(gsum > 0.0, g / jnp.maximum(gsum, 1e-30), 0.0)
+        return f + scale[:, None] * F[None, :]
+
+    f = add(f, obmd.region1, sc.momentum_force_left, smooth=True)
+    f = add(f, obmd.region2, sc.momentum_force_right, smooth=True)
+    f = add(f, obmd.region3, sc.shear_force_left, smooth=False)
+    f = add(f, obmd.region4, sc.shear_force_right, smooth=False)
+    return f

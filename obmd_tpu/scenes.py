@@ -70,7 +70,11 @@ def obmd_dpd_config(scale: float = 1.0, n_max: Optional[int] = None,
 
     return SceneConfig(
         box=box, masses=(1.0,), pair=pair, dt=0.001464,
-        capacity=Capacity(n_max=n_max, cell_capacity=cell_capacity),
+        # max_neighbors: rho=3 within r=cut+skin=1.39 averages ~34
+        # neighbors; the default 48 clips the tail (silently-counted row
+        # overflow drops real pairs on the nlist path), 72 clears it
+        capacity=Capacity(n_max=n_max, cell_capacity=cell_capacity,
+                          max_neighbors=72),
         obmd=obmd, dtype=dtype, force_path=force_path,
         # 0.39 keeps the cell grid at ny=nz=8 (s=64 divides the 128 lanes,
         # p=2 — the zero-padding-waste packing) while widening the

@@ -144,3 +144,19 @@ def test_displacement_triggers_rebuild():
     x_big[5] += 0.3
     ns2 = maybe_rebuild(p, box, ns, jnp.asarray(x_big), alive)
     assert int(ns2.rebuilds) == int(ns.rebuilds) + 1
+
+
+def test_obmd_scene_rows_do_not_overflow():
+    """Regression: the OBMD_DPD scene at rho=3 with skin 0.39 averages ~34
+    neighbors within cut+skin; a too-small max_neighbors silently drops
+    real pairs (counted in NeighborState.overflow, which must stay 0 —
+    it measured 52 with the old default of 48)."""
+    from obmd_tpu import scenes
+    from obmd_tpu.integrate import make_step, setup
+    sc = scenes.obmd_dpd_scene(scale=0.2, seed=1, insert_kmax=4,
+                               cell_capacity=28, force_path="nlist")
+    state = setup(sc.cfg, sc.state)
+    step = jax.jit(make_step(sc.cfg))
+    for _ in range(5):
+        state = step(state)
+    assert int(state.nbrs.overflow) == 0

@@ -1,0 +1,125 @@
+"""x-slab spatial decomposition (ppermute halos + migration) validated
+against the single-chip nlist engine on the virtual 8-device CPU mesh.
+
+The slab path is the scale-out analogue of the reference's MPI domain
+decomposition (comm_brick.cpp exchange :652 / borders :771 /
+forward_comm :538); these tests check (a) trajectory + OBMD counter
+equivalence with one chip, (b) the ownership invariant that migration
+maintains, and (c) that the compiled step never all-gathers positions
+(per-device footprint O(N/ndev + halo))."""
+import re
+
+import jax
+import numpy as np
+import pytest
+
+from obmd_tpu import scenes
+from obmd_tpu.integrate import make_step, setup
+from obmd_tpu.parallel.slab_decomp import (make_mesh, make_slab_geom,
+                                           make_slab_step, shard_by_slab)
+
+NDEV = 8
+
+
+@pytest.fixture(scope="module")
+def scene():
+    # scale=0.35 keeps slab width (1.47) above the cutoff (1.0) on 8 slabs.
+    # Reference = the stateless exact "sweep" engine: the slab step
+    # evaluates fresh cells every step, so it matches sweep to fp noise
+    # (the nlist engine deviates around insertions by its skin tolerance).
+    sc = scenes.obmd_dpd_scene(scale=0.35, seed=3, insert_kmax=4,
+                               cell_capacity=28, force_path="sweep")
+    state = setup(sc.cfg, sc.state)
+    return sc.cfg, state
+
+
+@pytest.fixture(scope="module")
+def slab_run(scene):
+    cfg, state = scene
+    mesh = make_mesh(NDEV)
+    geom = make_slab_geom(cfg, NDEV)
+    sstate = shard_by_slab(cfg, geom, state, mesh)
+    sstep = make_slab_step(cfg, mesh, geom)
+    lstep = jax.jit(make_step(cfg))
+    s_sh, s_l = sstate, state
+    for _ in range(10):
+        s_sh = sstep(s_sh)
+        s_l = lstep(s_l)
+    return cfg, geom, s_sh, s_l
+
+
+def test_slab_matches_single_chip(slab_run):
+    cfg, geom, s_sh, s_l = slab_run
+    assert int(s_sh.cell_overflow) == 0          # no halo/migration loss
+    assert int(s_sh.natoms) == int(s_l.natoms)
+    assert int(s_sh.obmd.ndeleted) == int(s_l.obmd.ndeleted)
+    assert int(s_sh.obmd.ninserted) == int(s_l.obmd.ninserted)
+    # same atoms (tags), same positions up to fp ordering
+    a1, a2 = np.asarray(s_sh.alive), np.asarray(s_l.alive)
+    m1 = {int(t): np.asarray(s_sh.x)[i]
+          for i, t in enumerate(np.asarray(s_sh.tag)) if a1[i]}
+    m2 = {int(t): np.asarray(s_l.x)[i]
+          for i, t in enumerate(np.asarray(s_l.tag)) if a2[i]}
+    assert set(m1) == set(m2)
+    diffs = [np.abs(m1[t] - m2[t]).max() for t in m1]
+    assert max(diffs) < 1e-4
+
+
+def test_slab_ownership_invariant(slab_run):
+    """After migration, every alive atom sits in the slab of the device
+    that owns its slot block (comm_brick.cpp:652 exchange postcondition)."""
+    cfg, geom, s_sh, _ = slab_run
+    x = np.asarray(s_sh.x)
+    alive = np.asarray(s_sh.alive)
+    owner = np.arange(geom.capacity) // geom.n_loc
+    slab = np.clip(((x[:, 0] - geom.x0) / geom.slab_w).astype(np.int64),
+                   0, geom.ndev - 1)
+    # edge devices may hold escapees beyond the open faces; the clip above
+    # already folds those onto the edge slabs
+    bad = alive & (slab != owner)
+    assert int(bad.sum()) == 0
+
+
+def test_slab_migration_happened(slab_run):
+    """The comparison run must actually exercise migration (atoms crossing
+    slab faces), otherwise the invariant test is vacuous.  Initial sharding
+    fills each device's block from rank 0 upward; a migrated-in atom lands
+    in a free slot beyond the initial fill, detectable as an alive atom
+    whose tag also appears... simpler: rerun one step and diff ownership."""
+    cfg, geom, s_sh, _ = slab_run
+    mesh = make_mesh(NDEV)
+    sstep = make_slab_step(cfg, mesh, geom)
+    before_tags = {}
+    tag = np.asarray(s_sh.tag)
+    alive = np.asarray(s_sh.alive)
+    owner = np.arange(geom.capacity) // geom.n_loc
+    for i in np.nonzero(alive)[0]:
+        before_tags[int(tag[i])] = owner[i]
+    s2 = s_sh
+    moved = 0
+    for _ in range(5):
+        s2 = sstep(s2)
+    tag2 = np.asarray(s2.tag)
+    alive2 = np.asarray(s2.alive)
+    for i in np.nonzero(alive2)[0]:
+        t = int(tag2[i])
+        if t in before_tags and before_tags[t] != owner[i]:
+            moved += 1
+    assert moved > 0
+
+
+def test_slab_no_position_all_gather(scene):
+    """The compiled step must not all-gather per-atom arrays: every
+    all-gather/all-reduce operand stays O(K + scalars), never O(N)."""
+    cfg, state = scene
+    mesh = make_mesh(NDEV)
+    geom = make_slab_geom(cfg, NDEV)
+    sstate = shard_by_slab(cfg, geom, state, mesh)
+    sstep = make_slab_step(cfg, mesh, geom)
+    txt = sstep.lower(sstate).compile().as_text()
+    limit = 16 * geom.capacity // NDEV  # anything O(n_loc)+ is a red flag
+    for m in re.finditer(r"all-gather[^\n]*", txt):
+        shapes = re.findall(r"[a-z0-9]+\[([0-9,]*)\]", m.group(0))
+        for s in shapes:
+            n = int(np.prod([int(d) for d in s.split(",") if d] or [1]))
+            assert n <= 4096, f"large all-gather in slab step: {m.group(0)[:120]}"
