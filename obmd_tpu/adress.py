@@ -1,0 +1,72 @@
+"""AdResS per-atom field maintenance: molecule center-of-mass pos/vel.
+
+The reference registers `cms_mol[3]` / `vcms_mol[3]` per atom
+(atom.cpp:550-557) and forwards them in every halo exchange
+(atom_vec_adress.cpp:36-61); the OBMD fork computes molecule COMs with an
+O(natoms) scan + MPI reduce (`mol_center_of_mass`,
+fix_obmd_merged.cpp:1734-1754).
+
+Here the COM is computed by directed message passing over the bond-partner
+chain graph (State.bond1/bond2 hold partner SLOTS, exact under relayout):
+msg(i->p) carries the mass-weighted sums of the subtree reached from i away
+from p.  For tree/chain topologies this is exact after `rounds` >= graph
+diameter iterations — pure gathers, no segment reductions over unbounded
+molecule ids.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .config import SceneConfig
+from .state import State, per_atom_mass
+
+
+def mol_com_rounds(cfg: SceneConfig) -> int:
+    """Graph diameter bound: template molecules know their size; otherwise
+    fall back to a small constant (dimers/trimers)."""
+    if cfg.obmd is not None and cfg.obmd.mol is not None:
+        return max(1, cfg.obmd.mol.natoms - 1)
+    return 2
+
+
+def update_mol_com(cfg: SceneConfig, state: State,
+                   rounds: int = 0) -> State:
+    """Refresh cms_mol / vcms_mol for every alive atom with mol != 0."""
+    if rounds <= 0:
+        rounds = mol_com_rounds(cfg)
+    n = state.capacity
+    dtype = state.x.dtype
+    m = per_atom_mass(cfg, state)
+    member = state.alive & (state.mol != 0)
+    w = jnp.where(member, m, jnp.zeros((), dtype))
+    # payload per atom: [m*x (3), m*v (3), m (1)]
+    A = jnp.concatenate([w[:, None] * state.x, w[:, None] * state.v,
+                         w[:, None]], axis=1)                    # [N,7]
+
+    p1 = jnp.where(member, state.bond1, -1)
+    p2 = jnp.where(member, state.bond2, -1)
+    me = jnp.arange(n, dtype=jnp.int32)
+
+    def incoming(msg1, msg2, p):
+        """The partner's message directed at me: partner p stores its
+        message toward its bond1 in msg1 — pick by which of p's partner
+        slots points back to me."""
+        ps = jnp.clip(p, 0, n - 1)
+        toward_me_is_1 = (state.bond1[ps] == me)[:, None]
+        from_p = jnp.where(toward_me_is_1, msg1[ps], msg2[ps])
+        return jnp.where((p >= 0)[:, None], from_p, 0.0)
+
+    msg1 = jnp.zeros_like(A)      # my message toward partner bond1
+    msg2 = jnp.zeros_like(A)      # my message toward partner bond2
+    for _ in range(rounds):
+        in1 = incoming(msg1, msg2, p1)
+        in2 = incoming(msg1, msg2, p2)
+        msg1 = A + in2            # toward p1: me + everything behind p2
+        msg2 = A + in1
+    total = A + incoming(msg1, msg2, p1) + incoming(msg1, msg2, p2)
+
+    W = jnp.maximum(total[:, 6:7], 1e-30)
+    cms = jnp.where(member[:, None], total[:, 0:3] / W, 0.0)
+    vcms = jnp.where(member[:, None], total[:, 3:6] / W, 0.0)
+    return state.replace(cms_mol=cms.astype(dtype),
+                         vcms_mol=vcms.astype(dtype))

@@ -91,6 +91,8 @@ def layout_build(geom: PadGeometry, box: Box, state: State) -> State:
         alive=jnp.zeros((n_slots,), bool).at[dest].set(
             state.alive[order], mode="drop"),
         q=scat(state.q, 0), mol=scat(state.mol, 0),
+        lambdaF=scat(state.lambdaF, 0), cms_mol=scat(state.cms_mol, 0),
+        vcms_mol=scat(state.vcms_mol, 0), rep_atom=scat(state.rep_atom, 0),
         bond1=scat(remap(state.bond1), -1), bond2=scat(remap(state.bond2), -1),
         step=state.step, sim_time=state.sim_time, maxtag=state.maxtag,
         key=state.key, obmd=state.obmd,
@@ -231,6 +233,9 @@ def relayout_incremental(geom: PadGeometry, box: Box, state: State,
         v=move(state.v, 0.0), f=move(state.f, 0.0),
         type=move(state.type, 0), tag=move(state.tag, -1),
         q=move(state.q, 0.0), mol=move(state.mol, 0),
+        lambdaF=move(state.lambdaF, 0.0), cms_mol=move(state.cms_mol, 0.0),
+        vcms_mol=move(state.vcms_mol, 0.0),
+        rep_atom=move(state.rep_atom, 0),
         bond1=remap(move(state.bond1, -1)),
         bond2=remap(move(state.bond2, -1)))
     return new.replace(nbrs=aux.replace(
@@ -257,17 +262,21 @@ def maybe_rebuild(geom: PadGeometry, box: Box, skin: float,
 
 
 def place_insertions(geom: PadGeometry, state: State, pos, accepted,
-                     rounds: int = 4):
+                     rounds: int = 0):
     """Claim a free rank in each accepted candidate's cell.
 
     pos: [M,3]; accepted: [M].  Returns (slot [M] with n_slots = failed,
     landed mask).  Conflicts between same-cell candidates are resolved with
-    scatter-verify rounds; cap-full cells fail the insertion (counted by the
-    caller)."""
+    scatter-verify rounds — each round settles at least one candidate per
+    contested cell, so M rounds (the default) always place every accepted
+    candidate that has a free rank; cap-full cells fail the insertion
+    (counted by the caller)."""
     n_slots = geom.n_slots
     cap = geom.cap
     lanes = geom.lanes
     m = pos.shape[0]
+    if rounds <= 0:
+        rounds = max(4, m)
 
     cell = geom.cell_of(pos)
     block, lane = geom.slot_of_cell(cell)

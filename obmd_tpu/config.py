@@ -83,6 +83,106 @@ class DPDParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class DPDTstatParams:
+    """`pair_style dpd/tstat T_start T_stop rc seed` — thermostat-only DPD
+    (DPD-BASIC/pair_dpd_tstat.cpp): the DPD drag + random forces with NO
+    conservative term, used to thermostat some other conservative field.
+    Coeffs per type pair: gamma [cut] (pair_dpd_tstat.cpp:174-201).
+
+    The reference ramps T linearly from t_start to t_stop over the run
+    (:52-60); a ramp needs the run window inside the jitted step, so only
+    constant T (t_start == t_stop) is supported — `create` rejects a ramp
+    loudly instead of freezing it silently.
+    """
+
+    temp: float
+    cutoff: float
+    seed: int
+    ntypes: int = 1
+    gamma: Tuple[Tuple[float, ...], ...] = ()
+    cut: Tuple[Tuple[float, ...], ...] = ()
+    gaussian_noise: bool = False
+
+    @staticmethod
+    def create(t_start, cutoff, seed, gamma, t_stop=None, cut=None,
+               ntypes=1, gaussian_noise=False):
+        if t_stop is not None and float(t_stop) != float(t_start):
+            raise NotImplementedError(
+                "dpd/tstat temperature ramp (t_start != t_stop) is not "
+                "supported; run segments with constant T instead")
+        cut = cutoff if cut is None else cut
+        return DPDTstatParams(
+            temp=float(t_start), cutoff=float(cutoff), seed=int(seed),
+            ntypes=ntypes, gamma=_sym(gamma, ntypes, "gamma"),
+            cut=_sym(cut, ntypes, "cut"), gaussian_noise=gaussian_noise)
+
+    @property
+    def sigma(self) -> Tuple[Tuple[float, ...], ...]:
+        g = np.asarray(self.gamma)
+        return tuple(tuple(float(v) for v in row)
+                     for row in np.sqrt(2.0 * self.temp * g))
+
+    @property
+    def max_cut(self) -> float:
+        return float(np.max(np.asarray(self.cut))) if self.cut else self.cutoff
+
+
+@dataclasses.dataclass(frozen=True)
+class DPDExtParams:
+    """`pair_style dpd/ext T rc seed` — extended DPD with transverse
+    friction (DPD-BASIC/pair_dpd_ext.cpp:66-203):
+
+      F = [a0*wd - gamma*wdPar^2 (rhat.dv)] rhat + sigma*wdPar*xi/sqrt(dt) rhat
+          - gammaT*wdPerp^2 P.dv + sigmaT*wdPerp P.XI/sqrt(dt)
+    with P = I - rhat rhat^T, wdPar = wd^ws, wdPerp = wd^wsT, XI a 3-vector
+    of unit noises, sigma{,T} = sqrt(2 kB T gamma{,T}).
+    Coeffs per type pair: a0 gamma gammaT ws wsT [cut] (:275-310).
+    """
+
+    temp: float
+    cutoff: float
+    seed: int
+    ntypes: int = 1
+    a0: Tuple[Tuple[float, ...], ...] = ()
+    gamma: Tuple[Tuple[float, ...], ...] = ()
+    gammaT: Tuple[Tuple[float, ...], ...] = ()
+    ws: Tuple[Tuple[float, ...], ...] = ()
+    wsT: Tuple[Tuple[float, ...], ...] = ()
+    cut: Tuple[Tuple[float, ...], ...] = ()
+    gaussian_noise: bool = False
+    tstat_only: bool = False   # dpd/ext/tstat: drop the conservative term
+
+    @staticmethod
+    def create(temp, cutoff, seed, a0, gamma, gammaT, ws=1.0, wsT=1.0,
+               cut=None, ntypes=1, gaussian_noise=False, tstat_only=False):
+        cut = cutoff if cut is None else cut
+        return DPDExtParams(
+            temp=float(temp), cutoff=float(cutoff), seed=int(seed),
+            ntypes=ntypes, a0=_sym(a0, ntypes, "a0"),
+            gamma=_sym(gamma, ntypes, "gamma"),
+            gammaT=_sym(gammaT, ntypes, "gammaT"),
+            ws=_sym(ws, ntypes, "ws"), wsT=_sym(wsT, ntypes, "wsT"),
+            cut=_sym(cut, ntypes, "cut"), gaussian_noise=gaussian_noise,
+            tstat_only=tstat_only)
+
+    @property
+    def sigma(self) -> Tuple[Tuple[float, ...], ...]:
+        g = np.asarray(self.gamma)
+        return tuple(tuple(float(v) for v in row)
+                     for row in np.sqrt(2.0 * self.temp * g))
+
+    @property
+    def sigmaT(self) -> Tuple[Tuple[float, ...], ...]:
+        g = np.asarray(self.gammaT)
+        return tuple(tuple(float(v) for v in row)
+                     for row in np.sqrt(2.0 * self.temp * g))
+
+    @property
+    def max_cut(self) -> float:
+        return float(np.max(np.asarray(self.cut))) if self.cut else self.cutoff
+
+
+@dataclasses.dataclass(frozen=True)
 class LJCutParams:
     """`pair_style lj/cut rc` + eps/sigma per type pair (12-6 LJ, energy
     shifted by the cutoff offset when shift=True)."""
@@ -145,7 +245,8 @@ class LJCutRFParams:
         return max(mc, self.cut_coul)
 
 
-PairParams = Union[DPDParams, LJCutParams, LJCutRFParams]
+PairParams = Union[DPDParams, DPDTstatParams, DPDExtParams, LJCutParams,
+                   LJCutRFParams]
 
 
 @dataclasses.dataclass(frozen=True)

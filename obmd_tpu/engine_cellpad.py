@@ -208,6 +208,19 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     tag = state.tag.at[slot].set(new_tag, mode="drop")
     qn = state.q.at[slot].set(q_flat, mode="drop")
     moln = state.mol.at[slot].set(mol_id, mode="drop")
+    # representative-atom flag from the template (atom.cpp:2143-2148 copies
+    # rep_atom into each created molecule atom)
+    rep_tpl = np.zeros((m,), np.int32)
+    if getattr(tpl, "rep_atom", None):
+        rep_tpl[int(tpl.rep_atom) - 1] = 1
+    rep = state.rep_atom.at[slot].set(
+        jnp.tile(jnp.asarray(rep_tpl), (km,)), mode="drop")
+    lam = state.lambdaF.at[slot].set(jnp.zeros((km * m,), dtype),
+                                     mode="drop")
+    cms0 = state.cms_mol.at[slot].set(jnp.zeros((km * m, 3), dtype),
+                                      mode="drop")
+    vcm0 = state.vcms_mol.at[slot].set(jnp.zeros((km * m, 3), dtype),
+                                       mode="drop")
     nb1 = state.bond1.at[slot].set(p1_slot, mode="drop")
     nb2 = state.bond2.at[slot].set(p2_slot, mode="drop")
     aliv = state.alive.at[slot].set(True, mode="drop")
@@ -219,6 +232,7 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     want = jnp.clip(nins_l, 0) + jnp.clip(nins_r, 0)
     return state.replace(
         x=x, v=v, f=f, type=typ, tag=tag, q=qn, mol=moln, alive=aliv,
+        lambdaF=lam, cms_mol=cms0, vcms_mol=vcm0, rep_atom=rep,
         bond1=nb1, bond2=nb2, nbrs=aux,
         maxtag=state.maxtag + n_mols * m, key=knext,
         obmd=state.obmd.replace(
@@ -231,30 +245,46 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
 def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     if cfg.obmd.mol is not None:
         return _insert_mol(cfg, geom, state, nins_l, nins_r, sub_l, sub_r)
+    from .obmd.stage import _append_subset, rounds_of
     obmd = cfg.obmd
     dtype = state.dtype
     K = obmd.insert_kmax
     n_slots = geom.n_slots
+    rounds = rounds_of(cfg)
+    M = rounds * K
 
     key = rng.fold_key(state.key, state.step)
-    kl, kr, knext = jax.random.split(key, 3)
+    keys = jax.random.split(key, 2 * rounds + 1)
+    knext = keys[-1]
 
-    def one_side(k_key, region, budget, sub):
-        u = jax.random.uniform(k_key, (K, 3), dtype=dtype)
-        cand = region.sample_uniform(u)
+    def one_side(side_keys, region, budget, sub):
         ctype = jnp.full((K,), obmd.ntype, jnp.int32)
-        if obmd.usher is not None:
-            pos, ok, iters = usher_search_subset(cfg, sub, cand, ctype,
-                                                 region)
-        else:
-            ok = near_check_subset(cfg, sub, cand)
-            pos, iters = cand, jnp.zeros((K,), jnp.int32)
-        budget = jnp.clip(budget, 0, K)
-        accepted, _cnt = _sequential_accept(cfg, pos, ctype, ok, budget)
-        return pos, accepted, iters
+        zq = jnp.zeros((K,), dtype)
+        rem = jnp.clip(budget, 0, M)
+        poss, accs = [], []
+        iters_sum = jnp.zeros((), jnp.int32)
+        for r in range(rounds):
+            u = jax.random.uniform(side_keys[r], (K, 3), dtype=dtype)
+            cand = region.sample_uniform(u)
+            if obmd.usher is not None:
+                pos, ok, iters = usher_search_subset(cfg, sub, cand, ctype,
+                                                     region)
+            else:
+                ok = near_check_subset(cfg, sub, cand)
+                pos, iters = cand, jnp.zeros((K,), jnp.int32)
+            accepted, count = _sequential_accept(cfg, pos, ctype, ok,
+                                                 jnp.minimum(rem, K))
+            rem = rem - count
+            if rounds > 1:
+                sub = _append_subset(sub, pos, accepted, ctype, zq, n_slots)
+            poss.append(pos)
+            accs.append(accepted)
+            iters_sum = iters_sum + jnp.sum(iters)
+        return jnp.concatenate(poss), jnp.concatenate(accs), iters_sum
 
-    pos_l, acc_l, it_l = one_side(kl, obmd.region5, nins_l, sub_l)
-    pos_r, acc_r, it_r = one_side(kr, obmd.region6, nins_r, sub_r)
+    pos_l, acc_l, it_l = one_side(keys[:rounds], obmd.region5, nins_l, sub_l)
+    pos_r, acc_r, it_r = one_side(keys[rounds:2 * rounds], obmd.region6,
+                                  nins_r, sub_r)
     pos = jnp.concatenate([pos_l, pos_r])
     accepted = jnp.concatenate([acc_l, acc_r])
 
@@ -262,7 +292,7 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     order = jnp.cumsum(landed.astype(jnp.int32)) - 1
     new_tag = state.maxtag + 1 + order
 
-    m = 2 * K
+    m = 2 * M
     x = state.x.at[slot].set(pos, mode="drop")
     v = state.v.at[slot].set(jnp.zeros((m, 3), dtype), mode="drop")
     f = state.f.at[slot].set(jnp.zeros((m, 3), dtype), mode="drop")
@@ -270,6 +300,11 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
                                   mode="drop")
     tag = state.tag.at[slot].set(new_tag, mode="drop")
     qn = state.q.at[slot].set(jnp.zeros((m,), dtype), mode="drop")
+    lam = state.lambdaF.at[slot].set(jnp.zeros((m,), dtype), mode="drop")
+    cms = state.cms_mol.at[slot].set(jnp.zeros((m, 3), dtype), mode="drop")
+    vcm = state.vcms_mol.at[slot].set(jnp.zeros((m, 3), dtype), mode="drop")
+    rep = state.rep_atom.at[slot].set(jnp.zeros((m,), jnp.int32),
+                                      mode="drop")
     nb1 = state.bond1.at[slot].set(jnp.full((m,), -1, jnp.int32), mode="drop")
     nb2 = state.bond2.at[slot].set(jnp.full((m,), -1, jnp.int32), mode="drop")
     aliv = state.alive.at[slot].set(True, mode="drop")
@@ -281,6 +316,7 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     want = jnp.clip(nins_l, 0) + jnp.clip(nins_r, 0)
     return state.replace(
         x=x, v=v, f=f, type=typ, tag=tag, q=qn, alive=aliv, nbrs=aux,
+        lambdaF=lam, cms_mol=cms, vcms_mol=vcm, rep_atom=rep,
         bond1=nb1, bond2=nb2,
         maxtag=state.maxtag + n_landed, key=knext,
         obmd=state.obmd.replace(
@@ -394,7 +430,11 @@ def make_step_cellpad(cfg: SceneConfig):
 
         m = per_atom_mass(cfg, state)[:, None]
         v = jnp.where(state.alive[:, None], state.v + dtf * f / m, state.v)
-        return state.replace(v=v, f=f, step=state.step + 1)
+        state = state.replace(v=v, f=f, step=state.step + 1)
+        if cfg.obmd is not None and cfg.obmd.mol is not None:
+            from .adress import update_mol_com
+            state = update_mol_com(cfg, state)
+        return state
 
     return step
 
@@ -416,7 +456,11 @@ def _plain_step(cfg, geom, kern, state: State, with_stage: bool = True) -> State
     f = _forces(cfg, geom, kern, state)
     m = per_atom_mass(cfg, state)[:, None]
     v = jnp.where(state.alive[:, None], state.v + dtf * f / m, state.v)
-    return state.replace(v=v, f=f, step=state.step + 1)
+    state = state.replace(v=v, f=f, step=state.step + 1)
+    if cfg.obmd is not None and cfg.obmd.mol is not None:
+        from .adress import update_mol_com
+        state = update_mol_com(cfg, state)
+    return state
 
 
 def auto_rebuild_every(cfg: SceneConfig) -> int:

@@ -78,9 +78,10 @@ def forces_for_subset(params: PairParams, box: Box, spec: GridSpec,
     if charged:
         qj = gather_padded(full_q, jdx, 0.0)
         kwargs = dict(qi=my_q[:, None], qj=qj)
-    fpair, e = pair_fn(rsq, d, dv, my_type[:, None], tj,
-                       my_tag[:, None], gj, salt, **kwargs)
-    fpair = jnp.where(valid, fpair, 0.0)
-    f = jnp.sum(fpair[..., None] * d, axis=1)
+    from .pairs import apply_pair_law
+    fvec, e = apply_pair_law(params, pair_fn, rsq, d, dv, my_type[:, None],
+                             tj, my_tag[:, None], gj, salt, **kwargs)
+    fvec = jnp.where(valid[..., None], fvec, 0.0)
+    f = jnp.sum(fvec, axis=1)
     pe = 0.5 * jnp.sum(jnp.where(valid, e, 0.0), axis=1)
     return f, pe

@@ -73,10 +73,10 @@ def nlist_sweep(params: PairParams, box: Box, nlist, x, v, types, tag, q,
     if charged:
         qj = gather_padded(q, idx, 0.0)
         kwargs = dict(qi=q[:, None], qj=qj)
-    fpair, e = pair_fn(rsq, d, dv, types[:, None], tj, tag[:, None], gj,
-                       salt, **kwargs)
-    fpair = jnp.where(valid, fpair, 0.0)
-    fvec = fpair[..., None] * d
+    from .pairs import apply_pair_law
+    fvec, e = apply_pair_law(params, pair_fn, rsq, d, dv, types[:, None],
+                             tj, tag[:, None], gj, salt, **kwargs)
+    fvec = jnp.where(valid[..., None], fvec, 0.0)
     f = jnp.sum(fvec, axis=1)
 
     pe = None

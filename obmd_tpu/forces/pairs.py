@@ -21,7 +21,8 @@ import numpy as np
 
 from .. import rng
 from ..cells import BIG, CellTable, GridSpec, gather_padded
-from ..config import DPDParams, LJCutParams, LJCutRFParams, PairParams
+from ..config import (DPDExtParams, DPDParams, DPDTstatParams, LJCutParams,
+                      LJCutRFParams, PairParams)
 from ..geometry import Box
 
 EPS_R = 1.0e-10  # reference EPSILON for r ~ 0 skip (pair_dpd.cpp:117)
@@ -45,11 +46,31 @@ def _tables(params: PairParams, dtype):
 def _table_names(params: PairParams):
     if isinstance(params, DPDParams):
         return ("a0", "gamma", "cut", "sigma")
+    if isinstance(params, DPDTstatParams):
+        return ("gamma", "cut", "sigma")
+    if isinstance(params, DPDExtParams):
+        return ("a0", "gamma", "gammaT", "ws", "wsT", "cut", "sigma",
+                "sigmaT")
     if isinstance(params, LJCutParams):
         return ("epsilon", "sigma", "cut")
     if isinstance(params, LJCutRFParams):
         return ("epsilon", "sigma", "cut", "eps_rf")
     raise TypeError(type(params))
+
+
+def is_vector_law(params: PairParams) -> bool:
+    """True for pair styles whose force is not parallel to the separation
+    (dpd/ext's transverse friction): their law returns a force VECTOR."""
+    return isinstance(params, DPDExtParams)
+
+
+def apply_pair_law(params, pair_fn, rsq, d, dv, ti, tj, tag_i, tag_j, salt,
+                   **kwargs):
+    """Uniform consumer entry: (fvec [...,3], e) for any pair style."""
+    if is_vector_law(params):
+        return pair_fn(rsq, d, dv, ti, tj, tag_i, tag_j, salt, **kwargs)
+    fpair, e = pair_fn(rsq, d, dv, ti, tj, tag_i, tag_j, salt, **kwargs)
+    return fpair[..., None] * d, e
 
 
 def _lookup(tab: jnp.ndarray, ti: jnp.ndarray, tj: jnp.ndarray) -> jnp.ndarray:
@@ -100,6 +121,93 @@ def make_pair_law(params: PairParams, dt: float, dtype):
             in_range = (rsq < cut * cut) & (r > EPS_R)
             e = 0.5 * a0 * cut * wd * wd          # pair_dpd.cpp:152 (shifted)
             return jnp.where(in_range, fpair, 0.0), jnp.where(in_range, e, 0.0)
+
+        return pair_fn
+
+    if isinstance(params, DPDTstatParams):
+        # pair_dpd_tstat.cpp:96-136: drag + random only, zero energy
+        dtinvsqrt = dtype(1.0 / np.sqrt(dt))
+        gaussian = params.gaussian_noise
+
+        def pair_fn(rsq, d, dv, ti, tj, tag_i, tag_j, salt):
+            cut = _lookup(tabs["cut"], ti, tj)
+            gam = _lookup(tabs["gamma"], ti, tj)
+            sig = _lookup(tabs["sigma"], ti, tj)
+            r = jnp.sqrt(rsq)
+            rinv = jnp.where(r > EPS_R, 1.0 / jnp.maximum(r, EPS_R), 0.0)
+            wd = 1.0 - r * (1.0 / cut)
+            dot = jnp.sum(d * dv, axis=-1)
+            xi = rng.pair_noise(salt, tag_i, tag_j, gaussian=gaussian,
+                                dtype=dtype)
+            fpair = -gam * wd * wd * dot * rinv
+            fpair = fpair + sig * wd * xi * dtinvsqrt
+            fpair = fpair * rinv
+            in_range = (rsq < cut * cut) & (r > EPS_R)
+            return (jnp.where(in_range, fpair, 0.0),
+                    jnp.zeros_like(fpair))
+
+        return pair_fn
+
+    if isinstance(params, DPDExtParams):
+        # pair_dpd_ext.cpp:113-185: parallel part like plain DPD with
+        # wdPar = wd^ws, plus transverse drag/noise through the projector
+        # P = I - rhat rhat^T with wdPerp = wd^wsT.  The transverse noise
+        # is a full 3-vector, identical for both orientations of the pair
+        # and antisymmetrized by sign(tag_i - tag_j) so Newton's third law
+        # holds bitwise under the full-neighbor evaluation (the reference
+        # gets this from its half list + explicit f[j] -= ...).
+        dtinvsqrt = dtype(1.0 / np.sqrt(dt))
+        gaussian = params.gaussian_noise
+        tstat_only = params.tstat_only
+
+        def pair_fn(rsq, d, dv, ti, tj, tag_i, tag_j, salt):
+            cut = _lookup(tabs["cut"], ti, tj)
+            gam = _lookup(tabs["gamma"], ti, tj)
+            gamT = _lookup(tabs["gammaT"], ti, tj)
+            sig = _lookup(tabs["sigma"], ti, tj)
+            sigT = _lookup(tabs["sigmaT"], ti, tj)
+            ws = _lookup(tabs["ws"], ti, tj)
+            wsT = _lookup(tabs["wsT"], ti, tj)
+            r = jnp.sqrt(rsq)
+            rinv = jnp.where(r > EPS_R, 1.0 / jnp.maximum(r, EPS_R), 0.0)
+            wd = jnp.maximum(1.0 - r * (1.0 / cut), 0.0)
+            wd_par = wd ** ws
+            wd_perp = wd ** wsT
+            dot = jnp.sum(d * dv, axis=-1)
+
+            salt32 = jnp.asarray(salt, jnp.uint32)
+            xi = rng.pair_noise(salt32, tag_i, tag_j, gaussian=gaussian,
+                                dtype=dtype)
+            xiv = jnp.stack(
+                [rng.pair_noise(salt32 ^ jnp.uint32(c), tag_i, tag_j,
+                                gaussian=gaussian, dtype=dtype)
+                 for c in (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35)], axis=-1)
+            sgn = jnp.where(tag_i > tag_j, dtype(1.0), dtype(-1.0))
+
+            fpar = (0.0 if tstat_only else _lookup(tabs["a0"], ti, tj) * wd)
+            fpar = fpar - gam * wd_par * wd_par * dot * rinv
+            fpar = fpar + sig * wd_par * xi * dtinvsqrt
+            fvec = (fpar * rinv)[..., None] * d
+
+            # P.u = u - rhat (rhat.u)
+            rhat = d * rinv[..., None]
+
+            def proj(u):
+                return u - rhat * jnp.sum(rhat * u, axis=-1, keepdims=True)
+
+            fvec = fvec - (gamT * wd_perp * wd_perp)[..., None] * proj(dv)
+            fvec = fvec + (sigT * wd_perp * sgn * dtinvsqrt)[..., None] \
+                * proj(xiv)
+
+            in_range = ((rsq < cut * cut) & (r > EPS_R))[..., None]
+            fvec = jnp.where(in_range, fvec, 0.0)
+            if tstat_only:
+                e = jnp.zeros(rsq.shape, dtype)
+            else:
+                a0 = _lookup(tabs["a0"], ti, tj)
+                e = jnp.where(in_range[..., 0],
+                              0.5 * a0 * cut * wd * wd, 0.0)
+            return fvec, e
 
         return pair_fn
 
@@ -214,10 +322,11 @@ def pair_sweep(params: PairParams, box: Box, spec: GridSpec, ctab: CellTable,
         kwargs = {}
         if charged:
             kwargs = dict(qi=qi[:, :, None], qj=qj[:, None, :])
-        fpair, e = pair_fn(rsq, d, dv, ti[:, :, None], tj[:, None, :],
-                           gi[:, :, None], gj[:, None, :], salt, **kwargs)
-        fpair = jnp.where(valid, fpair, 0.0)
-        fvec = fpair[..., None] * d                  # force on i from j
+        fvec, e = apply_pair_law(params, pair_fn, rsq, d, dv,
+                                 ti[:, :, None], tj[:, None, :],
+                                 gi[:, :, None], gj[:, None, :], salt,
+                                 **kwargs)
+        fvec = jnp.where(valid[..., None], fvec, 0.0)  # force on i from j
         f_acc = f_acc + jnp.sum(fvec, axis=2)
         if compute_energy:
             pe_acc = pe_acc + 0.5 * jnp.sum(jnp.where(valid, e, 0.0), axis=2)
@@ -309,8 +418,14 @@ def trial_energy_force(params: PairParams, box: Box, spec: GridSpec,
         cq = cand_q if cand_q is not None else jnp.zeros((k_n,), dtype)
         kwargs = dict(qi=cq[:, None], qj=qj)
     # Conservative-only: strip drag/noise by passing dv=0 and salt=0 with a
-    # dedicated conservative law for DPD.
-    if isinstance(params, DPDParams):
+    # dedicated conservative law for the DPD family (pair->single returns
+    # only the conservative term, pair_dpd.cpp:401 / pair_dpd_ext.cpp:477;
+    # dpd/tstat has no conservative force at all).
+    if isinstance(params, DPDTstatParams) or (
+            isinstance(params, DPDExtParams) and params.tstat_only):
+        fpair = jnp.zeros(rsq.shape, dtype)
+        e = jnp.zeros(rsq.shape, dtype)
+    elif isinstance(params, (DPDParams, DPDExtParams)):
         tabs = _tables(params, dtype)
 
         cut = _lookup(tabs["cut"], cand_type[:, None], tj)

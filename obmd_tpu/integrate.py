@@ -199,14 +199,16 @@ def _obmd_stage_fast(cfg, spec, nparams, state):
     state = state_ins.replace(alive=state.alive | added)
 
     # patch the Verlet list: fresh rows from the side-specific subsets
+    # (new_slots layout: left block then right block, rounds*K each)
     from .neighbors import apply_new_rows
-    K = cfg.obmd.insert_kmax
+    from .obmd.stage import rounds_of
+    M = rounds_of(cfg) * cfg.obmd.insert_kmax
     pos_all = state.x[jnp.clip(new_slots, 0, n - 1)]
     act = new_slots < n
     row_l, ok_l, ov_l = subset_rows(nparams, cfg.box, sub_l,
-                                    pos_all[:K], new_slots[:K], act[:K])
+                                    pos_all[:M], new_slots[:M], act[:M])
     row_r, ok_r, ov_r = subset_rows(nparams, cfg.box, sub_r,
-                                    pos_all[K:], new_slots[K:], act[K:])
+                                    pos_all[M:], new_slots[M:], act[M:])
     row = jnp.concatenate([row_l, row_r])
     row_ok = jnp.concatenate([ok_l, ok_r])
     nbrs = apply_new_rows(nparams, state.nbrs, state.x, new_slots, row,

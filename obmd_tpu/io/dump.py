@@ -48,9 +48,19 @@ def write_custom_frame(path: str, cfg: SceneConfig, state: State,
     t = np.asarray(state.type)[alive] + 1
     tag = np.asarray(state.tag)[alive]
     q = np.asarray(state.q)[alive]
+    mol = np.asarray(state.mol)[alive]
+    lam = np.asarray(state.lambdaF)[alive]
+    cms = np.asarray(state.cms_mol)[alive]
+    vcms = np.asarray(state.vcms_mol)[alive]
+    rep = np.asarray(state.rep_atom)[alive]
     data = {"id": tag, "type": t, "x": x[:, 0], "y": x[:, 1], "z": x[:, 2],
             "vx": v[:, 0], "vy": v[:, 1], "vz": v[:, 2],
-            "fx": f[:, 0], "fy": f[:, 1], "fz": f[:, 2], "q": q}
+            "fx": f[:, 0], "fy": f[:, 1], "fz": f[:, 2], "q": q,
+            # AdResS columns (atom_vec_adress.cpp per-atom fields)
+            "mol": mol, "lambdaF": lam, "rep_atom": rep,
+            "cms_x": cms[:, 0], "cms_y": cms[:, 1], "cms_z": cms[:, 2],
+            "vcms_x": vcms[:, 0], "vcms_y": vcms[:, 1],
+            "vcms_z": vcms[:, 2]}
     lo, hi = cfg.box.lo, cfg.box.hi
     mode = "a" if append else "w"
     with open(path, mode) as fh:

@@ -370,6 +370,65 @@ class Interpreter:
                             cut[i, j] = cut[j, i] = float(c[4])
             return DPDParams.create(temp=temp, cutoff=rc, seed=seed, a0=a0,
                                     gamma=gam, cut=cut, ntypes=ntypes)
+        if p.name == "dpd/tstat":
+            # pair_style dpd/tstat T_start T_stop rc seed
+            # (pair_dpd_tstat.cpp:143-153); coeff: gamma [cut]
+            from ..config import DPDTstatParams
+            t0, t1 = float(p.args[0]), float(p.args[1])
+            rc = float(p.args[2])
+            seed = int(p.args[3]) if len(p.args) > 3 else 1
+            gam, cut = full("g"), np.full((ntypes, ntypes), rc)
+            for c in p.coeffs:
+                ti, tj = (self._type_range(c[0], ntypes),
+                          self._type_range(c[1], ntypes))
+                for i in ti:
+                    for j in tj:
+                        gam[i, j] = gam[j, i] = float(c[2])
+                        if len(c) > 3:
+                            cut[i, j] = cut[j, i] = float(c[3])
+            return DPDTstatParams.create(t_start=t0, t_stop=t1, cutoff=rc,
+                                         seed=seed, gamma=gam, cut=cut,
+                                         ntypes=ntypes)
+        if p.name in ("dpd/ext", "dpd/ext/tstat"):
+            # pair_style dpd/ext T rc seed (pair_dpd_ext.cpp:244-250);
+            # coeff: a0 gamma gammaT ws wsT [cut] (:275-310).
+            # dpd/ext/tstat: T_start T_stop rc seed, coeff without a0.
+            from ..config import DPDExtParams
+            tstat = p.name.endswith("tstat")
+            if tstat:
+                t0, t1 = float(p.args[0]), float(p.args[1])
+                if t0 != t1:
+                    raise ScriptError(
+                        "dpd/ext/tstat temperature ramp unsupported")
+                rc = float(p.args[2])
+                seed = int(p.args[3]) if len(p.args) > 3 else 1
+            else:
+                t0 = float(p.args[0])
+                rc = float(p.args[1])
+                seed = int(p.args[2]) if len(p.args) > 2 else 1
+            a0 = full("a0")
+            gam, gamT = full("g"), full("gT")
+            ws, wsT = np.ones((ntypes, ntypes)), np.ones((ntypes, ntypes))
+            cut = np.full((ntypes, ntypes), rc)
+            for c in p.coeffs:
+                ti, tj = (self._type_range(c[0], ntypes),
+                          self._type_range(c[1], ntypes))
+                vals = [float(v) for v in c[2:]]
+                if tstat:
+                    vals = [0.0] + vals        # no a0 column
+                for i in ti:
+                    for j in tj:
+                        a0[i, j] = a0[j, i] = vals[0]
+                        gam[i, j] = gam[j, i] = vals[1]
+                        gamT[i, j] = gamT[j, i] = vals[2]
+                        ws[i, j] = ws[j, i] = vals[3]
+                        wsT[i, j] = wsT[j, i] = vals[4]
+                        if len(vals) > 5:
+                            cut[i, j] = cut[j, i] = vals[5]
+            return DPDExtParams.create(temp=t0, cutoff=rc, seed=seed, a0=a0,
+                                       gamma=gam, gammaT=gamT, ws=ws,
+                                       wsT=wsT, cut=cut, ntypes=ntypes,
+                                       tstat_only=tstat)
         if p.name == "lj/cut":
             rc = float(p.args[0])
             eps, sig, cut = full("e"), full("s"), np.full((ntypes, ntypes), rc)

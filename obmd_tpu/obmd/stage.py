@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import rng
-from ..cells import GridSpec, build_cells
+from ..cells import BIG, GridSpec
 from ..config import SceneConfig, eval_param
 from ..forces.pairs import trial_energy_force
 from ..state import State, per_atom_mass
@@ -216,7 +216,11 @@ def _sequential_accept(cfg: SceneConfig, cand_x, cand_type, cand_ok, budget):
         # exceeds the etarget margin.  For DPD the conservative pair energy
         # is 0.5 a0 rc wd^2.
         p = cfg.pair
-        if isinstance(p, DPDParams):
+        from ..config import DPDExtParams
+        if isinstance(p, DPDExtParams) and p.tstat_only:
+            # no conservative energy: candidates never conflict
+            epair = jnp.zeros_like(rsq)
+        elif isinstance(p, (DPDParams, DPDExtParams)):
             import numpy as np
             a0 = jnp.asarray(np.asarray(p.a0))[cand_type[:, None], cand_type[None, :]]
             cut = jnp.asarray(np.asarray(p.cut))[cand_type[:, None], cand_type[None, :]]
@@ -245,146 +249,117 @@ def _sequential_accept(cfg: SceneConfig, cand_x, cand_type, cand_ok, budget):
     return accepted, count
 
 
-def insert_particles(cfg: SceneConfig, spec: GridSpec, state: State,
-                     ninsert_left: jnp.ndarray, ninsert_right: jnp.ndarray,
-                     ctab=None):
-    """Batched replacement for try_inserting on both buffers (ATOM mode).
+def rounds_of(cfg: SceneConfig) -> int:
+    """Candidate rounds per stage call: the reference wraps each needed
+    insertion in up to `maxattempt` fresh-draw attempts
+    (fix_obmd_merged.cpp:913-935); here each round is a fresh batch of K
+    candidates, taken while the budget lasts."""
+    return max(1, int(cfg.obmd.maxattempt))
 
-    Draw K candidates uniformly in each insertion region (ref :921-927),
-    steer/test them (USHER :1052 / near :1036), then write the accepted ones
-    into free slots with v = 0 (ref :1076-1078), fresh tags (ref :1119), and
-    the fix's insertion type.
-    """
-    obmd = cfg.obmd
-    dtype = state.dtype
-    K = obmd.insert_kmax
-    n = state.capacity
 
-    key = rng.fold_key(state.key, state.step)
-    kl, kr, knext = jax.random.split(key, 3)
-
-    if ctab is None:
-        ctab = build_cells(spec, state.x, state.alive)
-
-    def one_side(k_key, region, budget):
-        u = jax.random.uniform(k_key, (K, 3), dtype=dtype)
-        cand = region.sample_uniform(u)
-        ctype = jnp.full((K,), obmd.ntype, jnp.int32)
-        if obmd.usher is not None:
-            pos, ok, iters, E = _usher_search(cfg, spec, ctab, state, cand,
-                                              ctype, region)
-        else:
-            ok, E = _near_check(cfg, spec, ctab, state, cand, ctype)
-            pos, iters = cand, jnp.zeros((K,), jnp.int32)
-        budget = jnp.clip(budget, 0, K)
-        accepted, count = _sequential_accept(cfg, pos, ctype, ok, budget)
-        return pos, accepted, count, iters
-
-    pos_l, acc_l, cnt_l, it_l = one_side(kl, obmd.region5, ninsert_left)
-    pos_r, acc_r, cnt_r, it_r = one_side(kr, obmd.region6, ninsert_right)
-
-    pos = jnp.concatenate([pos_l, pos_r], axis=0)        # [2K,3]
-    accepted = jnp.concatenate([acc_l, acc_r], axis=0)   # [2K]
-    total = cnt_l + cnt_r
-
-    # Free-slot allocation: the j-th accepted candidate takes the j-th free
-    # slot.  nonzero(size=) keeps shapes static.
-    free = jnp.nonzero(~state.alive, size=2 * K, fill_value=n)[0]
-    order = jnp.cumsum(accepted.astype(jnp.int32)) - 1   # rank among accepted
-    slot = jnp.where(accepted, free[jnp.clip(order, 0, 2 * K - 1)], n)
-    # Capacity overflow: accepted but no free slot.
-    landed = accepted & (slot < n)
-
-    new_tag = state.maxtag + 1 + order.astype(jnp.int32)
-
-    def scat(arr, val, fill_slot=slot):
-        return arr.at[fill_slot].set(val, mode="drop")
-
-    x = scat(state.x, pos)
-    v = state.v.at[slot].set(jnp.zeros((2 * K, 3), dtype), mode="drop")
-    f = state.f.at[slot].set(jnp.zeros((2 * K, 3), dtype), mode="drop")
-    typ = scat(state.type, jnp.full((2 * K,), obmd.ntype, jnp.int32))
-    tag = scat(state.tag, new_tag)
-    qn = scat(state.q, jnp.zeros((2 * K,), dtype))
-    moln = scat(state.mol, jnp.zeros((2 * K,), jnp.int32))
-    nb1 = scat(state.bond1, jnp.full((2 * K,), -1, jnp.int32))
-    nb2 = scat(state.bond2, jnp.full((2 * K,), -1, jnp.int32))
-    alive = state.alive.at[slot].set(True, mode="drop")
-
-    n_landed = jnp.sum(landed.astype(jnp.int32))
-    want = jnp.clip(ninsert_left, 0) + jnp.clip(ninsert_right, 0)
-    fails = jnp.maximum(want - n_landed, 0)
-
-    state = state.replace(
-        x=x, v=v, f=f, type=typ, tag=tag, q=qn, mol=moln, alive=alive,
-        bond1=nb1, bond2=nb2,
-        maxtag=state.maxtag + n_landed,
-        key=knext,
-        obmd=state.obmd.replace(
-            ninserted=state.obmd.ninserted + n_landed,
-            insert_fail=state.obmd.insert_fail + fails,
-            usher_iters=state.obmd.usher_iters + jnp.sum(it_l) + jnp.sum(it_r),
-        ),
-    )
-    # Inserted atoms carry zero momentum (ref :1183-1197 adds zeros).
-    # new_slots: the slots actually filled (capacity n = inactive marker).
-    new_slots = jnp.where(landed, slot, n)
-    return state, new_slots
+def _append_subset(sub, pos, acc, ctype, q, n):
+    """Make this round's accepted candidates visible to later rounds'
+    energy/distance checks (the reference inserts sequentially, so attempt
+    m sees insertions 0..m-1)."""
+    from .subset import Subset
+    K = pos.shape[0]
+    return Subset(
+        idx=jnp.concatenate([sub.idx,
+                             jnp.full((K,), n, jnp.int32)]),
+        x=jnp.concatenate([sub.x, jnp.where(acc[:, None], pos, BIG)]),
+        type=jnp.concatenate([sub.type, ctype]),
+        q=jnp.concatenate([sub.q, q]),
+        valid=jnp.concatenate([sub.valid, acc]),
+        overflow=sub.overflow)
 
 
 def insert_particles_subset(cfg: SceneConfig, state: State,
                             ninsert_left, ninsert_right, sub_l, sub_r):
-    """Fast-path insertion: identical semantics to insert_particles, but
-    candidate energies/steering run brute-force against per-buffer subsets
-    (obmd.subset) instead of the cell table — zero gathers per USHER
-    iteration."""
+    """Batched replacement for try_inserting on both buffers (ATOM mode).
+
+    Per round (`maxattempt` rounds, ref :913-935): draw K candidates
+    uniformly in each insertion region (ref :921-927), steer/test them
+    brute-force against the per-buffer subset (USHER :1052 / near :1036 —
+    zero gathers per iteration), accept greedily within the remaining
+    feedback budget.  Earlier rounds' acceptances are appended to the
+    subset so later rounds see them.  Accepted candidates land in free
+    slots with v = 0 (ref :1076-1078) and fresh tags (ref :1119).
+
+    Returns (state, new_slots [2*rounds*K]: left block then right block,
+    capacity n marking unused rows)."""
     from .subset import near_check_subset, usher_search_subset
 
     obmd = cfg.obmd
     dtype = state.dtype
     K = obmd.insert_kmax
     n = state.capacity
+    rounds = rounds_of(cfg)
+    M = rounds * K
 
     key = rng.fold_key(state.key, state.step)
-    kl, kr, knext = jax.random.split(key, 3)
+    keys = jax.random.split(key, 2 * rounds + 1)
+    knext = keys[-1]
 
-    def one_side(k_key, region, budget, sub):
-        u = jax.random.uniform(k_key, (K, 3), dtype=dtype)
-        cand = region.sample_uniform(u)
+    def one_side(side_keys, region, budget, sub):
         ctype = jnp.full((K,), obmd.ntype, jnp.int32)
-        if obmd.usher is not None:
-            pos, ok, iters = usher_search_subset(cfg, sub, cand, ctype,
-                                                 region)
-        else:
-            ok = near_check_subset(cfg, sub, cand)
-            pos, iters = cand, jnp.zeros((K,), jnp.int32)
-        budget = jnp.clip(budget, 0, K)
-        accepted, count = _sequential_accept(cfg, pos, ctype, ok, budget)
-        return pos, accepted, count, iters
+        zq = jnp.zeros((K,), dtype)
+        rem = jnp.clip(budget, 0, M)
+        poss, accs = [], []
+        iters_sum = jnp.zeros((), jnp.int32)
+        for r in range(rounds):
+            u = jax.random.uniform(side_keys[r], (K, 3), dtype=dtype)
+            cand = region.sample_uniform(u)
+            if obmd.usher is not None:
+                pos, ok, iters = usher_search_subset(cfg, sub, cand, ctype,
+                                                     region)
+            else:
+                ok = near_check_subset(cfg, sub, cand)
+                pos, iters = cand, jnp.zeros((K,), jnp.int32)
+            accepted, count = _sequential_accept(cfg, pos, ctype, ok,
+                                                 jnp.minimum(rem, K))
+            rem = rem - count
+            if rounds > 1:
+                sub = _append_subset(sub, pos, accepted, ctype, zq, n)
+            poss.append(pos)
+            accs.append(accepted)
+            iters_sum = iters_sum + jnp.sum(iters)
+        return (jnp.concatenate(poss), jnp.concatenate(accs), iters_sum)
 
-    pos_l, acc_l, cnt_l, it_l = one_side(kl, obmd.region5, ninsert_left, sub_l)
-    pos_r, acc_r, cnt_r, it_r = one_side(kr, obmd.region6, ninsert_right,
-                                         sub_r)
+    pos_l, acc_l, it_l = one_side(keys[:rounds], obmd.region5,
+                                  ninsert_left, sub_l)
+    pos_r, acc_r, it_r = one_side(keys[rounds:2 * rounds], obmd.region6,
+                                  ninsert_right, sub_r)
 
-    pos = jnp.concatenate([pos_l, pos_r], axis=0)
-    accepted = jnp.concatenate([acc_l, acc_r], axis=0)
+    pos = jnp.concatenate([pos_l, pos_r], axis=0)        # [2M,3]
+    accepted = jnp.concatenate([acc_l, acc_r], axis=0)   # [2M]
 
-    free = jnp.nonzero(~state.alive, size=2 * K, fill_value=n)[0]
-    order = jnp.cumsum(accepted.astype(jnp.int32)) - 1
-    slot = jnp.where(accepted, free[jnp.clip(order, 0, 2 * K - 1)], n)
-    landed = accepted & (slot < n)
+    # Free-slot allocation: the j-th accepted candidate takes the j-th free
+    # slot.  nonzero(size=) keeps shapes static.
+    free = jnp.nonzero(~state.alive, size=2 * M, fill_value=n)[0]
+    order = jnp.cumsum(accepted.astype(jnp.int32)) - 1   # rank among accepted
+    slot = jnp.where(accepted, free[jnp.clip(order, 0, 2 * M - 1)], n)
+    landed = accepted & (slot < n)                       # capacity overflow
     new_tag = state.maxtag + 1 + order.astype(jnp.int32)
 
     x = state.x.at[slot].set(pos, mode="drop")
-    v = state.v.at[slot].set(jnp.zeros((2 * K, 3), dtype), mode="drop")
-    f = state.f.at[slot].set(jnp.zeros((2 * K, 3), dtype), mode="drop")
-    typ = state.type.at[slot].set(jnp.full((2 * K,), obmd.ntype, jnp.int32),
+    v = state.v.at[slot].set(jnp.zeros((2 * M, 3), dtype), mode="drop")
+    f = state.f.at[slot].set(jnp.zeros((2 * M, 3), dtype), mode="drop")
+    typ = state.type.at[slot].set(jnp.full((2 * M,), obmd.ntype, jnp.int32),
                                   mode="drop")
     tag = state.tag.at[slot].set(new_tag, mode="drop")
-    qn = state.q.at[slot].set(jnp.zeros((2 * K,), dtype), mode="drop")
-    moln = state.mol.at[slot].set(jnp.zeros((2 * K,), jnp.int32), mode="drop")
-    nb1 = state.bond1.at[slot].set(jnp.full((2 * K,), -1, jnp.int32), mode="drop")
-    nb2 = state.bond2.at[slot].set(jnp.full((2 * K,), -1, jnp.int32), mode="drop")
+    qn = state.q.at[slot].set(jnp.zeros((2 * M,), dtype), mode="drop")
+    moln = state.mol.at[slot].set(jnp.zeros((2 * M,), jnp.int32), mode="drop")
+    lam = state.lambdaF.at[slot].set(jnp.zeros((2 * M,), dtype), mode="drop")
+    cms = state.cms_mol.at[slot].set(jnp.zeros((2 * M, 3), dtype),
+                                     mode="drop")
+    vcms = state.vcms_mol.at[slot].set(jnp.zeros((2 * M, 3), dtype),
+                                       mode="drop")
+    rep = state.rep_atom.at[slot].set(jnp.zeros((2 * M,), jnp.int32),
+                                      mode="drop")
+    nb1 = state.bond1.at[slot].set(jnp.full((2 * M,), -1, jnp.int32),
+                                   mode="drop")
+    nb2 = state.bond2.at[slot].set(jnp.full((2 * M,), -1, jnp.int32),
+                                   mode="drop")
     alive = state.alive.at[slot].set(True, mode="drop")
 
     n_landed = jnp.sum(landed.astype(jnp.int32))
@@ -393,12 +368,14 @@ def insert_particles_subset(cfg: SceneConfig, state: State,
 
     state = state.replace(
         x=x, v=v, f=f, type=typ, tag=tag, q=qn, mol=moln, alive=alive,
+        lambdaF=lam, cms_mol=cms, vcms_mol=vcms, rep_atom=rep,
         bond1=nb1, bond2=nb2,
         maxtag=state.maxtag + n_landed, key=knext,
         obmd=state.obmd.replace(
             ninserted=state.obmd.ninserted + n_landed,
             insert_fail=state.obmd.insert_fail + fails,
-            usher_iters=state.obmd.usher_iters + jnp.sum(it_l) + jnp.sum(it_r)))
+            usher_iters=state.obmd.usher_iters + it_l + it_r))
+    # Inserted atoms carry zero momentum (ref :1183-1197 adds zeros).
     new_slots = jnp.where(landed, slot, n)
     return state, new_slots
 
@@ -408,7 +385,7 @@ def insert_particles_subset(cfg: SceneConfig, state: State,
 # --------------------------------------------------------------------------
 
 def pre_exchange(cfg: SceneConfig, spec: GridSpec, state: State,
-                 ctab=None, return_new_slots: bool = False):
+                 return_new_slots: bool = False):
     obmd = cfg.obmd
     box = cfg.box
     dtype = state.dtype.type
@@ -432,8 +409,13 @@ def pre_exchange(cfg: SceneConfig, spec: GridSpec, state: State,
     nins_l = feedback_count(cnt_left, obmd.mol_len, alpha, nbuf, dt, tau)
     nins_r = feedback_count(cnt_right, obmd.mol_len, alpha, nbuf, dt, tau)
 
-    state, new_slots = insert_particles(cfg, spec, state, nins_l, nins_r,
-                                        ctab=ctab)
+    from .subset import region_subset
+    b_max = cfg.capacity.insert_region_max or (cfg.capacity.n_max // 2)
+    pad = cfg.pair.max_cut + cfg.skin
+    sub_l = region_subset(cfg, state, obmd.region5, pad, b_max)
+    sub_r = region_subset(cfg, state, obmd.region6, pad, b_max)
+    state, new_slots = insert_particles_subset(cfg, state, nins_l, nins_r,
+                                               sub_l, sub_r)
 
     # second deletion pass (ref :596-597) — relevant once molecules can
     # straddle the boundary; harmless for atoms.

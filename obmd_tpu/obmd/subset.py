@@ -72,7 +72,12 @@ def conservative_energy_force(pair, sub: Subset, box, cand_x, cand_type,
     rsq = jnp.sum(d * d, axis=-1)
     ok = sub.valid[None, :]
 
-    if isinstance(pair, DPDParams):
+    from ..config import DPDExtParams, DPDTstatParams
+    if isinstance(pair, DPDTstatParams) or (
+            isinstance(pair, DPDExtParams) and pair.tstat_only):
+        # no conservative term (pair->single analogue is zero)
+        return jnp.zeros((cand_x.shape[0],), dtype), jnp.zeros_like(cand_x)
+    if isinstance(pair, (DPDParams, DPDExtParams)):
         a0 = jnp.asarray(np.asarray(pair.a0), dtype)
         cut = jnp.asarray(np.asarray(pair.cut), dtype)
         if a0.shape == (1, 1):

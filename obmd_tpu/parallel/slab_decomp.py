@@ -164,10 +164,14 @@ def shard_by_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
         nm[j] = np.asarray(state.mol)[i]
 
     n_cap = ndev * n_loc
+    zf = jnp.zeros((n_cap,), nx.dtype)
     new = State(
         x=jnp.asarray(nx), v=jnp.asarray(nv), f=jnp.asarray(nf),
         type=jnp.asarray(nt), tag=jnp.asarray(ng), alive=jnp.asarray(na),
         q=jnp.asarray(nq), mol=jnp.asarray(nm),
+        lambdaF=zf, cms_mol=jnp.zeros((n_cap, 3), nx.dtype),
+        vcms_mol=jnp.zeros((n_cap, 3), nx.dtype),
+        rep_atom=jnp.zeros((n_cap,), jnp.int32),
         bond1=jnp.full((n_cap,), -1, jnp.int32),
         bond2=jnp.full((n_cap,), -1, jnp.int32),
         step=state.step, sim_time=state.sim_time, maxtag=state.maxtag,
@@ -306,14 +310,16 @@ def _migrate(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d, hi_d):
     go_r = state.alive & (x0 >= hi_d) & (me < ndev - 1)
 
     def pack_dir(mask):
-        idx, valid, (px, pv, pq), missed = _pack_rows(
-            mask, m_max, state.x, state.v, state.q, n=n_loc)
+        # (cms/vcms/rep_atom are molecule fields; the slab path guards to
+        # ATOM-mode scenes, so only lambdaF rides along as a scalar extra)
+        idx, valid, (px, pv, pq, plam), missed = _pack_rows(
+            mask, m_max, state.x, state.v, state.q, state.lambdaF, n=n_loc)
         safe = jnp.clip(idx, 0, n_loc - 1)
         pt = jnp.where(valid, state.type[safe], 0)
         pg = jnp.where(valid, state.tag[safe], 0)
         pm = jnp.where(valid, state.mol[safe], 0)
         ints = jnp.stack([pt, pg, pm, valid.astype(jnp.int32)], axis=1)
-        return idx, px, pv, pq, ints, missed
+        return idx, px, pv, jnp.stack([pq, plam], axis=1), ints, missed
 
     idx_l, xl, vl, ql, il, miss_l = pack_dir(go_l)
     idx_r, xr, vr, qr, ir, miss_r = pack_dir(go_r)
@@ -344,15 +350,16 @@ def _migrate(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d, hi_d):
 
     x = state.x.at[slot].set(ax, mode="drop")
     v = state.v.at[slot].set(av, mode="drop")
-    q = state.q.at[slot].set(aq, mode="drop")
+    q = state.q.at[slot].set(aq[:, 0], mode="drop")
+    lam = state.lambdaF.at[slot].set(aq[:, 1], mode="drop")
     typ = state.type.at[slot].set(ai[:, 0], mode="drop")
     tag = tag.at[slot].set(ai[:, 1], mode="drop")
     mol = state.mol.at[slot].set(ai[:, 2], mode="drop")
     alive = alive.at[slot].set(landed, mode="drop")
 
     lost_all = jax.lax.psum(lost, AXIS)
-    return state.replace(x=x, v=v, q=q, type=typ, tag=tag, mol=mol,
-                         alive=alive,
+    return state.replace(x=x, v=v, q=q, lambdaF=lam, type=typ, tag=tag,
+                         mol=mol, alive=alive,
                          cell_overflow=state.cell_overflow + lost_all)
 
 
@@ -567,32 +574,53 @@ def _pre_exchange_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
     # ---- insertion: identical candidates on every device (replicated ----
     # ---- key, ref :275 same-seeded RanPark), energies completed by ----
     # ---- psum, placement by the positional owner ----
+    from ..obmd.stage import _append_subset, rounds_of
     K = obmd.insert_kmax
+    rounds = rounds_of(cfg)
+    M = rounds * K
     pad = cfg.pair.max_cut + cfg.skin
     sub_l = _local_region_subset(cfg, geom, state, obmd.region5, pad)
     sub_r = _local_region_subset(cfg, geom, state, obmd.region6, pad)
 
     key = rng.fold_key(state.key, state.step)
-    kl, kr, knext = jax.random.split(key, 3)
+    keys = jax.random.split(key, 2 * rounds + 1)
+    knext = keys[-1]
 
-    def one_side(k_key, region, budget, sub):
-        u = jax.random.uniform(k_key, (K, 3), dtype=state.x.dtype)
-        cand = region.sample_uniform(u)
+    def one_side(side_keys, region, budget, sub):
         ctype = jnp.full((K,), obmd.ntype, jnp.int32)
-        if obmd.usher is not None:
-            pos, ok, iters = _usher_search_psum(cfg, sub, cand, ctype,
-                                                region)
-        else:
-            ok = _near_check_psum(cfg, sub, cand)
-            pos, iters = cand, jnp.zeros((K,), jnp.int32)
-        budget = jnp.clip(budget, 0, K)
-        accepted, _cnt = _sequential_accept(cfg, pos, ctype, ok, budget)
-        return pos, accepted, iters
+        zq = jnp.zeros((K,), state.x.dtype)
+        rem = jnp.clip(budget, 0, M)
+        poss, accs = [], []
+        iters_sum = jnp.zeros((), jnp.int32)
+        for r in range(rounds):
+            u = jax.random.uniform(side_keys[r], (K, 3),
+                                   dtype=state.x.dtype)
+            cand = region.sample_uniform(u)
+            if obmd.usher is not None:
+                pos, ok, iters = _usher_search_psum(cfg, sub, cand, ctype,
+                                                    region)
+            else:
+                ok = _near_check_psum(cfg, sub, cand)
+                pos, iters = cand, jnp.zeros((K,), jnp.int32)
+            accepted, count = _sequential_accept(cfg, pos, ctype, ok,
+                                                 jnp.minimum(rem, K))
+            rem = rem - count
+            if rounds > 1:
+                # visible to later rounds on exactly ONE device (the
+                # positional owner) — psum'd partials must not double-count
+                owner = accepted & (pos[:, 0] >= lo_d) & (pos[:, 0] < hi_d)
+                sub = _append_subset(sub, pos, owner, ctype, zq, n_loc)
+            poss.append(pos)
+            accs.append(accepted)
+            iters_sum = iters_sum + jnp.sum(iters)
+        return jnp.concatenate(poss), jnp.concatenate(accs), iters_sum
 
-    pos_l, acc_l, it_l = one_side(kl, obmd.region5, nins_l, sub_l)
-    pos_r, acc_r, it_r = one_side(kr, obmd.region6, nins_r, sub_r)
-    pos = jnp.concatenate([pos_l, pos_r])                 # [2K, 3]
-    accepted = jnp.concatenate([acc_l, acc_r])            # [2K]
+    pos_l, acc_l, it_l = one_side(keys[:rounds], obmd.region5, nins_l,
+                                  sub_l)
+    pos_r, acc_r, it_r = one_side(keys[rounds:2 * rounds], obmd.region6,
+                                  nins_r, sub_r)
+    pos = jnp.concatenate([pos_l, pos_r])                 # [2M, 3]
+    accepted = jnp.concatenate([acc_l, acc_r])            # [2M]
 
     mine = accepted & (pos[:, 0] >= lo_d) & (pos[:, 0] < hi_d)
     # edge devices own any spill beyond the box faces (cannot happen for
@@ -601,7 +629,7 @@ def _pre_exchange_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
     mine = mine | (accepted & (me == 0) & (pos[:, 0] < lo_d))
     mine = mine | (accepted & (me == ndev - 1) & (pos[:, 0] >= hi_d))
 
-    m2 = 2 * K
+    m2 = 2 * M
     free = jnp.nonzero(~state.alive, size=m2,
                        fill_value=n_loc)[0].astype(jnp.int32)
     lrank = jnp.cumsum(mine.astype(jnp.int32)) - 1
@@ -618,12 +646,14 @@ def _pre_exchange_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
                                   mode="drop")
     tag = state.tag.at[slot].set(new_tag, mode="drop")
     qn = state.q.at[slot].set(jnp.zeros((m2,), dtype_arr), mode="drop")
+    lam = state.lambdaF.at[slot].set(jnp.zeros((m2,), dtype_arr),
+                                     mode="drop")
     alive = state.alive.at[slot].set(landed, mode="drop")
 
     n_landed = jax.lax.psum(jnp.sum(landed.astype(jnp.int32)), AXIS)
     want = jnp.clip(nins_l, 0) + jnp.clip(nins_r, 0)
     state = state.replace(
-        x=x, v=v, f=f, type=typ, tag=tag, q=qn, alive=alive,
+        x=x, v=v, f=f, type=typ, tag=tag, q=qn, lambdaF=lam, alive=alive,
         maxtag=state.maxtag + n_landed, key=knext,
         obmd=state.obmd.replace(
             ninserted=state.obmd.ninserted + n_landed,

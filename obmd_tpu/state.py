@@ -61,6 +61,13 @@ class State:
     alive: jnp.ndarray    # [N] bool
     q: jnp.ndarray        # [N] per-atom charge (atom_vec_adress.cpp:23 q_flag)
     mol: jnp.ndarray      # [N] i32 molecule id (0 = not in a molecule)
+    # AdResS per-atom fields (registered at atom.cpp:550-557 and carried in
+    # every halo exchange by atom_vec_adress.cpp:36-61):
+    lambdaF: jnp.ndarray   # [N] resolution parameter (set by AdResS drivers)
+    cms_mol: jnp.ndarray   # [N,3] molecule center-of-mass position
+    vcms_mol: jnp.ndarray  # [N,3] molecule center-of-mass velocity
+    rep_atom: jnp.ndarray  # [N] i32 representative-atom flag (from the
+                           # molecule template, atom.cpp:2143-2148)
     bond1: jnp.ndarray    # [N] i32 SLOT of 1st bond partner (-1 = none);
     bond2: jnp.ndarray    # [N] i32 SLOT of 2nd bond partner (-1 = none).
                           # Slot references are remapped by every relayout
@@ -91,7 +98,8 @@ class State:
 
 
 def init_state(cfg: SceneConfig, x, v=None, types=None, seed: int = 0,
-               tags=None, q=None, mol=None, bonds=None) -> State:
+               tags=None, q=None, mol=None, bonds=None, lambdaF=None,
+               rep_atom=None) -> State:
     """Build a State from host arrays of n <= n_max real atoms.
 
     bonds: optional [nb, 2] 1-based atom-tag pairs (chain topology: each
@@ -128,6 +136,12 @@ def init_state(cfg: SceneConfig, x, v=None, types=None, seed: int = 0,
     molp = np.zeros((n_max,), dtype=np.int32)
     if mol is not None:
         molp[:n] = np.asarray(mol, dtype=np.int32)
+    lamp = np.zeros((n_max,), dtype=dtype)
+    if lambdaF is not None:
+        lamp[:n] = np.asarray(lambdaF, dtype=dtype)
+    repp = np.zeros((n_max,), dtype=np.int32)
+    if rep_atom is not None:
+        repp[:n] = np.asarray(rep_atom, dtype=np.int32)
     b1 = np.full((n_max,), -1, dtype=np.int32)
     b2 = np.full((n_max,), -1, dtype=np.int32)
     if bonds is not None:
@@ -149,6 +163,10 @@ def init_state(cfg: SceneConfig, x, v=None, types=None, seed: int = 0,
         x=jnp.asarray(xp), v=jnp.asarray(vp), f=jnp.zeros((n_max, 3), dtype),
         type=jnp.asarray(tp), tag=jnp.asarray(tagp), alive=jnp.asarray(alive),
         q=jnp.asarray(qp), mol=jnp.asarray(molp),
+        lambdaF=jnp.asarray(lamp),
+        cms_mol=jnp.zeros((n_max, 3), dtype),
+        vcms_mol=jnp.zeros((n_max, 3), dtype),
+        rep_atom=jnp.asarray(repp),
         bond1=jnp.asarray(b1), bond2=jnp.asarray(b2),
         step=jnp.zeros((), jnp.int32), sim_time=jnp.zeros((), dtype),
         maxtag=jnp.asarray(int(tagp.max(initial=0)), jnp.int32),
