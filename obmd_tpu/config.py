@@ -367,6 +367,20 @@ class ObmdParams:
     # ninsert x maxattempt loop; SURVEY.md §7 stage 5).
     insert_kmax: int = 8
 
+    # deposit-inherited keywords (parsing at fix_obmd_merged.cpp:2055-2159):
+    # `gaussian xmid ymid zmid sigma` — candidates drawn normally around a
+    # point (ref :930-932) instead of uniformly in the insertion region;
+    # draws landing outside the region are rejected.
+    gaussian: Optional[Tuple[float, float, float, float]] = None
+    # `orient rx ry rz` — fixed molecule rotation AXIS (angle stays
+    # uniform, ref :1001-1016).
+    orient: Optional[Tuple[float, float, float]] = None
+    # `id next|max` — tag policy: "next" counts up from the running
+    # maximum (never reuses ids); "max" recomputes the max over alive
+    # atoms each stage call, reusing ids freed by deletion (ref :911
+    # find_maxid vs :270).
+    id_policy: str = "next"
+
     def __post_init__(self):
         if (self.usher is None) == (self.near is None):
             raise ValueError("exactly one of `usher` / `near` must be given "

@@ -141,9 +141,9 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
                  + jnp.int32(obmd.ntype))
 
     def one_side(k_key, k_rot, region, budget, sub):
-        u = jax.random.uniform(k_key, (K, 3), dtype=dtype)
-        centers = region.sample_uniform(u)
-        rots = random_rotations(k_rot, K, dtype)
+        from .obmd.stage import draw_candidates
+        centers, ok0 = draw_candidates(cfg, k_key, region, K, dtype)
+        rots = random_rotations(k_rot, K, dtype, axis=obmd.orient)
         coords = mol_candidates(tpl, centers, rots)       # [K, m, 3]
         if obmd.usher is not None:
             pos, ok, iters = usher_search_subset_mol(cfg, sub, coords,
@@ -152,7 +152,7 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
             ok = near_check_subset_mol(cfg, sub, coords)
             pos, iters = coords, jnp.zeros((K,), jnp.int32)
         # all atoms must sit inside the box/region (check_mol_region)
-        ok = ok & jnp.all(region.match(pos), axis=1)
+        ok = ok & ok0 & jnp.all(region.match(pos), axis=1)
         budget = jnp.clip(budget, 0, K)
         accepted, _ = mol_sequential_accept(cfg, pos, mol_types, ok, budget)
         return pos, accepted, iters
@@ -170,8 +170,10 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     act = jnp.repeat(landed_mol, m)
     slot = jnp.where(act, slot, n_slots)                  # atomic commit
 
+    from .obmd.stage import insertion_tag_base
+    base = insertion_tag_base(cfg, state)
     mol_rank = jnp.cumsum(landed_mol.astype(jnp.int32)) - 1
-    tag_base = state.maxtag + mol_rank * m                # [2K]
+    tag_base = base + mol_rank * m                        # [2K]
     atom_idx = jnp.tile(jnp.arange(m, dtype=jnp.int32), (km,))
     new_tag = jnp.repeat(tag_base, m) + atom_idx + 1
     mol_id = jnp.repeat(tag_base + 1, m)                  # first atom's tag
@@ -234,7 +236,7 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
         x=x, v=v, f=f, type=typ, tag=tag, q=qn, mol=moln, alive=aliv,
         lambdaF=lam, cms_mol=cms0, vcms_mol=vcm0, rep_atom=rep,
         bond1=nb1, bond2=nb2, nbrs=aux,
-        maxtag=state.maxtag + n_mols * m, key=knext,
+        maxtag=base + n_mols * m, key=knext,
         obmd=state.obmd.replace(
             ninserted=state.obmd.ninserted + n_mols * m,
             insert_fail=state.obmd.insert_fail +
@@ -245,7 +247,8 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
 def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     if cfg.obmd.mol is not None:
         return _insert_mol(cfg, geom, state, nins_l, nins_r, sub_l, sub_r)
-    from .obmd.stage import _append_subset, rounds_of
+    from .obmd.stage import (_append_subset, draw_candidates,
+                             insertion_tag_base, rounds_of)
     obmd = cfg.obmd
     dtype = state.dtype
     K = obmd.insert_kmax
@@ -264,15 +267,14 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
         poss, accs = [], []
         iters_sum = jnp.zeros((), jnp.int32)
         for r in range(rounds):
-            u = jax.random.uniform(side_keys[r], (K, 3), dtype=dtype)
-            cand = region.sample_uniform(u)
+            cand, ok0 = draw_candidates(cfg, side_keys[r], region, K, dtype)
             if obmd.usher is not None:
                 pos, ok, iters = usher_search_subset(cfg, sub, cand, ctype,
                                                      region)
             else:
                 ok = near_check_subset(cfg, sub, cand)
                 pos, iters = cand, jnp.zeros((K,), jnp.int32)
-            accepted, count = _sequential_accept(cfg, pos, ctype, ok,
+            accepted, count = _sequential_accept(cfg, pos, ctype, ok & ok0,
                                                  jnp.minimum(rem, K))
             rem = rem - count
             if rounds > 1:
@@ -290,7 +292,8 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
 
     slot, landed = place_insertions(geom, state, pos, accepted)
     order = jnp.cumsum(landed.astype(jnp.int32)) - 1
-    new_tag = state.maxtag + 1 + order
+    base = insertion_tag_base(cfg, state)
+    new_tag = base + 1 + order
 
     m = 2 * M
     x = state.x.at[slot].set(pos, mode="drop")
@@ -318,7 +321,7 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
         x=x, v=v, f=f, type=typ, tag=tag, q=qn, alive=aliv, nbrs=aux,
         lambdaF=lam, cms_mol=cms, vcms_mol=vcm, rep_atom=rep,
         bond1=nb1, bond2=nb2,
-        maxtag=state.maxtag + n_landed, key=knext,
+        maxtag=base + n_landed, key=knext,
         obmd=state.obmd.replace(
             ninserted=state.obmd.ninserted + n_landed,
             insert_fail=state.obmd.insert_fail +

@@ -555,6 +555,64 @@ class Interpreter:
                         f"'{kw[i + 1]}': {e}") from e
                 params["mol_len"] = int(kw[i + 2])
                 i += 3
+            elif k == "gaussian":
+                # gaussian xmid ymid zmid sigma (ref :2128-2136, draws at
+                # :930-932)
+                params["gaussian"] = tuple(float(v) for v in kw[i + 1:i + 5])
+                i += 5
+            elif k == "orient":
+                # orient rx ry rz: fixed molecule rotation axis (:2121-2127)
+                params["orient"] = tuple(float(v) for v in kw[i + 1:i + 4])
+                i += 4
+            elif k == "id":
+                # id max|next: tag policy (:2086-2092)
+                pol = kw[i + 1]
+                if pol not in ("max", "next"):
+                    raise ScriptError(f"fix obmd id {pol}: use max|next")
+                params["id_policy"] = pol
+                i += 2
+            elif k == "units":
+                # units box|lattice (:2137-2143); no lattice support
+                if kw[i + 1] != "box":
+                    raise ScriptError(
+                        "fix obmd units lattice: no lattice engine; use "
+                        "units box")
+                i += 2
+            elif k == "molfrac":
+                # molfrac f1 f2 ... (:2055-2066): only one template exists
+                # here, so only the trivial fraction is meaningful
+                if abs(float(kw[i + 1]) - 1.0) > 1e-12:
+                    raise ScriptError(
+                        "fix obmd molfrac: multiple molecule templates are "
+                        "not supported; molfrac must be 1")
+                i += 2
+            elif k in ("vx", "vy", "vz"):
+                # parsed for parity; the reference inserts every particle
+                # with ZERO velocity regardless ("for now inserting with
+                # zero velocity", fix_obmd_merged.cpp:1074-1078), so these
+                # are inert there and here
+                self.log(f"# fix obmd {k}: inert (the reference inserts "
+                         "at v=0, fix_obmd_merged.cpp:1074-1078)")
+                i += 3
+            elif k == "target":
+                # target tx ty tz redirects the insertion velocity — which
+                # is always zero (see vx/vy/vz), so it is inert too
+                self.log("# fix obmd target: inert (insertion velocity is "
+                         "always zero in the reference)")
+                i += 4
+            elif k in ("global", "local", "rate"):
+                raise ScriptError(
+                    f"fix obmd {k}: deposit-style z-offset ramping has no "
+                    "meaning for open-x OBMD buffers and is not supported")
+            elif k in ("rigid", "shake"):
+                # ref hooks the insertion into fix rigid/shake
+                # (fix_obmd_merged.cpp:1163-1168); no constraint engine
+                # exists here, so refuse loudly instead of silently
+                # inserting unconstrained molecules
+                raise ScriptError(
+                    f"fix obmd {k}: rigid-body/SHAKE constrained insertion "
+                    "is not supported (no constraint engine); remove the "
+                    f"{k} keyword")
             else:
                 if self.strict:
                     raise ScriptError(f"fix obmd keyword {k} unsupported")

@@ -249,6 +249,31 @@ def _sequential_accept(cfg: SceneConfig, cand_x, cand_type, cand_ok, budget):
     return accepted, count
 
 
+def draw_candidates(cfg: SceneConfig, k_key, region, K: int, dtype):
+    """Candidate positions + initial validity: uniform in the insertion
+    region (ref :921-927) or, with the `gaussian` keyword, normal draws
+    around a point (ref :930-932) — gaussian draws landing outside the
+    insertion region are invalid."""
+    obmd = cfg.obmd
+    if obmd.gaussian is not None:
+        xm, ym, zm, sg = (float(v) for v in obmd.gaussian)
+        g = jax.random.normal(k_key, (K, 3), dtype=dtype)
+        mid = jnp.asarray([xm, ym, zm], dtype=dtype)
+        cand = mid + jnp.asarray(sg, dtype) * g
+        return cand, region.match(cand)
+    u = jax.random.uniform(k_key, (K, 3), dtype=dtype)
+    return region.sample_uniform(u), jnp.ones((K,), bool)
+
+
+def insertion_tag_base(cfg: SceneConfig, state: State):
+    """`id next` counts up from the running maximum (never reuses ids);
+    `id max` recomputes the max over alive atoms each stage call (ref
+    find_maxid :1860-1868), reusing ids freed by deletion."""
+    if cfg.obmd.id_policy == "max":
+        return jnp.max(jnp.where(state.alive, state.tag, 0))
+    return state.maxtag
+
+
 def rounds_of(cfg: SceneConfig) -> int:
     """Candidate rounds per stage call: the reference wraps each needed
     insertion in up to `maxattempt` fresh-draw attempts
@@ -307,15 +332,14 @@ def insert_particles_subset(cfg: SceneConfig, state: State,
         poss, accs = [], []
         iters_sum = jnp.zeros((), jnp.int32)
         for r in range(rounds):
-            u = jax.random.uniform(side_keys[r], (K, 3), dtype=dtype)
-            cand = region.sample_uniform(u)
+            cand, ok0 = draw_candidates(cfg, side_keys[r], region, K, dtype)
             if obmd.usher is not None:
                 pos, ok, iters = usher_search_subset(cfg, sub, cand, ctype,
                                                      region)
             else:
                 ok = near_check_subset(cfg, sub, cand)
                 pos, iters = cand, jnp.zeros((K,), jnp.int32)
-            accepted, count = _sequential_accept(cfg, pos, ctype, ok,
+            accepted, count = _sequential_accept(cfg, pos, ctype, ok & ok0,
                                                  jnp.minimum(rem, K))
             rem = rem - count
             if rounds > 1:
@@ -339,7 +363,8 @@ def insert_particles_subset(cfg: SceneConfig, state: State,
     order = jnp.cumsum(accepted.astype(jnp.int32)) - 1   # rank among accepted
     slot = jnp.where(accepted, free[jnp.clip(order, 0, 2 * M - 1)], n)
     landed = accepted & (slot < n)                       # capacity overflow
-    new_tag = state.maxtag + 1 + order.astype(jnp.int32)
+    base = insertion_tag_base(cfg, state)
+    new_tag = base + 1 + order.astype(jnp.int32)
 
     x = state.x.at[slot].set(pos, mode="drop")
     v = state.v.at[slot].set(jnp.zeros((2 * M, 3), dtype), mode="drop")
@@ -370,7 +395,7 @@ def insert_particles_subset(cfg: SceneConfig, state: State,
         x=x, v=v, f=f, type=typ, tag=tag, q=qn, mol=moln, alive=alive,
         lambdaF=lam, cms_mol=cms, vcms_mol=vcms, rep_atom=rep,
         bond1=nb1, bond2=nb2,
-        maxtag=state.maxtag + n_landed, key=knext,
+        maxtag=base + n_landed, key=knext,
         obmd=state.obmd.replace(
             ninserted=state.obmd.ninserted + n_landed,
             insert_fail=state.obmd.insert_fail + fails,

@@ -189,13 +189,16 @@ def subset_rows(p, box, sub: Subset, pos, new_slots, act):
 # usher molecule handling :1536-1605)
 # --------------------------------------------------------------------------
 
-def random_rotations(key, k: int, dtype):
-    """K rotation matrices from the reference's scheme (ref :1012-1024):
-    random axis = uniform cube corner normalized, angle uniform in [0, 2pi),
-    axis-angle -> matrix."""
+def random_rotations(key, k: int, dtype, axis=None):
+    """K rotation matrices from the reference's scheme (ref :1001-1024):
+    random axis = uniform cube draw normalized (or the fixed `orient`
+    axis, :1001-1004), angle uniform in [0, 2pi), axis-angle -> matrix."""
     import jax
     ka, kt = jax.random.split(key)
-    axis = jax.random.uniform(ka, (k, 3), dtype=dtype) - 0.5
+    if axis is not None:
+        axis = jnp.broadcast_to(jnp.asarray(axis, dtype), (k, 3))
+    else:
+        axis = jax.random.uniform(ka, (k, 3), dtype=dtype) - 0.5
     axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
     theta = jax.random.uniform(kt, (k,), dtype=dtype) * (2.0 * np.pi)
     c = jnp.cos(theta)[:, None, None]
@@ -216,26 +219,53 @@ def mol_candidates(template, centers, rots):
     return centers[:, None, :] + rotated
 
 
-def mol_energy_force(cfg, sub: Subset, coords, mol_types):
-    """Total conservative energy and net force of each K-molecule trial
-    (the translation part of molecule USHER; the reference's torque update
-    is skipped — its calc_torque drops all but the last atom anyway,
-    fix_obmd_merged.cpp:1756-1770, SURVEY.md quirks)."""
+def mol_energy_force(cfg, sub: Subset, coords, mol_types,
+                     per_atom: bool = False):
+    """Total conservative energy, net force, and (optionally) per-atom
+    forces of each K-molecule trial."""
     k, m, _ = coords.shape
     flat = coords.reshape(k * m, 3)
     types = jnp.tile(mol_types, (k,))
     E, F = conservative_energy_force(cfg.pair, sub, cfg.box, flat, types)
-    return E.reshape(k, m).sum(axis=1), F.reshape(k, m, 3).sum(axis=1)
+    Fa = F.reshape(k, m, 3)
+    E = E.reshape(k, m).sum(axis=1)
+    Fnet = Fa.sum(axis=1)
+    if per_atom:
+        return E, Fnet, Fa
+    return E, Fnet
+
+
+def _axis_angle_rotate(coords, com, axis, angle):
+    """Rotate [K,m,3] coords about per-candidate COM by per-candidate
+    axis/angle (Rodrigues)."""
+    rel = coords - com[:, None, :]
+    c = jnp.cos(angle)[:, None, None]
+    s = jnp.sin(angle)[:, None, None]
+    ax = axis[:, None, :]
+    cross = jnp.cross(jnp.broadcast_to(ax, rel.shape), rel)
+    dot = jnp.sum(ax * rel, axis=-1, keepdims=True)
+    rot = rel * c + cross * s + ax * dot * (1.0 - c)
+    return com[:, None, :] + rot
 
 
 def usher_search_subset_mol(cfg, sub: Subset, coords, mol_types, region):
-    """Molecule USHER, translation steering (acceptance rule identical to
-    the reference: E < etarget + eps; leaving the region rejects)."""
+    """Molecule USHER: translation along the net force plus rotation about
+    the COM along the torque, dtheta = min((E-etarget)/|tau|, dtheta0)
+    (ref fix_obmd_merged.cpp:1586-1605).  The torque here is the physical
+    all-atom sum tau = sum_a (x_a - com) x F_a — the reference's
+    calc_torque keeps only the last atom and force-resets dtheta0
+    (:1756-1770), a known bug we deliberately do not reproduce.
+    Acceptance rule identical: E < etarget + eps; leaving the region
+    rejects."""
+    import jax
     u = cfg.obmd.usher
+    dtheta0 = float(getattr(u, "dtheta0", 0.0) or 0.0)
+    masses = jnp.asarray(cfg.masses, coords.dtype)[mol_types]   # [m]
+    wsum = jnp.sum(masses)
 
     def body(carry, _):
         pos, active, accepted, iters = carry
-        E, F = mol_energy_force(cfg, sub, pos, mol_types)
+        E, F, Fa = mol_energy_force(cfg, sub, pos, mol_types, per_atom=True)
         ok = E < u.etarget + EPSILON
         newly = active & ok
         fabs = jnp.sqrt(jnp.sum(F * F, axis=-1))
@@ -246,6 +276,18 @@ def usher_search_subset_mol(cfg, sub: Subset, coords, mol_types, region):
         ds = jnp.where(E > u.uovlp, ds_ovlp, ds_norm)
         unit = F / jnp.maximum(fabs, EPSILON)[:, None]
         moved = pos + (unit * ds[:, None])[:, None, :]
+
+        if dtheta0 > 0.0:
+            com = jnp.sum(masses[None, :, None] * moved, axis=1) / wsum
+            tau = jnp.sum(jnp.cross(moved - com[:, None, :], Fa), axis=1)
+            tabs = jnp.sqrt(jnp.sum(tau * tau, axis=-1))
+            dth = jnp.minimum((E - u.etarget) / jnp.maximum(tabs, EPSILON),
+                              dtheta0)
+            axis = tau / jnp.maximum(tabs, EPSILON)[:, None]
+            rotated = _axis_angle_rotate(moved, com, axis, dth)
+            moved = jnp.where((tabs > EPSILON)[:, None, None], rotated,
+                              moved)
+
         inside = jnp.all(region.match(moved), axis=1)
         move_now = active & ~ok & ~degen
         pos = jnp.where(move_now[:, None, None], moved, pos)
@@ -255,7 +297,6 @@ def usher_search_subset_mol(cfg, sub: Subset, coords, mol_types, region):
         iters = iters + active.astype(jnp.int32)
         return (pos, active, accepted, iters), None
 
-    import jax
     k = coords.shape[0]
     init = (coords, jnp.ones((k,), bool), jnp.zeros((k,), bool),
             jnp.zeros((k,), jnp.int32))

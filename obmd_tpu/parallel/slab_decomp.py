@@ -593,16 +593,16 @@ def _pre_exchange_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
         poss, accs = [], []
         iters_sum = jnp.zeros((), jnp.int32)
         for r in range(rounds):
-            u = jax.random.uniform(side_keys[r], (K, 3),
-                                   dtype=state.x.dtype)
-            cand = region.sample_uniform(u)
+            from ..obmd.stage import draw_candidates
+            cand, ok0 = draw_candidates(cfg, side_keys[r], region, K,
+                                        state.x.dtype.type)
             if obmd.usher is not None:
                 pos, ok, iters = _usher_search_psum(cfg, sub, cand, ctype,
                                                     region)
             else:
                 ok = _near_check_psum(cfg, sub, cand)
                 pos, iters = cand, jnp.zeros((K,), jnp.int32)
-            accepted, count = _sequential_accept(cfg, pos, ctype, ok,
+            accepted, count = _sequential_accept(cfg, pos, ctype, ok & ok0,
                                                  jnp.minimum(rem, K))
             rem = rem - count
             if rounds > 1:
@@ -636,7 +636,13 @@ def _pre_exchange_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
     slot = jnp.where(mine, free[jnp.clip(lrank, 0, m2 - 1)], n_loc)
     landed = mine & (slot < n_loc)
     order = jnp.cumsum(accepted.astype(jnp.int32)) - 1    # global, replicated
-    new_tag = state.maxtag + 1 + order.astype(jnp.int32)
+    if obmd.id_policy == "max":
+        # alive tags are sharded: the per-device max needs a pmax
+        base = jax.lax.pmax(
+            jnp.max(jnp.where(state.alive, state.tag, 0)), AXIS)
+    else:
+        base = state.maxtag
+    new_tag = base + 1 + order.astype(jnp.int32)
 
     dtype_arr = state.x.dtype
     x = state.x.at[slot].set(pos, mode="drop")
@@ -654,7 +660,7 @@ def _pre_exchange_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
     want = jnp.clip(nins_l, 0) + jnp.clip(nins_r, 0)
     state = state.replace(
         x=x, v=v, f=f, type=typ, tag=tag, q=qn, lambdaF=lam, alive=alive,
-        maxtag=state.maxtag + n_landed, key=knext,
+        maxtag=base + n_landed, key=knext,
         obmd=state.obmd.replace(
             ninserted=state.obmd.ninserted + n_landed,
             insert_fail=state.obmd.insert_fail +

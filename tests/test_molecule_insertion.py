@@ -136,3 +136,53 @@ def test_molecule_deletion_whole():
     # atom index 2 escaped; its bonded partner index 1 must go too
     assert not alive[2] and not alive[1]
     assert alive[0]
+
+
+def test_usher_rotation_improves_acceptance():
+    """Rotation steering (ref usher() :1588-1605, with the correct
+    all-atom torque instead of calc_torque's last-atom bug) must rotate
+    dimers into lower-energy orientations: at a tight etarget in a dense
+    bath it accepts measurably more candidates than translation-only, and
+    it must preserve the rigid template geometry (bond length)."""
+    import dataclasses
+    from obmd_tpu.obmd.subset import (Subset, mol_candidates,
+                                      random_rotations,
+                                      usher_search_subset_mol)
+    from obmd_tpu.geometry import RegionBlock
+    from obmd_tpu.cells import BIG
+
+    r = np.random.default_rng(12)
+    region = RegionBlock((0.0, 0.0, 0.0), (3.0, 3.0, 3.0))
+    nb = 110                       # dense bath: rho ~ 4 in the region
+    bath = r.uniform(0.0, 3.0, (nb, 3)).astype(np.float32)
+    sub = Subset(idx=jnp.zeros((nb,), jnp.int32),
+                 x=jnp.asarray(bath), type=jnp.zeros((nb,), jnp.int32),
+                 q=jnp.zeros((nb,), jnp.float32),
+                 valid=jnp.ones((nb,), bool),
+                 overflow=jnp.zeros((), bool))
+    K = 96
+    key = jax.random.PRNGKey(7)
+    ku, kr = jax.random.split(key)
+    centers = jnp.asarray(
+        r.uniform(0.3, 2.7, (K, 3)).astype(np.float32))
+    rots = random_rotations(kr, K, jnp.float32)
+    coords = mol_candidates(DIMER, centers, rots)
+    mol_types = jnp.zeros((2,), jnp.int32)
+
+    def run(dtheta0):
+        cfg = _cfg(usher=True)
+        u = dataclasses.replace(cfg.obmd.usher, etarget=12.0, ds0=0.25,
+                                dtheta0=dtheta0, nattempt=25)
+        cfg = dataclasses.replace(
+            cfg, obmd=dataclasses.replace(cfg.obmd, usher=u))
+        pos, acc, iters = jax.jit(
+            lambda c: usher_search_subset_mol(cfg, sub, c, mol_types,
+                                              region))(coords)
+        return np.asarray(pos), int(jnp.sum(acc))
+
+    pos0, acc_norot = run(0.0)
+    pos1, acc_rot = run(0.5)
+    assert acc_rot > acc_norot, (acc_rot, acc_norot)
+    # the steering must preserve the rigid template geometry
+    bl = np.linalg.norm(pos1[:, 0] - pos1[:, 1], axis=-1)
+    np.testing.assert_allclose(bl, 0.97, atol=1e-3)

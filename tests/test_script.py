@@ -165,3 +165,30 @@ run             0
     it = Interpreter()
     with pytest.raises(ScriptError):
         it.run_lines(deck.splitlines())
+
+
+def test_rigid_shake_keywords_rejected(tmp_path):
+    """ref hooks insertion into fix rigid/shake (:1163-1168); without a
+    constraint engine the keywords must refuse loudly, not parse silently."""
+    data = _write_data(tmp_path)
+    for kw in ("rigid fixid", "shake fixid"):
+        deck = f"""
+units           lj
+boundary        f p p
+atom_style      atomic
+region          leftB block 0.0 1.6 0.0 4.0 0.0 4.0
+region          rightB block 6.4 8.0 0.0 4.0 0.0 4.0
+region          zs block 0.0 0.0 0.0 0.0 0.0 0.0
+pair_style      dpd 1.0 1.0 4321
+read_data       {data}
+pair_coeff      * * 25.0 4.5 1.0
+timestep        0.01
+fix             1 all nve
+fix             2 all obmd 1 1 987 188.0 0.0 0.0 0.0 0.0 0.7 0.01 130 &
+                region1 leftB region2 rightB region3 zs region4 zs &
+                region5 leftB region6 rightB buffersize 1.6 near 1 0.5 {kw}
+run             0
+"""
+        it = Interpreter(log_fn=lambda *a: None)
+        with pytest.raises(ScriptError, match="constraint"):
+            it.run_lines(deck.splitlines())
