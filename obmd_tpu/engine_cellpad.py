@@ -24,11 +24,14 @@ PURPOSE_PAIR_NOISE = 1
 
 
 def supports(cfg: SceneConfig) -> bool:
-    """Single-type DPD or LJ.  Periodic x is supported only without the
-    OBMD stage (open boundaries require open x by definition)."""
-    if cfg.ntypes != 1:
+    """DPD / LJ / LJ+reaction-field, up to 4 atom types (per-pair
+    coefficients blend in-kernel with T^2 one-hot selects; beyond that the
+    XLA paths win).  Periodic x is supported only without the OBMD stage
+    (open boundaries require open x by definition)."""
+    from .config import LJCutRFParams
+    if cfg.ntypes > 4:
         return False
-    if not isinstance(cfg.pair, (DPDParams, LJCutParams)):
+    if not isinstance(cfg.pair, (DPDParams, LJCutParams, LJCutRFParams)):
         return False
     if cfg.box.periodic[0] and cfg.obmd is not None:
         return False
@@ -46,26 +49,32 @@ def make_geometry(cfg: SceneConfig) -> PadGeometry:
 
 
 def _make_kernel(cfg: SceneConfig, geom: PadGeometry):
-    p = cfg.pair
-    exb = cfg.bond is not None
-    if isinstance(p, DPDParams):
-        return make_pair_kernel(geom, a0=p.a0[0][0], gamma=p.gamma[0][0],
-                                sigma=p.sigma[0][0], cut=p.cut[0][0],
-                                dt=cfg.dt, law="dpd", exclude_bonded=exb)
-    return make_pair_kernel(geom, cut=p.cut[0][0], dt=cfg.dt, law="lj",
-                            lj_eps=p.epsilon[0][0], lj_sig=p.sigma[0][0],
-                            exclude_bonded=exb)
+    return make_pair_kernel(geom, params=cfg.pair, dt=cfg.dt,
+                            exclude_bonded=cfg.bond is not None)
+
+
+def _n_channels(cfg: SceneConfig) -> int:
+    from .config import LJCutRFParams
+    return 6 + (1 if isinstance(cfg.pair, LJCutRFParams) else 0) \
+        + (1 if cfg.ntypes > 1 else 0)
 
 
 def _forces(cfg, geom, kern, state: State):
     """Pair + boundary forces.  jax.named_scope phases mirror the reference
     Timer categories (verlet.cpp:257-350: PAIR / MODIFY) for profiler
     traces."""
+    from .config import LJCutRFParams
     nb, cap, lanes = geom.n_blocks, geom.cap, geom.lanes
     a3 = state.alive[:, None]
     xm = jnp.where(a3, state.x, BIG).astype(jnp.float32)
-    fld = jnp.concatenate([xm, state.v.astype(jnp.float32)], axis=1)  # [N,6]
-    fld = fld.reshape(nb, cap, lanes, 6).transpose(0, 3, 1, 2)
+    chans = [xm, state.v.astype(jnp.float32)]
+    if isinstance(cfg.pair, LJCutRFParams):
+        chans.append(state.q.astype(jnp.float32)[:, None])
+    if cfg.ntypes > 1:
+        chans.append(state.type.astype(jnp.float32)[:, None])
+    nf = _n_channels(cfg)
+    fld = jnp.concatenate(chans, axis=1)                     # [N, NF]
+    fld = fld.reshape(nb, cap, lanes, nf).transpose(0, 3, 1, 2)
     tag = state.tag.reshape(nb, cap, lanes)
     salt = rng.step_salt(getattr(cfg.pair, "seed", 0), state.step, PURPOSE_PAIR_NOISE)
     # per-block highest occupied rank + 1 (i-side loop bound in the kernel)
@@ -402,7 +411,7 @@ def make_step_cellpad(cfg: SceneConfig):
     cfg = cfg.finalize()
     if not supports(cfg):
         raise ValueError(
-            "cellpad path: single-type DPD/LJ; open x required with OBMD")
+            "cellpad path: DPD/LJ/LJ-RF up to 4 types; open x required with OBMD")
     geom = make_geometry(cfg)
     kern = _make_kernel(cfg, geom)
     dt = float(cfg.dt)
@@ -500,7 +509,7 @@ def make_run_cellpad(cfg: SceneConfig, nsteps: int):
     cfg = cfg.finalize()
     if not supports(cfg):
         raise ValueError(
-            "cellpad path: single-type DPD/LJ; open x required with OBMD")
+            "cellpad path: DPD/LJ/LJ-RF up to 4 types; open x required with OBMD")
     geom = make_geometry(cfg)
     kern = _make_kernel(cfg, geom)
     r_every = auto_rebuild_every(cfg)

@@ -124,7 +124,7 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                      gamma: float = 0.0, sigma: float = 0.0, cut: float = 1.0,
                      dt: float = 0.01, law: str = "dpd",
                      lj_eps: float = 1.0, lj_sig: float = 1.0,
-                     exclude_bonded: bool = False):
+                     exclude_bonded: bool = False, params=None):
     """Newton half-stencil pair kernel — each unordered pair computed ONCE
     (the counterpart of the reference's newton-on half list,
     npair_half_bin_newton.cpp + reverse_comm, comm_brick.cpp:598).
@@ -142,10 +142,20 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
     wrapped replica gets +-L added to its position lane), so the inner loop
     carries no min-image rounds on axes with >= 3 cells.
 
-    Same calling convention as make_dpd_kernel:
-      fld f32 [nb, 6, cap, lanes], tag i32 [nb, cap, lanes], salt u32[1],
-      occ i32 [nb], optional pbond i32 [nb, 2, cap, lanes] -> f [nb,3,cap,lanes]
+    Calling convention:
+      fld f32 [nb, NF, cap, lanes] with channels x,y,z,vx,vy,vz[,q][,type]
+      (q present for lj/cut/rf, a float type channel for ntypes > 1),
+      tag i32 [nb, cap, lanes], salt u32[1], occ i32 [nb],
+      optional pbond i32 [nb, 2, cap, lanes] -> f [nb, 3, cap, lanes].
+
+    When `params` (a config PairParams) is given, the law, per-type-pair
+    coefficient tables, charge handling, and channel count derive from it
+    (multi-type coefficients are blended in-kernel with one-hot masks over
+    the float type channel — tiny T^2 unrolled selects, no gathers).  The
+    scalar kwargs remain for the legacy single-type call sites.
     """
+    from ..config import (DPDParams, DPDTstatParams, LJCutParams,
+                          LJCutRFParams)
     nx, ny, nz = geom.dims
     s, p, lanes, cap = geom.s, geom.p, geom.lanes, geom.cap
     nb = geom.n_blocks
@@ -153,16 +163,92 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
     lz = float(nz * geom.cell_size[2])
     lx = float(nx * geom.cell_size[0])
     dtinvsqrt = float(1.0 / np.sqrt(dt))
-    cutsq = float(cut * cut)
     eps = 1.0e-10
     sqrt3 = float(np.sqrt(3.0))
-    a0f, gamf, sigf, cutf = map(float, (a0, gamma, sigma, cut))
     per_x = geom.periodic_x
-    s6 = float(lj_sig) ** 6
-    lj1 = 48.0 * float(lj_eps) * s6 * s6
-    lj2 = 24.0 * float(lj_eps) * s6
     mi_y = ny < 3          # single-cell periodic axis: min-image in-loop
     mi_z = nz < 3
+
+    # ---- coefficient plumbing -------------------------------------------
+    ntypes = 1
+    charged = False
+    qq = 1.0
+    cut_coul = 0.0
+    eps_rf_tab = None
+    if params is not None:
+        ntypes = params.ntypes
+        if isinstance(params, (DPDParams, DPDTstatParams)):
+            law = "dpd"
+            a0_tab = (params.a0 if isinstance(params, DPDParams)
+                      else tuple((0.0,) * ntypes for _ in range(ntypes)))
+            gam_tab, sig_tab = params.gamma, params.sigma
+            cut_tab = params.cut
+        elif isinstance(params, LJCutRFParams):
+            law = "ljrf"
+            charged = True
+            qq = float(params.qqrd2e)
+            cut_coul = float(params.cut_coul)
+            eps_tab, sigm_tab = params.epsilon, params.sigma
+            cut_tab = params.cut
+            eps_rf_tab = params.eps_rf
+        elif isinstance(params, LJCutParams):
+            law = "lj"
+            eps_tab, sigm_tab = params.epsilon, params.sigma
+            cut_tab = params.cut
+        else:
+            raise TypeError(f"pallas kernel: unsupported params {type(params)}")
+    else:
+        if law == "dpd":
+            a0_tab = ((float(a0),),)
+            gam_tab = ((float(gamma),),)
+            sig_tab = ((float(sigma),),)
+        else:
+            eps_tab = ((float(lj_eps),),)
+            sigm_tab = ((float(lj_sig),),)
+        cut_tab = ((float(cut),),)
+
+    multi = ntypes > 1
+    NF = 6 + (1 if charged else 0) + (1 if multi else 0)
+    CH_Q = 6
+    CH_T = 6 + (1 if charged else 0)
+
+    def pair_coef(tab):
+        """Per-pair coefficient from the float type channels (T^2 one-hot
+        blend; a plain trace-time scalar for single-type)."""
+        t = [[float(v) for v in row] for row in np.asarray(tab)]
+        if not multi:
+            c = float(t[0][0])      # python float: folds into the kernel
+            return lambda tif, tjf: c
+
+        def get(tif, tjf):
+            acc = None
+            for t1 in range(ntypes):
+                for t2 in range(ntypes):
+                    m = (tif == jnp.float32(t1)) & (tjf == jnp.float32(t2))
+                    term = jnp.where(m, jnp.float32(t[t1][t2]),
+                                     jnp.float32(0.0))
+                    acc = term if acc is None else acc + term
+            return acc
+        return get
+
+    if law == "dpd":
+        c_a0 = pair_coef(a0_tab)
+        c_gam = pair_coef(gam_tab)
+        c_sig = pair_coef(sig_tab)
+    else:
+        # LAMMPS lj1/lj2 prefactors per pair
+        epsA = np.asarray(eps_tab, dtype=np.float64)
+        sigA = np.asarray(sigm_tab, dtype=np.float64)
+        s6A = sigA ** 6
+        c_lj1 = pair_coef(48.0 * epsA * s6A * s6A)
+        c_lj2 = pair_coef(24.0 * epsA * s6A)
+        if law == "ljrf":
+            erfA = np.asarray(eps_rf_tab, dtype=np.float64)
+            c_rf = pair_coef(2.0 * (erfA - 1.0) / (2.0 * erfA + 1.0))
+    c_cut = pair_coef(cut_tab)
+    max_cut = float(np.max(np.asarray(cut_tab)))
+    if charged:
+        max_cut = max(max_cut, cut_coul)
 
     dys = (-1, 0, 1) if ny >= 3 else (0,)
     dzs = (-1, 0, 1) if nz >= 3 else (0,)
@@ -206,9 +292,10 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                 r2 = r2 + jnp.float32(wrap_delta)
             return jnp.where(wrapped, r2, r1)
 
-        def pair_math(si, xj, yj, zj, vxj, vyj, vzj, tj, ok):
+        def pair_math(si, jch, tj, ok):
             """fpair (cap,lanes) and the displacement components for i at
-            rank si vs the j view."""
+            rank si vs the j view.  jch: the NF j-side channel arrays."""
+            xj, yj, zj = jch[0], jch[1], jch[2]
             dx = mid_f[0, 0, si][None, :] - xj
             dyy = mid_f[0, 1, si][None, :] - yj
             dzz = mid_f[0, 2, si][None, :] - zj
@@ -217,24 +304,47 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
             if mi_z:
                 dzz = dzz - lz * jnp.round(dzz * (1.0 / lz))
             rsq = dx * dx + dyy * dyy + dzz * dzz
-            ok = ok & (rsq < cutsq) & (rsq > eps * eps)
+            ok = ok & (rsq > eps * eps)
             if exclude_bonded:
                 p1 = pb_ref[0, 0, si][None, :]
                 p2 = pb_ref[0, 1, si][None, :]
                 ok = ok & (tj != p1) & (tj != p2)
-
-            if law == "lj":
-                r2inv = jnp.where(ok, 1.0 / jnp.maximum(rsq, eps * eps), 0.0)
-                r6inv = r2inv * r2inv * r2inv
-                fpair = r6inv * (lj1 * r6inv - lj2) * r2inv
-                fpair = jnp.where(ok, fpair, 0.0)
+            if multi:
+                tif = jnp.broadcast_to(mid_f[0, CH_T, si][None, :],
+                                       (cap, lanes))
+                tjf = jch[CH_T]
             else:
+                tif = tjf = None
+            cutp = c_cut(tif, tjf)
+
+            if law in ("lj", "ljrf"):
+                in_lj = ok & (rsq < cutp * cutp)
+                r2inv = jnp.where(in_lj, 1.0 / jnp.maximum(rsq, eps * eps),
+                                  0.0)
+                r6inv = r2inv * r2inv * r2inv
+                fpair = r6inv * (c_lj1(tif, tjf) * r6inv
+                                 - c_lj2(tif, tjf)) * r2inv
+                fpair = jnp.where(in_lj, fpair, 0.0)
+                if law == "ljrf":
+                    # reaction-field Coulomb (pair_lj_cut_rf.cpp:118-131)
+                    qi = mid_f[0, CH_Q, si][None, :]
+                    qj = jch[CH_Q]
+                    in_c = ok & (rsq < jnp.float32(cut_coul * cut_coul))
+                    rinv = jax.lax.rsqrt(jnp.maximum(rsq, eps * eps))
+                    r2i = rinv * rinv
+                    qprod = jnp.float32(qq) * qi * qj
+                    fcoul = qprod * (r2i * rinv
+                                     - jnp.float32(1.0 / cut_coul ** 3)
+                                     * c_rf(tif, tjf))
+                    fpair = fpair + jnp.where(in_c, fcoul, 0.0)
+            else:
+                okc = ok & (rsq < cutp * cutp)
                 rinv = jax.lax.rsqrt(jnp.maximum(rsq, eps * eps))
                 r = rsq * rinv
-                wd = 1.0 - r * (1.0 / cutf)
-                dot = (dx * (mid_f[0, 3, si][None, :] - vxj)
-                       + dyy * (mid_f[0, 4, si][None, :] - vyj)
-                       + dzz * (mid_f[0, 5, si][None, :] - vzj))
+                wd = 1.0 - r * (1.0 / cutp)
+                dot = (dx * (mid_f[0, 3, si][None, :] - jch[3])
+                       + dyy * (mid_f[0, 4, si][None, :] - jch[4])
+                       + dzz * (mid_f[0, 5, si][None, :] - jch[5]))
                 ti = jnp.broadcast_to(mid_t[0, si][None, :], (cap, lanes))
                 lo = pltpu.bitcast(jnp.minimum(ti, tj), _U32)
                 hi = pltpu.bitcast(jnp.maximum(ti, tj), _U32)
@@ -244,19 +354,18 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                 u24 = pltpu.bitcast(h >> 8, jnp.int32)
                 u01 = u24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
                 noise = sqrt3 * (2.0 * u01 - 1.0)
-                fpair = a0f * wd
-                fpair = fpair - gamf * wd * wd * dot * rinv
-                fpair = fpair + sigf * wd * noise * dtinvsqrt
+                fpair = c_a0(tif, tjf) * wd
+                fpair = fpair - c_gam(tif, tjf) * wd * wd * dot * rinv
+                fpair = fpair + c_sig(tif, tjf) * wd * noise * dtinvsqrt
                 fpair = fpair * rinv
-                fpair = jnp.where(ok, fpair, 0.0)
+                fpair = jnp.where(okc, fpair, 0.0)
             return fpair, dx, dyy, dzz
 
         # ---- self cell: rank-ordered half (sj > si), both sides in acc ----
         def self_body(si, _):
             ok = rank_idx > si
             fpair, dx, dyy, dzz = pair_math(
-                si, mid_f[0, 0], mid_f[0, 1], mid_f[0, 2],
-                mid_f[0, 3], mid_f[0, 4], mid_f[0, 5], mid_t[0], ok)
+                si, [mid_f[0, c] for c in range(NF)], mid_t[0], ok)
             fx, fy, fz = fpair * dx, fpair * dyy, fpair * dzz
             acc[0, si, :] += jnp.sum(fx, axis=0)
             acc[1, si, :] += jnp.sum(fy, axis=0)
@@ -272,14 +381,14 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
         for dxs, dy, dz in directed:
             # x view: stitched mid/next slab shift (j slab = i slab + dxs)
             if dxs == 0:
-                xsrc_f = [mid_f[0, c] for c in range(6)]
+                xsrc_f = [mid_f[0, c] for c in range(NF)]
                 xsrc_t = mid_t[0]
                 cross = None                      # no block crossing
             elif p == 1:
                 xadj = (jnp.where(i == nb - 1, jnp.float32(lx),
                                   jnp.float32(0.0)) if per_x else 0.0)
                 xsrc_f = [next_f[0, c] + (xadj if c == 0 else 0.0)
-                          for c in range(6)]
+                          for c in range(NF)]
                 xsrc_t = next_t[0]
                 cross = "all"
             else:
@@ -294,7 +403,7 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                     return jnp.where(in_mid, nbr(vm, s, lanes), vn_r)
                 xsrc_f = [stitch(mid_f[0, c], next_f[0, c],
                                  xadj if (c == 0 and per_x) else None)
-                          for c in range(6)]
+                          for c in range(NF)]
                 xsrc_t = stitch(mid_t[0], next_t[0])
                 cross = "last"                    # slab_q == p-1 lanes cross
 
@@ -305,7 +414,7 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                 v = nbr(val, dy * nz, s, wrap_delta=wy * dy)
                 return nbr(v, dz, nz, wrap_delta=wz * dz)
 
-            fields = [yz(xsrc_f[c], c) for c in range(6)]
+            fields = [yz(xsrc_f[c], c) for c in range(NF)]
             tj = yz(xsrc_t, -1)
 
             # domain-edge validity along open x
@@ -317,9 +426,7 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
             jacc[...] = jnp.zeros((3, cap, lanes), jnp.float32)
 
             def dir_body(si, _):
-                fpair, dx, dyy, dzz = pair_math(
-                    si, fields[0], fields[1], fields[2],
-                    fields[3], fields[4], fields[5], tj, gok)
+                fpair, dx, dyy, dzz = pair_math(si, fields, tj, gok)
                 fx, fy, fz = fpair * dx, fpair * dyy, fpair * dzz
                 acc[0, si, :] += jnp.sum(fx, axis=0)
                 acc[1, si, :] += jnp.sum(fy, axis=0)
@@ -367,8 +474,8 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
         return (_next(i), 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 6, cap, lanes), im),
-        pl.BlockSpec((1, 6, cap, lanes), inx),
+        pl.BlockSpec((1, NF, cap, lanes), im),
+        pl.BlockSpec((1, NF, cap, lanes), inx),
         pl.BlockSpec((1, cap, lanes), imt),
         pl.BlockSpec((1, cap, lanes), inxt),
     ]
