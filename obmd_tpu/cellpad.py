@@ -151,8 +151,20 @@ def slot_cells(geom: PadGeometry) -> np.ndarray:
                            (geom.n_blocks, cap, lanes)).reshape(-1).astype(np.int32)
 
 
+def compact_indices(mask: jnp.ndarray, size: int, fill: int) -> jnp.ndarray:
+    """`jnp.nonzero(mask, size=size, fill_value=fill)[0]` without the sort
+    XLA lowers nonzero to (measured ~4 ms at 300k slots vs ~0.4 ms for
+    this cumsum-rank + scatter construction)."""
+    n = mask.shape[0]
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask & (rank < size), rank, size)
+    out = jnp.full((size + 1,), fill, jnp.int32)
+    out = out.at[dest].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    return out[:size]
+
+
 def relayout_incremental(geom: PadGeometry, box: Box, state: State,
-                         m_max: int = 0) -> State:
+                         m_max: int = 0, has_bonds: bool = True) -> State:
     """Movers-only epoch relayout — the fast replacement for layout_build.
 
     A full argsort relayout of the padded store measured 139 ms at 316k
@@ -175,7 +187,7 @@ def relayout_incremental(geom: PadGeometry, box: Box, state: State,
     cur = geom.cell_of(state.x)
     mover = state.alive & (cur != sc)
     n_mov = jnp.sum(mover.astype(jnp.int32))
-    midx = jnp.nonzero(mover, size=m_max, fill_value=n_slots)[0].astype(jnp.int32)
+    midx = compact_indices(mover, m_max, n_slots)
     act = midx < n_slots
     missed = n_mov - jnp.sum(act.astype(jnp.int32))
 
@@ -206,38 +218,57 @@ def relayout_incremental(geom: PadGeometry, box: Box, state: State,
     old = jnp.where(landed, midx, n_slots)
     unplaced = jnp.sum((act & ~landed).astype(jnp.int32))
 
-    def move(field, dead_val):
-        val = field[safe]
-        field = field.at[slot].set(val, mode="drop")
-        fill = jnp.broadcast_to(jnp.asarray(dead_val, field.dtype),
-                                val.shape)
-        return field.at[old].set(fill, mode="drop")
-
+    # ---- packed row moves: one gather + two scatters for ALL float
+    # fields at once (the round-1 packed-row finding: row-granular
+    # gathers/scatters run at row rate, element-granular at ~1
+    # element/cycle — per-field scatters measured ~0.27 ms each) ----
     center = jnp.asarray([(l + h) * 0.5 for l, h in zip(box.lo, box.hi)],
                          state.x.dtype)
-    x = state.x.at[slot].set(pos, mode="drop")
-    x = x.at[old].set(jnp.broadcast_to(center, pos.shape), mode="drop")
+    dtype = state.x.dtype
+    fcols = [state.x, state.v, state.f, state.q[:, None],
+             state.lambdaF[:, None], state.cms_mol, state.vcms_mol]
+    ffill = jnp.concatenate([
+        center, jnp.zeros((14,), dtype)]).astype(dtype)   # dead-row values
+    fpack = jnp.concatenate(fcols, axis=1)                # [n, 17]
+    frows = fpack[safe]
+    fpack = fpack.at[slot].set(frows, mode="drop")
+    fpack = fpack.at[old].set(
+        jnp.broadcast_to(ffill, frows.shape), mode="drop")
+
+    icols = [state.type[:, None], state.tag[:, None], state.mol[:, None],
+             state.rep_atom[:, None], state.bond1[:, None],
+             state.bond2[:, None]]
+    ifill = jnp.asarray([0, -1, 0, 0, -1, -1], jnp.int32)
+    ipack = jnp.concatenate(icols, axis=1)                # [n, 6]
+    irows = ipack[safe]
+    ipack = ipack.at[slot].set(irows, mode="drop")
+    ipack = ipack.at[old].set(
+        jnp.broadcast_to(ifill, irows.shape), mode="drop")
+
     alive = state.alive.at[slot].set(True, mode="drop")
     alive = alive.at[old].set(False, mode="drop")
 
-    # bond partner SLOT references of every atom follow the moves
-    moved_map = jnp.arange(n_slots, dtype=jnp.int32).at[old].set(
-        jnp.where(landed, slot, 0), mode="drop")
+    bond1 = ipack[:, 4]
+    bond2 = ipack[:, 5]
+    if has_bonds:
+        # bond partner SLOT references of every atom follow the moves
+        moved_map = jnp.arange(n_slots, dtype=jnp.int32).at[old].set(
+            jnp.where(landed, slot, 0), mode="drop")
 
-    def remap(bond):
-        return jnp.where(bond >= 0,
-                         moved_map[jnp.clip(bond, 0, n_slots - 1)], -1)
+        def remap(bond):
+            return jnp.where(bond >= 0,
+                             moved_map[jnp.clip(bond, 0, n_slots - 1)], -1)
+
+        bond1 = remap(bond1)
+        bond2 = remap(bond2)
 
     new = state.replace(
-        x=x, alive=alive,
-        v=move(state.v, 0.0), f=move(state.f, 0.0),
-        type=move(state.type, 0), tag=move(state.tag, -1),
-        q=move(state.q, 0.0), mol=move(state.mol, 0),
-        lambdaF=move(state.lambdaF, 0.0), cms_mol=move(state.cms_mol, 0.0),
-        vcms_mol=move(state.vcms_mol, 0.0),
-        rep_atom=move(state.rep_atom, 0),
-        bond1=remap(move(state.bond1, -1)),
-        bond2=remap(move(state.bond2, -1)))
+        x=fpack[:, 0:3], v=fpack[:, 3:6], f=fpack[:, 6:9],
+        q=fpack[:, 9], lambdaF=fpack[:, 10],
+        cms_mol=fpack[:, 11:14], vcms_mol=fpack[:, 14:17],
+        alive=alive,
+        type=ipack[:, 0], tag=ipack[:, 1], mol=ipack[:, 2],
+        rep_atom=ipack[:, 3], bond1=bond1, bond2=bond2)
     return new.replace(nbrs=aux.replace(
         xref=new.x, force_rebuild=jnp.zeros((), bool),
         rebuilds=aux.rebuilds + 1,
@@ -245,76 +276,58 @@ def relayout_incremental(geom: PadGeometry, box: Box, state: State,
 
 
 def maybe_rebuild(geom: PadGeometry, box: Box, skin: float,
-                  state: State) -> State:
+                  state: State, has_bonds: bool = True) -> State:
     """Half-skin displacement trigger (neighbor.cpp:2342 analogue).  The
     taken branch is the cheap incremental relayout, so the data-dependent
     cond no longer hides a 139-ms argsort behind itself."""
     aux: PadAux = state.nbrs
     if skin <= 0.0:
-        return relayout_incremental(geom, box, state)
+        return relayout_incremental(geom, box, state, has_bonds=has_bonds)
     d = box.min_image(state.x - aux.xref)
     disp2 = jnp.where(state.alive, jnp.sum(d * d, axis=-1), 0.0)
     trip = jnp.max(disp2) > (0.5 * skin) ** 2
     need = trip | aux.force_rebuild
     return jax.lax.cond(need,
-                        lambda s: relayout_incremental(geom, box, s),
+                        lambda s: relayout_incremental(
+                            geom, box, s, has_bonds=has_bonds),
                         lambda s: s, state)
 
 
-def place_insertions(geom: PadGeometry, state: State, pos, accepted,
-                     rounds: int = 0):
+def place_insertions(geom: PadGeometry, state: State, pos, accepted):
     """Claim a free rank in each accepted candidate's cell.
 
     pos: [M,3]; accepted: [M].  Returns (slot [M] with n_slots = failed,
-    landed mask).  Conflicts between same-cell candidates are resolved with
-    scatter-verify rounds — each round settles at least one candidate per
-    contested cell, so M rounds (the default) always place every accepted
-    candidate that has a free rank; cap-full cells fail the insertion
-    (counted by the caller)."""
+    landed mask).  Same-cell candidates are ordered by a small argsort and
+    the j-th candidate of a cell takes the cell column's j-th free rank
+    (one rank-axis prefix sum over the free mask + one [M, cap] gather) —
+    the relayout_incremental placement scheme: exact for any M, no
+    scatter-verify rounds (a round-based loop paid ~17us launch overhead
+    per round).  Cap-full cells fail the insertion (counted by caller)."""
     n_slots = geom.n_slots
     cap = geom.cap
     lanes = geom.lanes
     m = pos.shape[0]
-    if rounds <= 0:
-        rounds = max(4, m)
+    n_cells = geom.n_cells
 
-    cell = geom.cell_of(pos)
-    block, lane = geom.slot_of_cell(cell)
+    cell = jnp.where(accepted, geom.cell_of(pos), n_cells)
+    order = jnp.argsort(cell)
+    cell_s = cell[order]
+    first = jnp.searchsorted(cell_s, cell_s, side="left")
+    ordinal_s = jnp.arange(m, dtype=jnp.int32) - first.astype(jnp.int32)
+    ordinal = jnp.zeros((m,), jnp.int32).at[order].set(ordinal_s)
+
+    free = ~state.alive
+    cumfree = jnp.cumsum(
+        free.reshape(geom.n_blocks, cap, lanes).astype(jnp.int32),
+        axis=1).reshape(-1)
+    block, lane = geom.slot_of_cell(jnp.clip(cell, 0, n_cells - 1))
     col0 = (block * cap) * lanes + lane          # rank-0 slot of the cell
-    ranks = jnp.arange(cap, dtype=jnp.int32)[None, :] * lanes  # stride
-    col_slots = col0[:, None] + ranks            # [M, cap] slot ids
-
-    alive = state.alive
-    taken = jnp.concatenate([alive, jnp.ones((1,), bool)])  # guard
-
-    placed = ~accepted
-    rank_try = jnp.zeros((m,), jnp.int32)
-    slot = jnp.full((m,), n_slots, jnp.int32)
-    marker = jnp.full((n_slots + 1,), -1, jnp.int32)
-
-    def body(carry, _):
-        taken, marker, placed, rank_try, slot = carry
-        occ = taken[col_slots]                   # [M, cap]
-        cols = jnp.arange(cap, dtype=jnp.int32)[None, :]
-        free_ok = ~occ & (cols >= rank_try[:, None])
-        has = jnp.any(free_ok, axis=1)
-        r = jnp.argmax(free_ok, axis=1).astype(jnp.int32)
-        cand_slot = jnp.take_along_axis(col_slots, r[:, None], axis=1)[:, 0]
-        attempt = ~placed & has
-        tgt = jnp.where(attempt, cand_slot, n_slots)
-        me = jnp.arange(m, dtype=jnp.int32)
-        marker = marker.at[tgt].set(me, mode="drop")
-        won = attempt & (marker[jnp.clip(tgt, 0, n_slots)] == me) & \
-            (tgt < n_slots)
-        slot = jnp.where(won, tgt, slot)
-        taken = taken.at[jnp.where(won, tgt, n_slots)].set(True, mode="drop")
-        placed = placed | won
-        rank_try = jnp.where(attempt & ~won, r + 1, rank_try)
-        return (taken, marker, placed, rank_try, slot), None
-
-    (taken, marker, placed, rank_try, slot), _ = jax.lax.scan(
-        body, (taken, marker, placed, rank_try, slot), None, length=rounds)
-    landed = accepted & (slot < n_slots)
+    col_slots = col0[:, None] + (jnp.arange(cap, dtype=jnp.int32)
+                                 * lanes)[None, :]
+    hit = free[col_slots] & (cumfree[col_slots] == (ordinal + 1)[:, None])
+    landed = accepted & jnp.any(hit, axis=1)
+    r = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    slot = jnp.where(landed, col0 + r * lanes, n_slots)
     return slot, landed
 
 

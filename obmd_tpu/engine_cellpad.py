@@ -110,7 +110,11 @@ def _forces(cfg, geom, kern, state: State):
 
 
 def _subset_slice(cfg, geom, state, region, pad):
-    """Buffer subset as a contiguous slot slice (no gather)."""
+    """Buffer subset: a contiguous slot slice COMPACTED to its live rows.
+    The slice itself needs no gather, but the cellpad layout is only
+    ~occ/cap * s/lanes occupied (~1/3), and the USHER search re-reads the
+    subset up to nattempt times — one small compaction gather up front
+    shrinks all of that math 3x."""
     a, b = slab_slice_bounds(geom, cfg.box, region.lo[0] - pad,
                              region.hi[0] + pad)
     exp = expand_region(region, pad)
@@ -118,13 +122,21 @@ def _subset_slice(cfg, geom, state, region, pad):
     al = jax.lax.slice_in_dim(state.alive, a, b, axis=0)
     valid = al & exp.match(xs)
     n = b - a
+    # live-row bound: the layout is at most ~40% occupied in production
+    # (occ/cap * real-lane fraction); overflow is counted loudly below
+    b_max = min(n, int(0.45 * n) + 256)
+    sel = jnp.nonzero(valid, size=b_max, fill_value=n)[0].astype(jnp.int32)
+    ok = sel < n
+    safe = jnp.clip(sel, 0, n - 1)
     return Subset(
-        idx=jnp.arange(a, b, dtype=jnp.int32),
-        x=jnp.where(valid[:, None], xs, BIG),
-        type=jax.lax.slice_in_dim(state.type, a, b, axis=0),
-        q=jax.lax.slice_in_dim(state.q, a, b, axis=0),
-        valid=valid,
-        overflow=jnp.zeros((), bool))
+        idx=sel + jnp.int32(a),
+        x=jnp.where(ok[:, None], xs[safe], BIG),
+        type=jnp.where(ok, jax.lax.slice_in_dim(state.type, a, b,
+                                                axis=0)[safe], 0),
+        q=jnp.where(ok, jax.lax.slice_in_dim(state.q, a, b, axis=0)[safe],
+                    0.0),
+        valid=ok,
+        overflow=jnp.sum(valid.astype(jnp.int32)) > b_max)
 
 
 def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
@@ -268,34 +280,64 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     key = rng.fold_key(state.key, state.step)
     keys = jax.random.split(key, 2 * rounds + 1)
     knext = keys[-1]
+    keys_l, keys_r = keys[:rounds], keys[rounds:2 * rounds]
 
-    def one_side(side_keys, region, budget, sub):
-        ctype = jnp.full((K,), obmd.ntype, jnp.int32)
-        zq = jnp.zeros((K,), dtype)
-        rem = jnp.clip(budget, 0, M)
-        poss, accs = [], []
-        iters_sum = jnp.zeros((), jnp.int32)
-        for r in range(rounds):
-            cand, ok0 = draw_candidates(cfg, side_keys[r], region, K, dtype)
-            if obmd.usher is not None:
-                pos, ok, iters = usher_search_subset(cfg, sub, cand, ctype,
-                                                     region)
+    ctype = jnp.full((K,), obmd.ntype, jnp.int32)
+    zq = jnp.zeros((K,), dtype)
+    rem_l = jnp.clip(nins_l, 0, M)
+    rem_r = jnp.clip(nins_r, 0, M)
+    poss_l, accs_l, poss_r, accs_r = [], [], [], []
+    it_l = it_r = jnp.zeros((), jnp.int32)
+    for r in range(rounds):
+        cand_l, ok0_l = draw_candidates(cfg, keys_l[r], obmd.region5, K,
+                                        dtype)
+        cand_r, ok0_r = draw_candidates(cfg, keys_r[r], obmd.region6, K,
+                                        dtype)
+        if obmd.usher is not None:
+            # both buffers in ONE search: the per-iteration launch
+            # overhead dominates the [K,B] math at production sizes.
+            # Single-type DPD runs the whole loop inside one Pallas
+            # kernel (VMEM-resident, zero per-iteration launches); on
+            # non-TPU backends the XLA path is used instead (interpreted
+            # Pallas is orders of magnitude slower than XLA on CPU).
+            if (isinstance(cfg.pair, DPDParams) and cfg.ntypes == 1
+                    and jax.default_backend() in ("tpu", "axon")):
+                from .forces.pallas_usher import usher_search_pallas
+                pos2, ok2, iters2 = usher_search_pallas(
+                    cfg, sub_l, sub_r, cand_l, cand_r,
+                    obmd.region5, obmd.region6)
             else:
-                ok = near_check_subset(cfg, sub, cand)
-                pos, iters = cand, jnp.zeros((K,), jnp.int32)
-            accepted, count = _sequential_accept(cfg, pos, ctype, ok & ok0,
-                                                 jnp.minimum(rem, K))
-            rem = rem - count
-            if rounds > 1:
-                sub = _append_subset(sub, pos, accepted, ctype, zq, n_slots)
-            poss.append(pos)
-            accs.append(accepted)
-            iters_sum = iters_sum + jnp.sum(iters)
-        return jnp.concatenate(poss), jnp.concatenate(accs), iters_sum
-
-    pos_l, acc_l, it_l = one_side(keys[:rounds], obmd.region5, nins_l, sub_l)
-    pos_r, acc_r, it_r = one_side(keys[rounds:2 * rounds], obmd.region6,
-                                  nins_r, sub_r)
+                from .obmd.subset import usher_search_subset_batch
+                pos2, ok2, iters2 = usher_search_subset_batch(
+                    cfg, sub_l, sub_r, cand_l, cand_r, ctype,
+                    obmd.region5, obmd.region6)
+            pos_l_r, pos_r_r = pos2[0], pos2[1]
+            ok_l, ok_r = ok2[0], ok2[1]
+            it_l = it_l + jnp.sum(iters2[0])
+            it_r = it_r + jnp.sum(iters2[1])
+        else:
+            ok_l = near_check_subset(cfg, sub_l, cand_l)
+            ok_r = near_check_subset(cfg, sub_r, cand_r)
+            pos_l_r, pos_r_r = cand_l, cand_r
+        acc_l_r, cnt_l = _sequential_accept(cfg, pos_l_r, ctype,
+                                            ok_l & ok0_l,
+                                            jnp.minimum(rem_l, K))
+        acc_r_r, cnt_r = _sequential_accept(cfg, pos_r_r, ctype,
+                                            ok_r & ok0_r,
+                                            jnp.minimum(rem_r, K))
+        rem_l = rem_l - cnt_l
+        rem_r = rem_r - cnt_r
+        if rounds > 1:
+            sub_l = _append_subset(sub_l, pos_l_r, acc_l_r, ctype, zq,
+                                   n_slots)
+            sub_r = _append_subset(sub_r, pos_r_r, acc_r_r, ctype, zq,
+                                   n_slots)
+        poss_l.append(pos_l_r)
+        accs_l.append(acc_l_r)
+        poss_r.append(pos_r_r)
+        accs_r.append(acc_r_r)
+    pos_l, acc_l = jnp.concatenate(poss_l), jnp.concatenate(accs_l)
+    pos_r, acc_r = jnp.concatenate(poss_r), jnp.concatenate(accs_r)
     pos = jnp.concatenate([pos_l, pos_r])
     accepted = jnp.concatenate([acc_l, acc_r])
 
@@ -358,7 +400,10 @@ def _obmd_stage(cfg, geom, state: State, with_rebuild: bool = True) -> State:
         state, vnewl, vnewr = delete_outside(cfg, state)
     if with_rebuild:
         with jax.named_scope("neigh_decide"):
-            state = maybe_rebuild(geom, box, cfg.skin, state)
+            state = maybe_rebuild(geom, box, cfg.skin, state,
+                              has_bonds=cfg.bond is not None or
+                              (cfg.obmd is not None
+                               and cfg.obmd.mol is not None))
 
     nins_l = feedback_count(region_count(state, obmd.region1),
                             obmd.mol_len, alpha, nbuf, dt, tau)
@@ -369,6 +414,10 @@ def _obmd_stage(cfg, geom, state: State, with_rebuild: bool = True) -> State:
     with jax.named_scope("obmd_insert"):
         sub_l = _subset_slice(cfg, geom, state, obmd.region5, pad)
         sub_r = _subset_slice(cfg, geom, state, obmd.region6, pad)
+        state = state.replace(
+            cell_overflow=state.cell_overflow
+            + sub_l.overflow.astype(jnp.int32)
+            + sub_r.overflow.astype(jnp.int32))
         state = _insert(cfg, geom, state, nins_l, nins_r, sub_l, sub_r)
 
     area = dtype(box.cross_area)
@@ -436,7 +485,10 @@ def make_step_cellpad(cfg: SceneConfig):
                                      lambda s: _obmd_stage(cfg, geom, s),
                                      lambda s: s, state)
         else:
-            state = maybe_rebuild(geom, cfg.box, cfg.skin, state)
+            state = maybe_rebuild(geom, cfg.box, cfg.skin, state,
+                                  has_bonds=cfg.bond is not None or
+                                  (cfg.obmd is not None
+                                   and cfg.obmd.mol is not None))
 
         f = _forces(cfg, geom, kern, state)
 
@@ -513,6 +565,8 @@ def make_run_cellpad(cfg: SceneConfig, nsteps: int):
     geom = make_geometry(cfg)
     kern = _make_kernel(cfg, geom)
     r_every = auto_rebuild_every(cfg)
+    has_bonds = (cfg.bond is not None
+                 or (cfg.obmd is not None and cfg.obmd.mol is not None))
     if cfg.obmd is not None and cfg.obmd.nfreq > 1:
         # keep OBMD cadence and rebuild cadence aligned (the OBMD stage
         # must see a current layout for its slab subsets)
@@ -549,7 +603,8 @@ def make_run_cellpad(cfg: SceneConfig, nsteps: int):
 
     def chunk(state: State, length: int) -> State:
         state = note_skin_check(cfg.box, skin, state) if skin > 0 else state
-        state = relayout_incremental(geom, cfg.box, state)
+        state = relayout_incremental(geom, cfg.box, state,
+                                     has_bonds=has_bonds)
         return steps(state, length)
 
     n_chunks, rem = divmod(nsteps, r_every)

@@ -236,16 +236,16 @@ def _sequential_accept(cfg: SceneConfig, cand_x, cand_type, cand_ok, budget):
     eye = jnp.eye(k, dtype=bool)
     conflict = conflict & ~eye
 
-    def body(carry, kk):
-        accepted_mask, count = carry
-        clash = jnp.any(conflict[kk] & accepted_mask)
+    # trace-time unrolled greedy loop: K is small and static, and an
+    # unrolled chain of [K]-vector ops fuses into a handful of kernels,
+    # where a lax.scan pays ~17us launch overhead per element
+    accepted = jnp.zeros((k,), bool)
+    count = jnp.zeros((), jnp.int32)
+    for kk in range(k):
+        clash = jnp.any(conflict[kk] & accepted)
         take = cand_ok[kk] & ~clash & (count < budget)
-        accepted_mask = accepted_mask.at[kk].set(take)
-        return (accepted_mask, count + take.astype(jnp.int32)), None
-
-    (accepted, count), _ = jax.lax.scan(
-        body, (jnp.zeros((k,), bool), jnp.zeros((), jnp.int32)),
-        jnp.arange(k))
+        accepted = accepted.at[kk].set(take)
+        count = count + take.astype(jnp.int32)
     return accepted, count
 
 
@@ -505,22 +505,29 @@ def apply_boundary_force(cfg: SceneConfig, state: State,
                          f: jnp.ndarray) -> jnp.ndarray:
     """Distribute the stage's setpoint forces over buffer atoms:
     f_i += F * g_i / sum(g)  (ref :1414-1428), Heaviside mass weights for the
-    shear sub-regions (ref :1452-1516)."""
+    shear sub-regions (ref :1452-1516).  The smooth weight profile is one
+    piecewise function of x covering BOTH buffers — computed once and
+    masked per region, and the four scaled adds are accumulated into one
+    [N,3] update (fewer full-array passes)."""
     obmd = cfg.obmd
     m = per_atom_mass(cfg, state)
     x0 = state.x[:, 0]
     sc = state.obmd
+    g_smooth = smooth_weight(cfg, x0, m)
 
-    def add(f, region, F, smooth):
+    scale_rows = []
+    force_rows = []
+    for region, F, smooth in (
+            (obmd.region1, sc.momentum_force_left, True),
+            (obmd.region2, sc.momentum_force_right, True),
+            (obmd.region3, sc.shear_force_left, False),
+            (obmd.region4, sc.shear_force_right, False)):
         member = state.alive & region.match(state.x)
-        g = smooth_weight(cfg, x0, m) if smooth else m
-        g = jnp.where(member, g, 0.0)
+        g = jnp.where(member, g_smooth if smooth else m, 0.0)
         gsum = jnp.sum(g)
-        scale = jnp.where(gsum > 0.0, g / jnp.maximum(gsum, 1e-30), 0.0)
-        return f + scale[:, None] * F[None, :]
-
-    f = add(f, obmd.region1, sc.momentum_force_left, smooth=True)
-    f = add(f, obmd.region2, sc.momentum_force_right, smooth=True)
-    f = add(f, obmd.region3, sc.shear_force_left, smooth=False)
-    f = add(f, obmd.region4, sc.shear_force_right, smooth=False)
-    return f
+        scale_rows.append(jnp.where(gsum > 0.0,
+                                    g / jnp.maximum(gsum, 1e-30), 0.0))
+        force_rows.append(F)
+    scales = jnp.stack(scale_rows, axis=1)           # [N, 4]
+    forces = jnp.stack(force_rows, axis=0)           # [4, 3]
+    return f + scales @ forces

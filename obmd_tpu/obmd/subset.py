@@ -143,6 +143,10 @@ def usher_search_subset(cfg: SceneConfig, sub: Subset, cand_x, cand_type,
     k = cand_x.shape[0]
     init = (cand_x, jnp.ones((k,), bool), jnp.zeros((k,), bool),
             jnp.zeros((k,), jnp.int32))
+    # fixed-length scan: a while_loop early-out measured ~40% SLOWER on
+    # TPU and full unrolling did not help — the ~17us/iteration cost is
+    # the body's kernel launches, amortized instead by batching both
+    # buffers into one search (usher_search_subset_batch)
     (pos, active, accepted, iters), _ = jax.lax.scan(
         body, init, None, length=u.nattempt)
     E, _ = conservative_energy_force(cfg.pair, sub, box, pos, cand_type)
@@ -356,3 +360,135 @@ def mol_sequential_accept(cfg, coords, mol_types, ok, budget):
         body, (jnp.zeros((k,), bool), jnp.zeros((), jnp.int32)),
         jnp.arange(k))
     return accepted, count
+
+
+# --------------------------------------------------------------------------
+# side-batched USHER: both buffers in one scan (halves the per-iteration
+# launch overhead, which dominates at production sizes)
+# --------------------------------------------------------------------------
+
+def _batched_energy_force(pair, sub_x, sub_type, sub_valid, pos, cand_type,
+                          sub_q=None, box=None):
+    """conservative_energy_force over a leading side axis:
+    sub_* [S,B,...], pos [S,K,3], cand_type [S,K] -> E [S,K], F [S,K,3]."""
+    from ..config import DPDExtParams, DPDTstatParams
+    dtype = pos.dtype
+    d = pos[:, :, None, :] - sub_x[:, None, :, :]          # [S,K,B,3]
+    if box is not None:
+        d = box.min_image(d)
+    rsq = jnp.sum(d * d, axis=-1)
+    ok = sub_valid[:, None, :]
+
+    if isinstance(pair, DPDTstatParams) or (
+            isinstance(pair, DPDExtParams) and pair.tstat_only):
+        return (jnp.zeros(pos.shape[:2], dtype),
+                jnp.zeros_like(pos))
+    if isinstance(pair, (DPDParams, DPDExtParams)):
+        a0 = jnp.asarray(np.asarray(pair.a0), dtype)
+        cut = jnp.asarray(np.asarray(pair.cut), dtype)
+        if a0.shape == (1, 1):
+            a0v, cutv = a0[0, 0], cut[0, 0]
+        else:
+            a0v = a0[cand_type[:, :, None], sub_type[:, None, :]]
+            cutv = cut[cand_type[:, :, None], sub_type[:, None, :]]
+        r = jnp.sqrt(rsq)
+        rinv = jnp.where(r > 1e-10, 1.0 / jnp.maximum(r, 1e-10), 0.0)
+        wd = 1.0 - r / cutv
+        inr = ok & (rsq < cutv * cutv) & (r > 1e-10)
+        e = jnp.where(inr, 0.5 * a0v * cutv * wd * wd, 0.0)
+        fp = jnp.where(inr, a0v * wd * rinv, 0.0)
+    else:
+        from ..forces.pairs import make_pair_law
+        pair_fn = make_pair_law(pair, 1.0, dtype)
+        zero = jnp.zeros((), jnp.int32)
+        kwargs = {}
+        if isinstance(pair, LJCutRFParams):
+            # ATOM-mode trial particles carry zero charge (inserted q=0)
+            zq = (sub_q if sub_q is not None
+                  else jnp.zeros(sub_x.shape[:2], dtype))
+            kwargs = dict(qi=jnp.zeros(pos.shape[:2] + (1,), dtype),
+                          qj=zq[:, None, :])
+        fp, e = pair_fn(rsq, d, jnp.zeros_like(d),
+                        cand_type[:, :, None], sub_type[:, None, :],
+                        zero, zero, jnp.zeros((), jnp.uint32), **kwargs)
+        fp = jnp.where(ok, fp, 0.0)
+        e = jnp.where(ok, e, 0.0)
+    E = jnp.sum(e, axis=-1)
+    F = jnp.sum(fp[..., None] * d, axis=2)
+    return E, F
+
+
+def usher_search_subset_batch(cfg: SceneConfig, sub_l: Subset,
+                              sub_r: Subset, cand_l, cand_r, cand_type,
+                              region_l: RegionBlock, region_r: RegionBlock):
+    """USHER over BOTH buffers in one scan: subsets stacked on a leading
+    side axis, per-side region bounds as arrays.  Iteration math is
+    identical to usher_search_subset run per side (masks broadcast), but
+    the fixed per-iteration launch cost is paid once instead of twice.
+    Returns (pos [2,K,3], accepted [2,K], iters [2,K])."""
+    u = cfg.obmd.usher
+    dtype = cand_l.dtype
+    # slice-derived subsets can differ by a block: pad to a common B
+    B = max(sub_l.x.shape[0], sub_r.x.shape[0])
+
+    def padto(sub):
+        b = sub.x.shape[0]
+        if b == B:
+            return sub
+        pad = B - b
+        return Subset(
+            idx=jnp.concatenate([sub.idx,
+                                 jnp.full((pad,), -1, jnp.int32)]),
+            x=jnp.concatenate([sub.x, jnp.full((pad, 3), BIG, sub.x.dtype)]),
+            type=jnp.concatenate([sub.type, jnp.zeros((pad,), jnp.int32)]),
+            q=jnp.concatenate([sub.q, jnp.zeros((pad,), sub.q.dtype)]),
+            valid=jnp.concatenate([sub.valid, jnp.zeros((pad,), bool)]),
+            overflow=sub.overflow)
+
+    sub_l, sub_r = padto(sub_l), padto(sub_r)
+    sub_x = jnp.stack([sub_l.x, sub_r.x])                  # [2,B,3]
+    sub_t = jnp.stack([sub_l.type, sub_r.type])
+    sub_v = jnp.stack([sub_l.valid, sub_r.valid])
+    sub_q = jnp.stack([sub_l.q, sub_r.q])
+    pos0 = jnp.stack([cand_l, cand_r])                     # [2,K,3]
+    ct = jnp.stack([cand_type, cand_type])                 # [2,K]
+    lo = jnp.asarray([region_l.lo, region_r.lo], dtype)    # [2,3]
+    hi = jnp.asarray([region_l.hi, region_r.hi], dtype)
+
+    def inside(p):
+        return jnp.all((p >= lo[:, None, :]) & (p <= hi[:, None, :]),
+                       axis=-1)
+
+    def body(carry, _):
+        pos, active, accepted, iters = carry
+        E, F = _batched_energy_force(cfg.pair, sub_x, sub_t, sub_v, pos,
+                                     ct, sub_q, box=cfg.box)
+        ok = E < u.etarget + EPSILON
+        newly = active & ok
+        fabs = jnp.sqrt(jnp.sum(F * F, axis=-1))
+        degen = fabs < EPSILON
+        ds_ovlp = u.dsovlp - (4.0 * u.eps
+                              / jnp.maximum(E, EPSILON)) ** (1.0 / 12.0)
+        ds_norm = jnp.minimum((E - u.etarget) / jnp.maximum(fabs, EPSILON),
+                              u.ds0)
+        ds = jnp.where(E > u.uovlp, ds_ovlp, ds_norm)
+        unit = F / jnp.maximum(fabs, EPSILON)[..., None]
+        moved = pos + unit * ds[..., None]
+        ins = inside(moved)
+        move_now = active & ~ok & ~degen
+        pos = jnp.where(move_now[..., None], moved, pos)
+        stopped = newly | (active & degen) | (move_now & ~ins)
+        active = active & ~stopped
+        accepted = accepted | newly
+        iters = iters + active.astype(jnp.int32)
+        return (pos, active, accepted, iters), None
+
+    k = cand_l.shape[0]
+    init = (pos0, jnp.ones((2, k), bool), jnp.zeros((2, k), bool),
+            jnp.zeros((2, k), jnp.int32))
+    (pos, active, accepted, iters), _ = jax.lax.scan(
+        body, init, None, length=u.nattempt)
+    E, _ = _batched_energy_force(cfg.pair, sub_x, sub_t, sub_v, pos, ct,
+                                 sub_q, box=cfg.box)
+    accepted = accepted | (active & (E < u.etarget + EPSILON))
+    return pos, accepted, iters
