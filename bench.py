@@ -9,6 +9,7 @@ vs_baseline = value / 50 (the north-star target).
 """
 import json
 import os
+import sys
 import time
 
 
@@ -50,4 +51,24 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The tunnel TPU occasionally kills the worker mid-run (UNAVAILABLE /
+    # ABORTED, infra-side); a transient crash must not lose the round's
+    # benchmark record, so retry in a fresh process once.
+    if os.environ.get("BENCH_NO_RETRY"):
+        main()
+    else:
+        import subprocess
+        for attempt in range(3):
+            env = dict(os.environ, BENCH_NO_RETRY="1")
+            p = subprocess.run([sys.executable, __file__], env=env,
+                               capture_output=True, text=True)
+            out = p.stdout.strip().splitlines()
+            if p.returncode == 0 and out and out[-1].startswith("{"):
+                print(out[-1])
+                break
+            sys.stderr.write(p.stderr[-2000:] + "\n")
+            sys.stderr.write(f"# bench attempt {attempt + 1} failed "
+                             f"(rc={p.returncode}); retrying\n")
+            time.sleep(60)
+        else:
+            raise SystemExit("bench failed after 3 attempts")

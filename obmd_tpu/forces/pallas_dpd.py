@@ -43,6 +43,7 @@ class PadGeometry(NamedTuple):
     n_blocks: int
     cap: int
     periodic_x: bool = False
+    periodic_yz: Tuple[bool, bool] = (True, True)
 
     @property
     def n_slots(self) -> int:
@@ -88,7 +89,9 @@ class PadGeometry(NamedTuple):
         return PadGeometry(dims=tuple(dims), cell_size=tuple(csize),
                            lo=box.lo, s=s, p=p, lanes=lanes,
                            n_blocks=n_blocks, cap=cap,
-                           periodic_x=periodic_x)
+                           periodic_x=periodic_x,
+                           periodic_yz=(bool(box.periodic[1]),
+                                        bool(box.periodic[2])))
 
     def cell_of(self, x):
         """Linear cell id in (block, lane)-compatible order for [...,3]."""
@@ -170,6 +173,15 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
     mi_z = nz < 3
 
     # ---- coefficient plumbing -------------------------------------------
+    # Periodic axes need TRUE per-pair min-image: the roll-wrap deltas are
+    # exact only for the epoch layout, but atoms that cross a periodic face
+    # mid-epoch (position re-wrapped, lane-cell stale) would lose all their
+    # pairs until the next relayout — measured as a ~7% hot thermostat on
+    # the closed DPD box.  The rounds cost a few % and restore exactness
+    # for any drift within the skin budget.
+    per_y = bool(geom.periodic_yz[0])
+    per_z = bool(geom.periodic_yz[1])
+
     ntypes = 1
     charged = False
     qq = 1.0
@@ -299,9 +311,11 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
             dx = mid_f[0, 0, si][None, :] - xj
             dyy = mid_f[0, 1, si][None, :] - yj
             dzz = mid_f[0, 2, si][None, :] - zj
-            if mi_y:
+            if per_x:
+                dx = dx - lx * jnp.round(dx * (1.0 / lx))
+            if per_y:
                 dyy = dyy - ly * jnp.round(dyy * (1.0 / ly))
-            if mi_z:
+            if per_z:
                 dzz = dzz - lz * jnp.round(dzz * (1.0 / lz))
             rsq = dx * dx + dyy * dyy + dzz * dzz
             ok = ok & (rsq > eps * eps)

@@ -71,3 +71,59 @@ def test_newton_matches_full_lj_periodic_x():
     _compare(sc.cfg, state, dict(cut=p.cut[0][0], dt=sc.cfg.dt, law="lj",
                                  lj_eps=p.epsilon[0][0],
                                  lj_sig=p.sigma[0][0]))
+
+
+def test_forces_exact_after_periodic_crossing_mid_epoch():
+    """Regression for the ~7% hot thermostat: an atom that drifts across a
+    periodic face between relayouts keeps its (stale) lane-cell, and the
+    epoch-static roll-wrap deltas alone lose all its pairs — the kernel
+    must apply true per-pair min-image on periodic axes."""
+    import dataclasses
+    from obmd_tpu.config import Capacity, DPDParams, SceneConfig
+    from obmd_tpu.geometry import Box
+    from obmd_tpu.state import init_state
+    from obmd_tpu.integrate import setup, make_grid_spec, _salt
+    from obmd_tpu import engine_cellpad as ec
+    from obmd_tpu.cells import build_cells
+    from obmd_tpu.forces.pairs import pair_sweep
+
+    box = Box((0.0, 0.0, 0.0), (8.0, 5.2, 5.2), (False, True, True))
+    pair = DPDParams.create(temp=1.0, cutoff=1.0, seed=3, a0=80.0,
+                            gamma=4.5)
+    n = 260
+    r = np.random.default_rng(8)
+    x = r.uniform(0, [8.0, 5.2, 5.2], (n, 3))
+    # a handful of atoms hugging the y=0 face: after layout they drift
+    # BELOW 0 and wrap to y ~ 5.2 while their lane-cell stays y-cell 0
+    x[:8, 1] = 0.02
+    v = r.normal(0, 1, (n, 3))
+    cfg = SceneConfig(box=box, masses=(1.0,), pair=pair, dt=0.01,
+                      capacity=Capacity(n_max=n, cell_capacity=24),
+                      skin=0.4, force_path="cellpad").finalize()
+    st = setup(cfg, init_state(cfg, x, v=v))
+    # mid-epoch drift: push the face-huggers across the boundary (within
+    # the half-skin budget) WITHOUT relayout
+    xs = jnp.asarray(st.x)
+    face = st.alive & (jnp.abs(xs[:, 1] - 0.02) < 1e-6)
+    xs = jnp.where(face[:, None],
+                   xs.at[:, 1].add(-0.1)[:, :], xs)
+    xs = cfg.box.wrap(xs)
+    st = st.replace(x=xs)
+
+    geom = ec.make_geometry(cfg)
+    kern = ec._make_kernel(cfg, geom)
+    f_cell = np.asarray(jax.jit(
+        lambda s: ec._forces(cfg, geom, kern, s))(st))
+
+    spec = make_grid_spec(cfg)
+
+    @jax.jit
+    def sweep_f(s):
+        tab = build_cells(spec, s.x, s.alive)
+        pf = pair_sweep(cfg.pair, cfg.box, spec, tab, s.x, s.v, s.type,
+                        s.tag, s.q, _salt(cfg, s.step), dt=cfg.dt)
+        return jnp.where(s.alive[:, None], pf.f, 0.0)
+
+    f_ref = np.asarray(sweep_f(st))
+    assert int(jnp.sum(face)) >= 6          # the scenario actually happened
+    np.testing.assert_allclose(f_cell, f_ref, atol=5e-3)
