@@ -21,7 +21,8 @@ from obmd_tpu.state import init_state  # noqa: E402
 
 
 def main(total_steps=60000, warm_steps=10000, sample_every=50, nbins=50,
-         mode="usher", out="/root/repo/validation/profile_ours.npz"):
+         mode="usher", out="/root/repo/validation/profile_ours.npz",
+         force_path="cellpad"):
     df = lammps_data.read_data(
         "/root/reference/examples/OBMD_DPD/dpd_8map_obmd.data")
     xhi = float(df.box_hi[0])
@@ -44,9 +45,9 @@ def main(total_steps=60000, warm_steps=10000, sample_every=50, nbins=50,
         near=(0.35 if mode == "near" else None),
         insert_kmax=16)
     cfg = SceneConfig(box=box, masses=(1.0,), pair=pair, dt=0.001464,
-                      capacity=Capacity(n_max=int(df.natoms * 1.3),
+                      capacity=Capacity(n_max=int(df.natoms * 1.3), max_neighbors=72,
                                         cell_capacity=24),
-                      obmd=obmd, force_path="cellpad").finalize()
+                      obmd=obmd, force_path=force_path).finalize()
     state = init_state(cfg, df.x, v=df.v, types=df.types, tags=df.tags)
     state = setup(cfg, state)
 
