@@ -53,16 +53,20 @@ def forces_for_subset(params: PairParams, box: Box, spec: GridSpec,
 
     jdx = neighbor_slots(spec, ctab, my_x)           # [K, M]
     if jnp.dtype(dtype) == jnp.float32:
-        # packed 32B-row gather (see forces/nlist.py for rationale)
-        meta = full_type.astype(jnp.int32).view(dtype)
+        # packed 32B-row gather; int columns exponent-biased so the f32
+        # view is never denormal (TPU flushes denormals in transit — see
+        # forces/nlist.py)
+        bias = jnp.int32(0x40000000)
+        meta = (full_type.astype(jnp.int32) ^ bias).view(dtype)
         packed = jnp.concatenate(
-            [full_x, full_v, full_tag.view(dtype)[:, None], meta[:, None]],
+            [full_x, full_v, (full_tag ^ bias).view(dtype)[:, None],
+             meta[:, None]],
             axis=1)
         g = gather_padded(packed, jdx, 0.0)
         xj = jnp.where((jdx < n_full)[..., None], g[..., 0:3], BIG)
         vj = g[..., 3:6]
-        gj = g[..., 6].view(jnp.int32)
-        tj = g[..., 7].view(jnp.int32)
+        gj = g[..., 6].view(jnp.int32) ^ bias
+        tj = g[..., 7].view(jnp.int32) ^ bias
     else:
         xj = gather_padded(full_x, jdx, BIG)
         vj = gather_padded(full_v, jdx, 0.0)

@@ -41,17 +41,25 @@ def nlist_sweep(params: PairParams, box: Box, nlist, x, v, types, tag, q,
         # pay per index, so fetching a contiguous 32-byte row per neighbor
         # beats gathering each field separately.  Row layout:
         # [x, y, z, vx, vy, vz, tag(bitcast), meta(type|alive<<30, bitcast)].
-        meta = (types.astype(jnp.int32)
-                | (alive.astype(jnp.int32) << 30)).view(dtype)
+        # Int bit patterns are XORed with 0x40000000 before the f32 view:
+        # small ints view as DENORMAL floats and the TPU flushes denormals
+        # to zero in transit — gathered tags silently became 0, which
+        # killed the pair-noise hash (thermostat froze, T -> 0).
+        # alive rides in bit 29 (bit 30 is the bias bit, which must stay
+        # untouched by the payload so the XOR always yields a normal f32)
+        bias = jnp.int32(0x40000000)
+        meta = ((types.astype(jnp.int32)
+                 | (alive.astype(jnp.int32) << 29)) ^ bias).view(dtype)
+        tagb = (tag ^ bias).view(dtype)
         packed = jnp.concatenate(
-            [x, v, tag.view(dtype)[:, None], meta[:, None]], axis=1)
+            [x, v, tagb[:, None], meta[:, None]], axis=1)
         g = gather_padded(packed, idx, 0.0)             # [N, K, 8]
         xj = jnp.where((idx < n)[..., None], g[..., 0:3], BIG)
         vj = g[..., 3:6]
-        gj = g[..., 6].view(jnp.int32)
-        metaj = g[..., 7].view(jnp.int32)
+        gj = g[..., 6].view(jnp.int32) ^ bias
+        metaj = g[..., 7].view(jnp.int32) ^ bias
         tj = metaj & 0xFFFF
-        aj = (metaj >> 30) > 0
+        aj = ((metaj >> 29) & 1) > 0
     else:
         xj = gather_padded(x, idx, BIG)
         vj = gather_padded(v, idx, 0.0)
