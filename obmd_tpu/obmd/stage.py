@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import rng
 from ..cells import BIG, GridSpec
@@ -265,6 +266,40 @@ def draw_candidates(cfg: SceneConfig, k_key, region, K: int, dtype):
     return region.sample_uniform(u), jnp.ones((K,), bool)
 
 
+def draw_inserted_velocities(cfg: SceneConfig, key, pos, dtype):
+    """Inserted-particle velocities for K candidates at positions `pos`:
+    uniform per-component draws from the `vx/vy/vz lo hi` keywords
+    (fix-deposit semantics, ref parsing :2118-2130), then the optional
+    `target tx ty tz` redirection that points each velocity at the target
+    preserving its magnitude (ref :1081-1093).  With no keywords set this
+    returns None (= insert at rest, the reference's hardcoded behavior at
+    :1076-1078)."""
+    obmd = cfg.obmd
+    if obmd.vx is None and obmd.vy is None and obmd.vz is None:
+        return None
+    dtype = np.dtype(dtype).type          # accept dtype objects and scalar types
+    k = pos.shape[0]
+    cols = []
+    for rng_key, rng_range in zip(jax.random.split(key, 3),
+                                  (obmd.vx, obmd.vy, obmd.vz)):
+        if rng_range is None:
+            cols.append(jnp.zeros((k,), dtype))
+        else:
+            lo, hi = (dtype(rng_range[0]), dtype(rng_range[1]))
+            cols.append(jax.random.uniform(rng_key, (k,), dtype=dtype,
+                                           minval=lo, maxval=hi))
+    v = jnp.stack(cols, axis=1)                       # [K,3]
+    if obmd.target is not None:
+        tgt = jnp.asarray(obmd.target, dtype)
+        vel = jnp.sqrt(jnp.sum(v * v, axis=1))
+        d = tgt[None, :] - pos
+        rsq = jnp.sum(d * d, axis=1)
+        rinv = jnp.where(rsq > 0.0, 1.0 / jnp.sqrt(jnp.maximum(rsq, 1e-30)),
+                         0.0)
+        v = jnp.where((rsq > 0.0)[:, None], d * (rinv * vel)[:, None], v)
+    return v
+
+
 def insertion_tag_base(cfg: SceneConfig, state: State):
     """`id next` counts up from the running maximum (never reuses ids);
     `id max` recomputes the max over alive atoms each stage call (ref
@@ -366,8 +401,18 @@ def insert_particles_subset(cfg: SceneConfig, state: State,
     base = insertion_tag_base(cfg, state)
     new_tag = base + 1 + order.astype(jnp.int32)
 
+    kv = jax.random.fold_in(key, 7)
+    vnew = draw_inserted_velocities(cfg, kv, pos, dtype)
+    if vnew is None:
+        vnew = jnp.zeros((2 * M, 3), dtype)
+        pins_l = pins_r = jnp.zeros((3,), dtype)
+    else:
+        mass_ins = jnp.asarray(cfg.masses, dtype)[obmd.ntype]
+        mv = mass_ins * jnp.where(landed[:, None], vnew, 0.0)
+        pins_l = jnp.sum(mv[:M], axis=0)
+        pins_r = jnp.sum(mv[M:], axis=0)
     x = state.x.at[slot].set(pos, mode="drop")
-    v = state.v.at[slot].set(jnp.zeros((2 * M, 3), dtype), mode="drop")
+    v = state.v.at[slot].set(vnew, mode="drop")
     f = state.f.at[slot].set(jnp.zeros((2 * M, 3), dtype), mode="drop")
     typ = state.type.at[slot].set(jnp.full((2 * M,), obmd.ntype, jnp.int32),
                                   mode="drop")
@@ -400,9 +445,10 @@ def insert_particles_subset(cfg: SceneConfig, state: State,
             ninserted=state.obmd.ninserted + n_landed,
             insert_fail=state.obmd.insert_fail + fails,
             usher_iters=state.obmd.usher_iters + it_l + it_r))
-    # Inserted atoms carry zero momentum (ref :1183-1197 adds zeros).
+    # Inserted momentum by side (zero unless vx/vy/vz keywords are set —
+    # the reference adds a literal zero at :1183-1197).
     new_slots = jnp.where(landed, slot, n)
-    return state, new_slots
+    return state, new_slots, pins_l, pins_r
 
 
 # --------------------------------------------------------------------------
@@ -439,14 +485,14 @@ def pre_exchange(cfg: SceneConfig, spec: GridSpec, state: State,
     pad = cfg.pair.max_cut + cfg.skin
     sub_l = region_subset(cfg, state, obmd.region5, pad, b_max)
     sub_r = region_subset(cfg, state, obmd.region6, pad, b_max)
-    state, new_slots = insert_particles_subset(cfg, state, nins_l, nins_r,
-                                               sub_l, sub_r)
+    state, new_slots, pins_l, pins_r = insert_particles_subset(
+        cfg, state, nins_l, nins_r, sub_l, sub_r)
 
     # second deletion pass (ref :596-597) — relevant once molecules can
     # straddle the boundary; harmless for atoms.
     state, vnewl2, vnewr2 = delete_outside(cfg, state)
-    vnewl = vnewl + vnewl2
-    vnewr = vnewr + vnewr2
+    vnewl = vnewl + vnewl2 - pins_l
+    vnewr = vnewr + vnewr2 - pins_r
 
     area = dtype(box.cross_area)
     sim_time = t + dt                              # ref :612 (per stage call)
@@ -528,6 +574,13 @@ def apply_boundary_force(cfg: SceneConfig, state: State,
         scale_rows.append(jnp.where(gsum > 0.0,
                                     g / jnp.maximum(gsum, 1e-30), 0.0))
         force_rows.append(F)
-    scales = jnp.stack(scale_rows, axis=1)           # [N, 4]
-    forces = jnp.stack(force_rows, axis=0)           # [4, 3]
-    return f + scales @ forces
+    # NOTE: accumulate elementwise on purpose.  `scales @ forces` lowers to
+    # the MXU whose default f32 matmul rounds inputs to bfloat16 (~4e-3
+    # relative); with |F| ~ pxx*A ~ 2.4e4 that applied each side's total as
+    # F*(1 +- 1e-3) — a persistent O(30) phantom net force that drove the
+    # round-2 long-horizon leftward wind / density drift (the momentum law
+    # must conserve sum(f) = sum(mf) exactly; see tests/test_conservation.py).
+    df = jnp.zeros_like(f)
+    for scale, F in zip(scale_rows, force_rows):
+        df = df + scale[:, None] * F
+    return f + df

@@ -219,18 +219,29 @@ def random_rotations(key, k: int, dtype, axis=None):
 def mol_candidates(template, centers, rots):
     """[K, m, 3] trial coordinates: center + R @ dx."""
     dx = jnp.asarray(np.asarray(template.dx), centers.dtype)   # [m,3]
-    rotated = jnp.einsum("kab,mb->kma", rots, dx)
+    # HIGHEST: the TPU default matmul precision rounds f32 operands to
+    # bfloat16 on the MXU — rotations must not distort template geometry
+    rotated = jnp.einsum("kab,mb->kma", rots, dx,
+                         precision=jax.lax.Precision.HIGHEST)
     return centers[:, None, :] + rotated
 
 
 def mol_energy_force(cfg, sub: Subset, coords, mol_types,
-                     per_atom: bool = False):
+                     per_atom: bool = False, mol_q=None):
     """Total conservative energy, net force, and (optionally) per-atom
-    forces of each K-molecule trial."""
+    forces of each K-molecule trial.
+
+    With `mol_q` (the template charges, `charged 1`), trial energies are
+    evaluated with the not-yet-inserted atoms' charges against the subset's
+    charges — the single_atomistic_obmd capability (reference
+    fix_obmd_merged.cpp:1545-1551 chargeflag branch,
+    pair_lj_cut_rf.cpp:533-616)."""
     k, m, _ = coords.shape
     flat = coords.reshape(k * m, 3)
     types = jnp.tile(mol_types, (k,))
-    E, F = conservative_energy_force(cfg.pair, sub, cfg.box, flat, types)
+    cq = None if mol_q is None else jnp.tile(mol_q, (k,))
+    E, F = conservative_energy_force(cfg.pair, sub, cfg.box, flat, types,
+                                     cand_q=cq)
     Fa = F.reshape(k, m, 3)
     E = E.reshape(k, m).sum(axis=1)
     Fnet = Fa.sum(axis=1)
@@ -252,7 +263,8 @@ def _axis_angle_rotate(coords, com, axis, angle):
     return com[:, None, :] + rot
 
 
-def usher_search_subset_mol(cfg, sub: Subset, coords, mol_types, region):
+def usher_search_subset_mol(cfg, sub: Subset, coords, mol_types, region,
+                            mol_q=None):
     """Molecule USHER: translation along the net force plus rotation about
     the COM along the torque, dtheta = min((E-etarget)/|tau|, dtheta0)
     (ref fix_obmd_merged.cpp:1586-1605).  The torque here is the physical
@@ -269,7 +281,8 @@ def usher_search_subset_mol(cfg, sub: Subset, coords, mol_types, region):
 
     def body(carry, _):
         pos, active, accepted, iters = carry
-        E, F, Fa = mol_energy_force(cfg, sub, pos, mol_types, per_atom=True)
+        E, F, Fa = mol_energy_force(cfg, sub, pos, mol_types, per_atom=True,
+                                    mol_q=mol_q)
         ok = E < u.etarget + EPSILON
         newly = active & ok
         fabs = jnp.sqrt(jnp.sum(F * F, axis=-1))
@@ -306,7 +319,7 @@ def usher_search_subset_mol(cfg, sub: Subset, coords, mol_types, region):
             jnp.zeros((k,), jnp.int32))
     (pos, active, accepted, iters), _ = jax.lax.scan(
         body, init, None, length=u.nattempt)
-    E, _ = mol_energy_force(cfg, sub, pos, mol_types)
+    E, _ = mol_energy_force(cfg, sub, pos, mol_types, mol_q=mol_q)
     accepted = accepted | (active & (E < u.etarget + EPSILON))
     return pos, accepted, iters
 

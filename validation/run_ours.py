@@ -1,7 +1,11 @@
 """Milestone B driver: run the exact OBMD_DPD example configuration (same
 data file, same parameters as validation/run_ref/in.obmd) on the TPU engine
 and accumulate density / velocity / temperature / pressure profiles for
-comparison against the reference LAMMPS binary."""
+comparison against the reference LAMMPS binary.
+
+Saves the FULL per-chunk profile time series (series_* arrays) so any
+averaging window can be applied offline — distinguishing a slow drift from
+convergence to a (possibly wrong) steady state."""
 import sys
 import time
 
@@ -22,7 +26,7 @@ from obmd_tpu.state import init_state  # noqa: E402
 
 def main(total_steps=60000, warm_steps=10000, sample_every=50, nbins=50,
          mode="usher", out="/root/repo/validation/profile_ours.npz",
-         force_path="cellpad"):
+         force_path="cellpad", rebuild_every=0):
     df = lammps_data.read_data(
         "/root/reference/examples/OBMD_DPD/dpd_8map_obmd.data")
     xhi = float(df.box_hi[0])
@@ -47,7 +51,8 @@ def main(total_steps=60000, warm_steps=10000, sample_every=50, nbins=50,
     cfg = SceneConfig(box=box, masses=(1.0,), pair=pair, dt=0.001464,
                       capacity=Capacity(n_max=int(df.natoms * 1.3), max_neighbors=72,
                                         cell_capacity=24),
-                      obmd=obmd, force_path=force_path).finalize()
+                      obmd=obmd, force_path=force_path,
+                      rebuild_every=rebuild_every).finalize()
     state = init_state(cfg, df.x, v=df.v, types=df.types, tags=df.tags)
     state = setup(cfg, state)
 
@@ -56,22 +61,18 @@ def main(total_steps=60000, warm_steps=10000, sample_every=50, nbins=50,
     thermo = make_thermo_fn(cfg)
 
     t0 = time.time()
-    acc = None
-    nsamp = 0
+    series = []          # list of dicts of np arrays, one per sampled chunk
+    pxs = []             # total x momentum per sampled chunk (drift watch)
     nchunks = total_steps // sample_every
     warm_chunks = warm_steps // sample_every
     for c in range(nchunks):
         state = run_chunk(state)
         if c >= warm_chunks:
             p = profile(state)
-            p = jax.tree_util.tree_map(np.asarray, p)
-            if acc is None:
-                acc = {k: np.array(getattr(p, k), np.float64)
-                       for k in p._fields}
-            else:
-                for k in p._fields:
-                    acc[k] += np.asarray(getattr(p, k))
-            nsamp += 1
+            series.append({k: np.asarray(getattr(p, k), np.float64)
+                           for k in p._fields})
+            pxs.append(float(np.sum(np.asarray(state.v)[:, 0]
+                                    * np.asarray(state.alive))))
         if c % 40 == 0:
             th = thermo(state)
             print(f"step {int(th.step)} T={float(th.temp):.4f} "
@@ -79,20 +80,32 @@ def main(total_steps=60000, warm_steps=10000, sample_every=50, nbins=50,
                   f"ins={int(state.obmd.ninserted)} "
                   f"del={int(state.obmd.ndeleted)} "
                   f"fail={int(state.obmd.insert_fail)}", flush=True)
-    for k in acc:
-        acc[k] /= nsamp
+    acc = {k: np.mean([s[k] for s in series], axis=0) for k in series[0]}
+    ser = {f"series_{k}": np.stack([s[k] for s in series]) for k in series[0]}
     wall = time.time() - t0
     n = int(state.natoms)
+    # layout / stage telemetry — raises on skin_trips / overflow (the run
+    # would not be trustworthy; VERDICT round-2 weak #3 enforcement)
+    from obmd_tpu.observe import check_invariants
+    tel = check_invariants(cfg, state)
+    print("telemetry:", tel)
     print(f"done: {total_steps} steps in {wall:.0f}s "
           f"({total_steps / wall * n / 1e6:.2f} Mps/s), natoms={n}")
-    np.savez(out, nsamp=nsamp, **acc)
-    print("saved profile_ours.npz")
+    np.savez(out, nsamp=len(series), **acc, **ser,
+             series_px=np.asarray(pxs),
+             **{f"tel_{k}": v for k, v in tel.items()})
+    print(f"saved {out}")
 
 
 if __name__ == "__main__":
-    import sys as _sys
-    mode = _sys.argv[1] if len(_sys.argv) > 1 else "usher"
-    out = (_sys.argv[2] if len(_sys.argv) > 2
-           else "/root/repo/validation/profile_ours.npz")
-    steps = int(_sys.argv[3]) if len(_sys.argv) > 3 else 60000
-    main(total_steps=steps, mode=mode, out=out)
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", nargs="?", default="usher")
+    ap.add_argument("out", nargs="?",
+                    default="/root/repo/validation/profile_ours.npz")
+    ap.add_argument("steps", nargs="?", type=int, default=60000)
+    ap.add_argument("--force-path", default="cellpad")
+    ap.add_argument("--rebuild-every", type=int, default=0)
+    a = ap.parse_args()
+    main(total_steps=a.steps, mode=a.mode, out=a.out,
+         force_path=a.force_path, rebuild_every=a.rebuild_every)
