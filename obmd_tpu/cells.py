@@ -49,11 +49,11 @@ class GridSpec:
         csize = []
         for L, per in zip(box.lengths, box.periodic):
             n = max(1, int(np.floor(L / cutoff)))
-            # A periodic axis spanned by <3 cells cannot distinguish the two
-            # wrapped neighbors; the stencil double-counts. Collapse to 1 cell
-            # (stencil dedup handles it) or keep >=3.
-            if per and n < 3:
-                n = 1
+            # A periodic axis spanned by <3 cells aliases the -1/+1 stencil
+            # neighbors under mod; both stencil builders (stencil_neighbors,
+            # gathered._axis_offsets) deduplicate, so n=2 is kept — collapsing
+            # to 1 cell would concentrate atoms and overflow cell capacity
+            # (dropped atoms break nlist row symmetry; tests/test_conservation).
             dims.append(n)
             csize.append(L / n)
         return GridSpec(dims=tuple(dims), cell_size=tuple(csize),

@@ -19,9 +19,23 @@ from ..geometry import Box
 from .pairs import make_pair_law
 
 
+def _axis_offsets(n: int, periodic: bool):
+    """Unique stencil offsets along one axis.  A periodic axis spanned by
+    n<3 cells would alias -1/+1 (or even 0) to the same cell under mod —
+    visiting it multiple times and double-counting every pair (the nlist
+    rows then overflow and top_k truncates *asymmetrically*, breaking
+    sum(f)=0; see tests/test_conservation.py).  Deduplicate at trace time;
+    non-periodic axes are range-masked instead, no aliasing."""
+    if periodic and n == 1:
+        return (0,)
+    if periodic and n == 2:
+        return (0, 1)
+    return (-1, 0, 1)
+
+
 def neighbor_slots(spec: GridSpec, ctab: CellTable, pos: jnp.ndarray):
-    """[K, 27*cap] global slot indices of all atoms in the 27 cells around
-    each position (sentinel N for empty)."""
+    """[K, S*cap] global slot indices of all atoms in the (up to 27)
+    distinct stencil cells around each position (sentinel N for empty)."""
     dims = spec.dims
     n_cells = spec.n_cells
     dtype = pos.dtype
@@ -29,8 +43,11 @@ def neighbor_slots(spec: GridSpec, ctab: CellTable, pos: jnp.ndarray):
     cs = jnp.asarray(spec.cell_size, dtype=dtype)
     nd = jnp.asarray(dims, dtype=jnp.int32)
     cc = jnp.clip(jnp.floor((pos - lo) / cs).astype(jnp.int32), 0, nd - 1)
-    offs = jnp.asarray([(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1)
-                        for c in (-1, 0, 1)], dtype=jnp.int32)
+    offs = jnp.asarray([(a, b, c)
+                        for a in _axis_offsets(dims[0], spec.periodic[0])
+                        for b in _axis_offsets(dims[1], spec.periodic[1])
+                        for c in _axis_offsets(dims[2], spec.periodic[2])],
+                       dtype=jnp.int32)
     nb = cc[:, None, :] + offs[None, :, :]
     per = jnp.asarray(spec.periodic)
     ok = jnp.all(jnp.where(per, True, (nb >= 0) & (nb < nd)), axis=-1)

@@ -84,14 +84,16 @@ def test_stencil_covers_all_pairs_random():
 
 
 def test_stencil_small_periodic_axis():
-    # periodic axis shorter than 3 cells collapses to 1 cell; pairs must not
-    # be double counted and must all be found
+    # periodic axis spanned by 2 cells: the -1/+1 stencil neighbors alias
+    # under mod, so the stencil must deduplicate; pairs must not be double
+    # counted and must all be found.  (2-cell axes are kept — collapsing to
+    # 1 cell concentrated atoms and overflowed cell capacity.)
     rng = np.random.default_rng(1)
     box = Box((0.0, 0.0, 0.0), (6.0, 2.5, 2.5), (False, True, True))
     cutoff = 1.0
     x = rng.uniform([0, 0, 0], [6, 2.5, 2.5], size=(60, 3)).astype(np.float32)
     spec = GridSpec.create(box, cutoff, capacity=64)
-    assert spec.dims[1] == 1 and spec.dims[2] == 1
+    assert spec.dims[1] == 2 and spec.dims[2] == 2
     tab = build_cells(spec, jnp.asarray(x), jnp.ones(60, bool))
     brute = _brute_pairs(x, box, cutoff)
     found = _cell_pairs(spec, tab, x, box, cutoff)
