@@ -380,11 +380,27 @@ class ObmdParams:
     # atoms each stage call, reusing ids freed by deletion (ref :911
     # find_maxid vs :270).
     id_policy: str = "next"
+    # `vx lo hi` / `vy lo hi` / `vz lo hi` — inserted-particle velocity
+    # components drawn uniformly (fix-deposit semantics; parsing at ref
+    # :2118-2130).  NOTE the reference's insertion body hardcodes
+    # vnew = 0 (":1076-1078, 'for now inserting with zero velocity'"), so
+    # these keywords are dead code there; here they are honored, with the
+    # inserted momentum entering the boundary-force tally.  None = at rest
+    # (bitwise the reference default).
+    vx: Optional[Tuple[float, float]] = None
+    vy: Optional[Tuple[float, float]] = None
+    vz: Optional[Tuple[float, float]] = None
+    # `target tx ty tz` — redirect each inserted velocity toward a target
+    # point, preserving its magnitude (ref :1081-1093).
+    target: Optional[Tuple[float, float, float]] = None
 
     def __post_init__(self):
         if (self.usher is None) == (self.near is None):
             raise ValueError("exactly one of `usher` / `near` must be given "
                              "(fix_obmd_merged.cpp:2105,2163)")
+        if self.charged and self.mol is None:
+            raise ValueError("`charged 1` requires MOLECULE-mode insertion "
+                             "(fix_obmd_merged.cpp:2108-2112)")
 
 
 @dataclasses.dataclass(frozen=True)

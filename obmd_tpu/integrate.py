@@ -191,7 +191,7 @@ def _obmd_stage_fast(cfg, spec, nparams, state):
     # free-slot choice must avoid tombstoned slots (stale list references)
     masked_alive = state.alive | state.nbrs.tombstone
     from .obmd.stage import insert_particles_subset
-    state_ins, new_slots = insert_particles_subset(
+    state_ins, new_slots, pins_l, pins_r = insert_particles_subset(
         cfg, state.replace(alive=masked_alive), nins_l, nins_r, sub_l, sub_r)
     # restore true alive: translate the masked view back
     n = state.capacity
@@ -223,6 +223,8 @@ def _obmd_stage_fast(cfg, spec, nparams, state):
     area = dtype(box.cross_area)
     sim_time = t + dt
     factor = pxx + dpxx * jnp.sin(2.0 * jnp.pi * freq * sim_time)
+    vnewl = vnewl - pins_l
+    vnewr = vnewr - pins_r
     mfl = jnp.stack([vnewl[0] / dt + factor * area, vnewl[1] / dt,
                      vnewl[2] / dt])
     mfr = jnp.stack([vnewr[0] / dt - pxx * area, vnewr[1] / dt,
@@ -351,6 +353,14 @@ def equilibrate(cfg: SceneConfig, state: State, nsteps: int,
 
     for _ in range(max(1, nsteps // rescale_every)):
         state = rescale(run(state))
+    # The violent overlap transient of a random gas routinely outruns the
+    # half-skin budget for a few epochs; that staleness is acceptable here
+    # by construction (velocities are being rescaled anyway), so clear the
+    # staleness counter at exit — production telemetry starts clean.
+    # Overflow counters are NOT cleared: dropped atoms are permanent damage.
+    if state.nbrs is not None and hasattr(state.nbrs, "skin_trips"):
+        state = state.replace(nbrs=state.nbrs.replace(
+            skin_trips=jnp.zeros((), jnp.int32)))
     return state
 
 

@@ -560,6 +560,17 @@ class Interpreter:
                 # :930-932)
                 params["gaussian"] = tuple(float(v) for v in kw[i + 1:i + 5])
                 i += 5
+            elif k in ("vx", "vy", "vz"):
+                # vx/vy/vz lo hi: inserted-velocity draw range (ref
+                # :2118-2130; the reference parses these but hardcodes
+                # vnew=0 at :1076-1078 — here they are honored)
+                params[k] = (float(kw[i + 1]), float(kw[i + 2]))
+                i += 3
+            elif k == "target":
+                # target tx ty tz: point inserted velocities at a target,
+                # preserving magnitude (ref :2157-2161, applied :1081-1093)
+                params["target"] = tuple(float(v) for v in kw[i + 1:i + 4])
+                i += 4
             elif k == "orient":
                 # orient rx ry rz: fixed molecule rotation axis (:2121-2127)
                 params["orient"] = tuple(float(v) for v in kw[i + 1:i + 4])
