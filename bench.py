@@ -41,6 +41,11 @@ def main():
     steps_done = int(state.step) - start_step
 
     natoms = int(state.natoms)
+    # Loud validity gate: a benchmark number from a run that dropped pairs
+    # (cell/row overflow) or ran on a stale layout (skin trips) is void.
+    from obmd_tpu.observe import check_invariants
+    check_invariants(sc.cfg, state)
+
     mps = steps_done / dt_wall * natoms / 1e6
     print(json.dumps({
         "metric": "OBMD_DPD Mparticle-steps/s (1 chip, %dk atoms)" % (natoms // 1000),

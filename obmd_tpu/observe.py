@@ -152,3 +152,40 @@ def make_obmd_metrics_fn(cfg: SceneConfig):
             momentum_force_right=sc.momentum_force_right)
 
     return metrics
+
+
+def check_invariants(cfg: SceneConfig, state: State,
+                     raise_on_violation: bool = True) -> dict:
+    """Host-side audit of a finished run's validity counters.
+
+    The engines track every capacity/staleness violation (cell overflow,
+    Verlet-row / relayout overflow, half-skin trips on the static relayout
+    schedule) but a jitted runner cannot raise — so drivers MUST call this
+    after a run.  A nonzero violation means pair interactions were dropped
+    or stale and the trajectory is not trustworthy (the failure mode behind
+    the round-2 hot-thermostat incident).  Returns the counter dict; raises
+    RuntimeError on violations unless raise_on_violation=False.
+    """
+    tel = {"cell_overflow": int(state.cell_overflow)}
+    nbrs = state.nbrs
+    if nbrs is not None:
+        # NeighborState (nlist path) and PadAux (cellpad path) both carry
+        # overflow/rebuilds; PadAux adds skin_trips.
+        if hasattr(nbrs, "overflow"):
+            tel["layout_overflow"] = int(nbrs.overflow)
+        if hasattr(nbrs, "skin_trips"):
+            tel["skin_trips"] = int(nbrs.skin_trips)
+        if hasattr(nbrs, "rebuilds"):
+            tel["rebuilds"] = int(nbrs.rebuilds)
+    if cfg.obmd is not None:
+        tel["ninserted"] = int(state.obmd.ninserted)
+        tel["ndeleted"] = int(state.obmd.ndeleted)
+        tel["insert_fail"] = int(state.obmd.insert_fail)
+    bad = {k: tel[k] for k in ("cell_overflow", "layout_overflow",
+                               "skin_trips") if tel.get(k)}
+    if bad and raise_on_violation:
+        raise RuntimeError(
+            f"run invariants violated: {bad} — pair interactions were "
+            f"dropped or stale (raise Capacity.cell_capacity / "
+            f"max_neighbors, or lower rebuild_every). Full telemetry: {tel}")
+    return tel
