@@ -126,7 +126,10 @@ def _subset_slice(cfg, geom, state, region, pad):
     # live-row bound: the layout is at most ~40% occupied in production
     # (occ/cap * real-lane fraction); overflow is counted loudly below
     b_max = min(n, int(0.45 * n) + 256)
-    sel = jnp.nonzero(valid, size=b_max, fill_value=n)[0].astype(jnp.int32)
+    # cumsum-rank compaction: jnp.nonzero(size=) lowers through a SORT
+    # (~1 ms/step both buffers at 100k atoms, profiled round 3)
+    from .cellpad import compact_indices
+    sel = compact_indices(valid, b_max, n)
     ok = sel < n
     safe = jnp.clip(sel, 0, n - 1)
     return Subset(
@@ -367,14 +370,24 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
                     and jax.default_backend() in ("tpu", "axon")
                     and not os.environ.get("OBMD_TPU_XLA_USHER")):
                 from .forces.pallas_usher import usher_search_pallas
-                pos2, ok2, iters2 = usher_search_pallas(
-                    cfg, sub_l, sub_r, cand_l, cand_r,
-                    obmd.region5, obmd.region6)
+                search = lambda sl, sr, cl, cr: usher_search_pallas(
+                    cfg, sl, sr, cl, cr, obmd.region5, obmd.region6)
             else:
                 from .obmd.subset import usher_search_subset_batch
-                pos2, ok2, iters2 = usher_search_subset_batch(
-                    cfg, sub_l, sub_r, cand_l, cand_r, ctype,
-                    obmd.region5, obmd.region6)
+                search = lambda sl, sr, cl, cr: usher_search_subset_batch(
+                    cfg, sl, sr, cl, cr, ctype, obmd.region5, obmd.region6)
+            # Demand gate: at steady state the feedback budget is zero on
+            # almost every step (census >= alpha*nbuf) and acceptance is
+            # budget-clipped to zero anyway — skip the steered search
+            # entirely.  cond outputs are tiny ([2,K] arrays), so no
+            # big-carry penalty (the round-1 lax.cond hazard).
+            pos2, ok2, iters2 = jax.lax.cond(
+                (rem_l > 0) | (rem_r > 0),
+                lambda ops: search(*ops),
+                lambda ops: (jnp.stack([ops[2], ops[3]]),
+                             jnp.zeros((2, K), bool),
+                             jnp.zeros((2, K), jnp.int32)),
+                (sub_l, sub_r, cand_l, cand_r))
             pos_l_r, pos_r_r = pos2[0], pos2[1]
             ok_l, ok_r = ok2[0], ok2[1]
             it_l = it_l + jnp.sum(iters2[0])
