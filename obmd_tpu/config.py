@@ -401,6 +401,23 @@ class ObmdParams:
         if self.charged and self.mol is None:
             raise ValueError("`charged 1` requires MOLECULE-mode insertion "
                              "(fix_obmd_merged.cpp:2108-2112)")
+        for name in ("region1", "region2", "region5", "region6"):
+            if getattr(self, name) is None:
+                raise ValueError(
+                    f"fix obmd: `{name}` is required "
+                    "(fix_obmd_merged.cpp init() :421-438)")
+        # The reference requires the shear sub-regions too, but its example
+        # deck passes zero-extent blocks (input.py:90-91).  A missing
+        # region3/4 is accepted as the zero-extent case — valid only while
+        # no shear stress is requested (a callable pxy/pxz cannot be
+        # checked at build time, so it requires the regions).
+        if self.region3 is None or self.region4 is None:
+            for name in ("pxy", "pxz"):
+                v = getattr(self, name)
+                if callable(v) or float(v) != 0.0:
+                    raise ValueError(
+                        "fix obmd: shear stress needs region3/region4 "
+                        "(fix_obmd_merged.cpp:1452-1516)")
 
 
 @dataclasses.dataclass(frozen=True)

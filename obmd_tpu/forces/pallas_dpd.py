@@ -421,10 +421,21 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                 xsrc_t = stitch(mid_t[0], next_t[0])
                 cross = "last"                    # slab_q == p-1 lanes cross
 
-            # y/z rolls with periodic image adjustment on the position lanes
+            # y/z rolls with periodic image adjustment on the position lanes.
+            # On a NON-periodic axis the rolled-around lanes are phantom
+            # pairs (there is no image across a free boundary): push their
+            # positions far out of any cutoff instead of shifting by +-L.
+            big = 4.0 * (lx + ly + lz) + 1.0e3
+
             def yz(val, fidx):
-                wy = ly if (fidx == 1 and not mi_y) else 0.0
-                wz = lz if (fidx == 2 and not mi_z) else 0.0
+                if fidx == 1:
+                    wy = (ly if not mi_y else 0.0) if per_y else big
+                else:
+                    wy = 0.0
+                if fidx == 2:
+                    wz = (lz if not mi_z else 0.0) if per_z else big
+                else:
+                    wz = 0.0
                 v = nbr(val, dy * nz, s, wrap_delta=wy * dy)
                 return nbr(v, dz, nz, wrap_delta=wz * dz)
 

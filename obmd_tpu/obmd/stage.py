@@ -568,6 +568,10 @@ def apply_boundary_force(cfg: SceneConfig, state: State,
             (obmd.region2, sc.momentum_force_right, True),
             (obmd.region3, sc.shear_force_left, False),
             (obmd.region4, sc.shear_force_right, False)):
+        if region is None:
+            # missing shear sub-region = the zero-extent case (config
+            # guarantees pxy = pxz = 0, so the shear force is zero too)
+            continue
         member = state.alive & region.match(state.x)
         g = jnp.where(member, g_smooth if smooth else m, 0.0)
         gsum = jnp.sum(g)

@@ -297,6 +297,8 @@ def _boundary_force_spmd(cfg: SceneConfig, state: State, f: jnp.ndarray):
     sc = state.obmd
 
     def add(f, region, F, smooth):
+        if region is None:   # zero-extent shear sub-region
+            return f
         member = state.alive & region.match(state.x)
         g = smooth_weight(cfg, x0, m) if smooth else m
         g = jnp.where(member, g, 0.0)
