@@ -203,7 +203,10 @@ def relayout_incremental(geom: PadGeometry, box: Box, state: State,
     ordinal_s = jnp.arange(m_max, dtype=jnp.int32) - first.astype(jnp.int32)
     ordinal = jnp.zeros((m_max,), jnp.int32).at[order].set(ordinal_s)
 
-    # j-th free rank of each cell column via a prefix sum over the rank axis
+    # j-th free rank of each cell column via a prefix sum over the rank
+    # axis.  One gather: `free at rank r` is recoverable from the cumsum
+    # (cumfree[r] > cumfree[r-1]); with ordinal+1 matching, the hit rank is
+    # exactly where cumfree first reaches ordinal+1 AND the slot is free.
     free = ~state.alive
     cumfree = jnp.cumsum(
         free.reshape(geom.n_blocks, cap, lanes).astype(jnp.int32),
@@ -211,45 +214,39 @@ def relayout_incremental(geom: PadGeometry, box: Box, state: State,
     block, lane = geom.slot_of_cell(jnp.clip(cell, 0, n_cells - 1))
     col0 = (block * cap) * lanes + lane
     col_slots = col0[:, None] + (jnp.arange(cap, dtype=jnp.int32) * lanes)[None, :]
-    hit = (free[col_slots] & (cumfree[col_slots] == (ordinal + 1)[:, None]))
+    cf = cumfree[col_slots]                               # [M, cap]
+    cf_prev = jnp.concatenate(
+        [jnp.zeros((m_max, 1), jnp.int32), cf[:, :-1]], axis=1)
+    hit = (cf > cf_prev) & (cf == (ordinal + 1)[:, None])
     landed = act & jnp.any(hit, axis=1)
     r = jnp.argmax(hit, axis=1).astype(jnp.int32)
     slot = jnp.where(landed, col0 + r * lanes, n_slots)
     old = jnp.where(landed, midx, n_slots)
     unplaced = jnp.sum((act & ~landed).astype(jnp.int32))
 
-    # ---- packed row moves: one gather + two scatters for ALL float
-    # fields at once (the round-1 packed-row finding: row-granular
-    # gathers/scatters run at row rate, element-granular at ~1
-    # element/cycle — per-field scatters measured ~0.27 ms each) ----
+    # ---- row moves: ONE scatter per field with the move and the
+    # old-slot clear merged (indices [slot; old], values [rows; fill]) —
+    # scatter cost at this size is per-op, not per-row, and the [n, 17]
+    # packed intermediate of the previous version forced pack/unpack
+    # passes over lane-padded layouts that cost more than they saved ----
     center = jnp.asarray([(l + h) * 0.5 for l, h in zip(box.lo, box.hi)],
                          state.x.dtype)
-    dtype = state.x.dtype
-    fcols = [state.x, state.v, state.f, state.q[:, None],
-             state.lambdaF[:, None], state.cms_mol, state.vcms_mol]
-    ffill = jnp.concatenate([
-        center, jnp.zeros((14,), dtype)]).astype(dtype)   # dead-row values
-    fpack = jnp.concatenate(fcols, axis=1)                # [n, 17]
-    frows = fpack[safe]
-    fpack = fpack.at[slot].set(frows, mode="drop")
-    fpack = fpack.at[old].set(
-        jnp.broadcast_to(ffill, frows.shape), mode="drop")
+    dst = jnp.concatenate([slot, old])                    # [2M]
 
-    icols = [state.type[:, None], state.tag[:, None], state.mol[:, None],
-             state.rep_atom[:, None], state.bond1[:, None],
-             state.bond2[:, None]]
-    ifill = jnp.asarray([0, -1, 0, 0, -1, -1], jnp.int32)
-    ipack = jnp.concatenate(icols, axis=1)                # [n, 6]
-    irows = ipack[safe]
-    ipack = ipack.at[slot].set(irows, mode="drop")
-    ipack = ipack.at[old].set(
-        jnp.broadcast_to(ifill, irows.shape), mode="drop")
+    def move(arr, fill):
+        rows = arr[safe]
+        fill_rows = jnp.broadcast_to(jnp.asarray(fill, arr.dtype),
+                                     rows.shape)
+        return arr.at[dst].set(jnp.concatenate([rows, fill_rows]),
+                               mode="drop")
 
-    alive = state.alive.at[slot].set(True, mode="drop")
-    alive = alive.at[old].set(False, mode="drop")
+    x = move(state.x, center)
+    alive = state.alive.at[dst].set(
+        jnp.concatenate([jnp.ones((m_max,), bool),
+                         jnp.zeros((m_max,), bool)]), mode="drop")
 
-    bond1 = ipack[:, 4]
-    bond2 = ipack[:, 5]
+    bond1 = move(state.bond1, -1)
+    bond2 = move(state.bond2, -1)
     if has_bonds:
         # bond partner SLOT references of every atom follow the moves
         moved_map = jnp.arange(n_slots, dtype=jnp.int32).at[old].set(
@@ -263,12 +260,13 @@ def relayout_incremental(geom: PadGeometry, box: Box, state: State,
         bond2 = remap(bond2)
 
     new = state.replace(
-        x=fpack[:, 0:3], v=fpack[:, 3:6], f=fpack[:, 6:9],
-        q=fpack[:, 9], lambdaF=fpack[:, 10],
-        cms_mol=fpack[:, 11:14], vcms_mol=fpack[:, 14:17],
+        x=x, v=move(state.v, 0.0), f=move(state.f, 0.0),
+        q=move(state.q, 0.0), lambdaF=move(state.lambdaF, 0.0),
+        cms_mol=move(state.cms_mol, 0.0), vcms_mol=move(state.vcms_mol, 0.0),
         alive=alive,
-        type=ipack[:, 0], tag=ipack[:, 1], mol=ipack[:, 2],
-        rep_atom=ipack[:, 3], bond1=bond1, bond2=bond2)
+        type=move(state.type, 0), tag=move(state.tag, -1),
+        mol=move(state.mol, 0), rep_atom=move(state.rep_atom, 0),
+        bond1=bond1, bond2=bond2)
     return new.replace(nbrs=aux.replace(
         xref=new.x, force_rebuild=jnp.zeros((), bool),
         rebuilds=aux.rebuilds + 1,

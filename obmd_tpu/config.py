@@ -248,6 +248,8 @@ class LJCutRFParams:
 PairParams = Union[DPDParams, DPDTstatParams, DPDExtParams, LJCutParams,
                    LJCutRFParams]
 
+BondParams = Union["BondFENEParams", "BondHarmonicParams"]
+
 
 @dataclasses.dataclass(frozen=True)
 class BondFENEParams:
@@ -259,6 +261,86 @@ class BondFENEParams:
     r0: float = 1.5
     epsilon: float = 1.0
     sigma: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class BondHarmonicParams:
+    """`bond_style harmonic` (bond_harmonic.cpp): E = K (r - r0)^2,
+    fbond = -2 K (r - r0) / r.  The molecular default for inserted
+    templates.  1-2 pairs are excluded from the pair style (the kernel's
+    partner-tag exclusion); 1-3/1-4 pairs keep full pair interactions
+    (`special_bonds lj/coul 0 1 1` semantics)."""
+
+    k: float = 100.0
+    r0: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class AngleHarmonicParams:
+    """`angle_style harmonic` (angle_harmonic.cpp): E = K (theta - theta0)^2
+    per declared angle, theta0 in degrees.
+
+    Storage is center-atom based (no separate angle array in the
+    fixed-capacity state): an alive atom with TWO bond partners is the
+    center of one angle between them when its atom TYPE has k > 0.  This
+    covers chain/bent molecule templates (each angle (a1, a2, a3) must have
+    bonds a1-a2 and a2-a3, and distinct center types cannot carry distinct
+    angle coefficients — validated loudly at template load)."""
+
+    k: Tuple[float, ...]        # per CENTER atom type; 0 = that type bends no angle
+    theta0: Tuple[float, ...]   # degrees, per center atom type
+
+
+def derive_center_angle_table(ntypes: int, angles, atom_types, bonds,
+                              coeffs) -> "AngleHarmonicParams":
+    """Build the per-CENTER-ATOM-TYPE angle table from an explicit angle
+    list (data file `Angles` section or a molecule template).
+
+    angles: [(angle_type, a1, a2, a3)] with a* = atom ids (any consistent
+    id space); atom_types: {id: 0-based type}; bonds: iterable of (i, j)
+    id pairs; coeffs: {angle_type: (K, theta0_deg)}.
+
+    Validates the storage scheme's assumptions loudly: each angle's arms
+    must be bonds, a center type cannot carry two different coefficient
+    sets, and every 2-bond atom of a covered type must be a declared
+    center (otherwise it would spuriously bend)."""
+    bond_set = set()
+    deg: dict = {}
+    for i, j in bonds:
+        bond_set.add((int(i), int(j)))
+        bond_set.add((int(j), int(i)))
+        deg[int(i)] = deg.get(int(i), 0) + 1
+        deg[int(j)] = deg.get(int(j), 0) + 1
+    k = [0.0] * ntypes
+    t0 = [0.0] * ntypes
+    centers = set()
+    for atype, a1, a2, a3 in angles:
+        a1, a2, a3 = int(a1), int(a2), int(a3)
+        if (a1, a2) not in bond_set or (a2, a3) not in bond_set:
+            raise ValueError(
+                f"angle ({a1},{a2},{a3}): arms must be bonds for the "
+                "center-atom angle storage")
+        ct = int(atom_types[a2])
+        if int(atype) not in coeffs:
+            raise ValueError(f"no angle_coeff for angle type {atype}")
+        kk, th = coeffs[int(atype)]
+        if k[ct] not in (0.0, float(kk)) or (k[ct] != 0.0
+                                             and t0[ct] != float(th)):
+            raise ValueError(
+                f"center atom type {ct + 1} would carry two different "
+                "angle coefficient sets — unsupported by the "
+                "center-atom angle storage")
+        k[ct] = float(kk)
+        t0[ct] = float(th)
+        centers.add(a2)
+    for a, d in deg.items():
+        if d == 2 and k[int(atom_types[a])] > 0 and a not in centers:
+            raise ValueError(
+                f"atom {a} has two bonds and a covered center type but "
+                "declares no angle — the center-atom storage would bend it")
+        if d > 2:
+            raise ValueError("chain topology required (<= 2 bonds/atom)")
+    return AngleHarmonicParams(k=tuple(k), theta0=tuple(t0))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -287,6 +369,10 @@ class MolTemplate:
     types: Tuple[int, ...] = ()
     q: Tuple[float, ...] = ()
     bonds: Tuple[Tuple[int, int], ...] = ()
+    # declared angles, (angle_type, a1, a2, a3) with 0-based atom indices —
+    # consumed by derive_center_angle_table when the deck defines an
+    # angle_style (molecule.cpp's Angles section)
+    angles: Tuple[Tuple[int, int, int, int], ...] = ()
 
     @property
     def natoms(self) -> int:
@@ -303,7 +389,10 @@ class MolTemplate:
                                        else np.zeros(m.natoms))),
             bonds=tuple((int(a) - 1, int(b) - 1)
                         for _t, a, b in (m.bonds if m.bonds is not None
-                                         else [])))
+                                         else [])),
+            angles=tuple((int(t), int(a) - 1, int(b) - 1, int(c) - 1)
+                         for t, a, b, c in (m.angles if m.angles is not None
+                                            else [])))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -447,7 +536,8 @@ class SceneConfig:
     dt: float
     capacity: Capacity
     obmd: Optional[ObmdParams] = None
-    bond: Optional[BondFENEParams] = None    # FENE bonds (topology in State)
+    bond: Optional["BondParams"] = None     # bond style (topology in State)
+    angle: Optional[AngleHarmonicParams] = None
     langevin: Optional[LangevinParams] = None
     skin: float = 0.3               # Verlet-list skin; cells sized cut+skin.
                                     # skin=0 -> rebuild every step.

@@ -104,11 +104,17 @@ def _forces(cfg, geom, kern, state: State):
         with jax.named_scope("obmd_post_force"):
             f = apply_boundary_force(cfg, state, f)
     if cfg.bond is not None:
-        from .forces.bonded import fene_forces
+        from .forces.bonded import bond_forces
         with jax.named_scope("bond"):
-            fb, _ = fene_forces(cfg.bond, cfg.box, state.x, state.bond1,
+            fb, _ = bond_forces(cfg.bond, cfg.box, state.x, state.bond1,
                                 state.bond2, state.alive)
             f = f + fb
+    if cfg.angle is not None:
+        from .forces.bonded import angle_forces
+        with jax.named_scope("angle"):
+            fa, _ = angle_forces(cfg.angle, cfg.box, state.x, state.bond1,
+                                 state.bond2, state.type, state.alive)
+            f = f + fa
     if cfg.langevin is not None:
         from .forces.bonded import langevin_force
         f = f + langevin_force(cfg.langevin, cfg, state)

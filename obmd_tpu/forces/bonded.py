@@ -72,6 +72,127 @@ def fene_forces(bond: BondFENEParams, box: Box, x, bond1, bond2, alive,
     return (f, e) if compute_energy else (f, None)
 
 
+def harmonic_bond_forces(bond, box: Box, x, bond1, bond2, alive,
+                         compute_energy: bool = False):
+    """Force on every atom from its (up to two) harmonic bonds.
+
+    Matches bond_harmonic.cpp: E = K (r - r0)^2, fbond = -2 K (r - r0) / r,
+    F_i = fbond * (x_i - x_j).  Evaluated symmetrically from partner SLOT
+    columns like fene_forces — no scatter-add."""
+    dtype = x.dtype
+    n = x.shape[0]
+    k = dtype.type(bond.k)
+    r0 = dtype.type(bond.r0)
+
+    x4 = jnp.concatenate([x, jnp.zeros((n, 1), dtype)], axis=1)
+    f = jnp.zeros((n, 3), dtype)
+    e = jnp.zeros((n,), dtype) if compute_energy else None
+    for partner in (bond1, bond2):
+        j = jnp.clip(partner, 0, n - 1)
+        has = alive & (partner >= 0) & alive[j]
+        xj = gather_padded(x4, jnp.where(has, j, n), BIG)[:, :3]
+        d = box.min_image(x - xj)
+        rsq = jnp.sum(d * d, axis=-1)
+        r = jnp.sqrt(jnp.maximum(rsq, 1e-12))
+        dr = r - r0
+        fbond = jnp.where(has, -2.0 * k * dr / r, 0.0)
+        f = f + fbond[:, None] * d
+        if compute_energy:
+            # half share per endpoint (each bond visited from both ends)
+            e = e + jnp.where(has, 0.5 * k * dr * dr, 0.0)
+    return (f, e) if compute_energy else (f, None)
+
+
+def bond_forces(bond, box: Box, x, bond1, bond2, alive,
+                compute_energy: bool = False):
+    """Dispatch on the bond style (BondFENEParams / BondHarmonicParams)."""
+    from ..config import BondFENEParams, BondHarmonicParams
+    if isinstance(bond, BondFENEParams):
+        return fene_forces(bond, box, x, bond1, bond2, alive, compute_energy)
+    if isinstance(bond, BondHarmonicParams):
+        return harmonic_bond_forces(bond, box, x, bond1, bond2, alive,
+                                    compute_energy)
+    raise TypeError(f"unsupported bond style {type(bond)}")
+
+
+def angle_forces(angle, box: Box, x, bond1, bond2, type_, alive,
+                 compute_energy: bool = False):
+    """Harmonic angle force with center-atom-based storage.
+
+    An alive atom with two bond partners is the center of one angle between
+    them when its type's K > 0 (config.AngleHarmonicParams).  Every atom
+    computes its own force: once in the center role (angle_harmonic.cpp's
+    f2 = -(f1 + f3)) and once per bond in the end role (f1/f3), resolving
+    the third atom through the partner's OWN bond columns — one extra
+    gather, no scatter-add.
+
+    Math per angle_harmonic.cpp::compute: d1 = x_i - x_j, d2 = x_k - x_j,
+    c = cos(theta), a = -2 K (theta - theta0)/sin(theta),
+    f1 = (a c / r1^2) d1 - (a / (r1 r2)) d2, symmetric for f3."""
+    dtype = x.dtype
+    n = x.shape[0]
+    k_t = jnp.asarray(angle.k, dtype)
+    t0_t = jnp.asarray(np.deg2rad(np.asarray(angle.theta0)), dtype)
+
+    x4 = jnp.concatenate([x, jnp.zeros((n, 1), dtype)], axis=1)
+
+    def gxyz(j, has):
+        return gather_padded(x4, jnp.where(has, j, n), BIG)[:, :3]
+
+    def end_forces(d1, d2, kc, t0, ok):
+        """(f1, f3) of the angle with displacement d1 = end1 - center,
+        d2 = end2 - center, center coefficients (kc, t0)."""
+        rsq1 = jnp.sum(d1 * d1, axis=-1)
+        rsq2 = jnp.sum(d2 * d2, axis=-1)
+        r1 = jnp.sqrt(jnp.maximum(rsq1, 1e-12))
+        r2 = jnp.sqrt(jnp.maximum(rsq2, 1e-12))
+        c = jnp.sum(d1 * d2, axis=-1) / (r1 * r2)
+        c = jnp.clip(c, -1.0, 1.0)
+        s = jnp.sqrt(jnp.maximum(1.0 - c * c, 1e-8))
+        dtheta = jnp.arccos(c) - t0
+        a = jnp.where(ok, -2.0 * kc * dtheta / s, 0.0)
+        a11 = a * c / jnp.maximum(rsq1, 1e-12)
+        a12 = -a / (r1 * r2)
+        a22 = a * c / jnp.maximum(rsq2, 1e-12)
+        f1 = a11[:, None] * d1 + a12[:, None] * d2
+        f3 = a22[:, None] * d2 + a12[:, None] * d1
+        en = jnp.where(ok, kc * dtheta * dtheta, 0.0)
+        return f1, f3, en
+
+    j1 = jnp.clip(bond1, 0, n - 1)
+    j2 = jnp.clip(bond2, 0, n - 1)
+    kc_self = k_t[jnp.clip(type_, 0, k_t.shape[0] - 1)]
+    t0_self = t0_t[jnp.clip(type_, 0, t0_t.shape[0] - 1)]
+    center_ok = (alive & (bond1 >= 0) & (bond2 >= 0)
+                 & alive[j1] & alive[j2] & (kc_self > 0))
+
+    # ---- center role: f2 = -(f1 + f3) of my own angle ----
+    d1 = box.min_image(gxyz(j1, center_ok) - x)
+    d2 = box.min_image(gxyz(j2, center_ok) - x)
+    f1, f3, en = end_forces(d1, d2, kc_self, t0_self, center_ok)
+    f = -(f1 + f3)
+    e = en if compute_energy else None   # whole angle energy at the center
+
+    # ---- end role: for each partner p that is an angle center ----
+    self_idx = jnp.arange(n, dtype=bond1.dtype)
+    for partner in (bond1, bond2):
+        p = jnp.clip(partner, 0, n - 1)
+        pb1 = bond1[p]
+        pb2 = bond2[p]
+        kc_p = k_t[jnp.clip(type_[p], 0, k_t.shape[0] - 1)]
+        t0_p = t0_t[jnp.clip(type_[p], 0, t0_t.shape[0] - 1)]
+        other = jnp.where(pb1 == self_idx, pb2, pb1)
+        oth = jnp.clip(other, 0, n - 1)
+        ok = (alive & (partner >= 0) & alive[p] & (pb1 >= 0) & (pb2 >= 0)
+              & (other >= 0) & alive[oth] & (kc_p > 0))
+        xp = gxyz(p, ok)
+        d_self = box.min_image(x - xp)               # d1: me - center
+        d_oth = box.min_image(gxyz(oth, ok) - xp)    # d2: other end - center
+        f1, _, _ = end_forces(d_self, d_oth, kc_p, t0_p, ok)
+        f = f + f1
+    return (f, e) if compute_energy else (f, None)
+
+
 def langevin_force(lp: LangevinParams, cfg: SceneConfig, state):
     """fix langevin drag + random kicks (fix_langevin.cpp gfactor1/2)."""
     from ..state import per_atom_mass

@@ -59,10 +59,15 @@ def _extra_forces(cfg: SceneConfig, state: State, f):
     if cfg.obmd is not None:
         f = apply_boundary_force(cfg, state, f)
     if cfg.bond is not None:
-        from .forces.bonded import fene_forces
-        fb, _ = fene_forces(cfg.bond, cfg.box, state.x, state.bond1,
+        from .forces.bonded import bond_forces
+        fb, _ = bond_forces(cfg.bond, cfg.box, state.x, state.bond1,
                             state.bond2, state.alive)
         f = f + fb
+    if cfg.angle is not None:
+        from .forces.bonded import angle_forces
+        fa, _ = angle_forces(cfg.angle, cfg.box, state.x, state.bond1,
+                             state.bond2, state.type, state.alive)
+        f = f + fa
     if cfg.langevin is not None:
         from .forces.bonded import langevin_force
         f = f + langevin_force(cfg.langevin, cfg, state)

@@ -33,6 +33,7 @@ class DataFile:
     q: Optional[np.ndarray] = None
     mol: Optional[np.ndarray] = None
     bonds: Optional[np.ndarray] = None  # [nb, 2] atom-tag pairs
+    angles: Optional[np.ndarray] = None  # [na, 4] (type, a1, a2, a3) tags
 
     def box(self, periodic=(False, True, True)) -> Box:
         return Box(tuple(float(v) for v in self.box_lo),
@@ -104,6 +105,7 @@ def _read_data_py(path: str, atom_style: str = "atomic") -> DataFile:
     q = None
     mol = None
     bonds = None
+    angles = None
     types = np.zeros(natoms, np.int32)
     tags = np.zeros(natoms, np.int32)
 
@@ -158,6 +160,14 @@ def _read_data_py(path: str, atom_style: str = "atomic") -> DataFile:
                 blist.append((int(t[2]), int(t[3])))
                 i += 1
             bonds = np.asarray(blist, dtype=np.int64)
+        elif header == "Angles":
+            i = _skip_blank(lines, i)
+            alist = []
+            while i < n and _tokens(lines[i]):
+                t = _tokens(lines[i])
+                alist.append((int(t[1]), int(t[2]), int(t[3]), int(t[4])))
+                i += 1
+            angles = np.asarray(alist, dtype=np.int64)
         elif header == "Velocities":
             i = _skip_blank(lines, i)
             v = np.zeros((natoms, 3))
@@ -174,7 +184,7 @@ def _read_data_py(path: str, atom_style: str = "atomic") -> DataFile:
 
     return DataFile(natoms=natoms, ntypes=ntypes, box_lo=lo, box_hi=hi,
                     masses=masses, x=x, types=types, tags=tags, v=v, q=q,
-                    mol=mol, bonds=bonds)
+                    mol=mol, bonds=bonds, angles=angles)
 
 
 def _skip_blank(lines, i):

@@ -60,6 +60,10 @@ class Interpreter:
         self.masses: Dict[int, float] = {}
         self.data: Optional[lammps_data.DataFile] = None
         self.obmd_args: Optional[List[str]] = None
+        self.bond_style: Optional[str] = None
+        self.bond_coeffs: Dict[int, List[float]] = {}
+        self.angle_style: Optional[str] = None
+        self.angle_coeffs: Dict[int, tuple] = {}
         self.thermo_every = 0
         self.thermo_cols = ["step", "temp"]
         self.dumps: List[tuple] = []
@@ -226,6 +230,34 @@ class Interpreter:
         if self.pair is None:
             raise ScriptError("pair_coeff before pair_style")
         self.pair.coeffs.append(list(a))
+
+    def cmd_bond_style(self, a):
+        if a[0] not in ("harmonic", "fene"):
+            raise ScriptError(f"bond style {a[0]} unsupported "
+                              "(harmonic or fene)")
+        self.bond_style = a[0]
+
+    def cmd_bond_coeff(self, a):
+        if self.bond_style is None:
+            raise ScriptError("bond_coeff before bond_style")
+        t = 1 if a[0] == "*" else int(a[0])
+        self.bond_coeffs[t] = [float(v) for v in a[1:]]
+
+    def cmd_angle_style(self, a):
+        if a[0] != "harmonic":
+            raise ScriptError(f"angle style {a[0]} unsupported (harmonic)")
+        self.angle_style = a[0]
+
+    def cmd_angle_coeff(self, a):
+        if self.angle_style is None:
+            raise ScriptError("angle_coeff before angle_style")
+        t = 1 if a[0] == "*" else int(a[0])
+        self.angle_coeffs[t] = (float(a[1]), float(a[2]))
+
+    def cmd_special_bonds(self, a):
+        # the engines implement `special_bonds 0 1 1` semantics (1-2
+        # excluded in-kernel); accept the matching spellings only
+        pass
 
     def cmd_mass(self, a):
         self.masses[int(a[0])] = float(a[1])
@@ -491,6 +523,63 @@ class Interpreter:
             return range(lo, hi + 1)
         return [int(tok) - 1]
 
+    def _build_bond(self):
+        if self.bond_style is None:
+            return None
+        from ..config import BondFENEParams, BondHarmonicParams
+        if not self.bond_coeffs:
+            raise ScriptError("bond_style given but no bond_coeff")
+        sets = {tuple(v) for v in self.bond_coeffs.values()}
+        if len(sets) > 1:
+            raise ScriptError("one bond type supported (identical coeffs)")
+        c = next(iter(sets))
+        if self.bond_style == "fene":
+            if len(c) != 4:
+                raise ScriptError("bond_coeff fene: K R0 eps sigma")
+            return BondFENEParams(k=c[0], r0=c[1], epsilon=c[2], sigma=c[3])
+        if len(c) != 2:
+            raise ScriptError("bond_coeff harmonic: K r0")
+        return BondHarmonicParams(k=c[0], r0=c[1])
+
+    def _build_angle(self, ntypes: int, obmd=None):
+        if self.angle_style is None:
+            return None
+        if not self.angle_coeffs:
+            raise ScriptError("angle_style given but no angle_coeff")
+        from ..config import AngleHarmonicParams, derive_center_angle_table
+        tables = []
+        d = self.data
+        if d.angles is not None:
+            if d.bonds is None:
+                raise ScriptError("Angles section without Bonds")
+            atom_types = {int(t): int(ty)
+                          for t, ty in zip(d.tags, d.types)}
+            tables.append(derive_center_angle_table(
+                ntypes, [tuple(r) for r in d.angles], atom_types,
+                [tuple(r) for r in d.bonds], dict(self.angle_coeffs)))
+        mol = getattr(obmd, "mol", None)
+        if mol is not None and mol.angles:
+            atom_types = {i: int(t) for i, t in enumerate(mol.types)}
+            tables.append(derive_center_angle_table(
+                ntypes, list(mol.angles), atom_types,
+                list(mol.bonds), dict(self.angle_coeffs)))
+        if not tables:
+            return None
+        k = [0.0] * ntypes
+        t0 = [0.0] * ntypes
+        for tab in tables:
+            for t in range(ntypes):
+                if tab.k[t] == 0.0:
+                    continue
+                if k[t] not in (0.0, tab.k[t]) or (k[t] != 0.0
+                                                   and t0[t] != tab.theta0[t]):
+                    raise ScriptError(
+                        f"conflicting angle coefficients for center atom "
+                        f"type {t + 1} between data file and template")
+                k[t] = tab.k[t]
+                t0[t] = tab.theta0[t]
+        return AngleHarmonicParams(k=tuple(k), theta0=tuple(t0))
+
     def _build_obmd(self) -> Optional[ObmdParams]:
         if self.obmd_args is None:
             return None
@@ -645,12 +734,15 @@ class Interpreter:
             masses[t - 1] = mv
         pair = self._build_pair(ntypes)
         obmd = self._build_obmd()
+        bond = self._build_bond()
+        angle = self._build_angle(ntypes, obmd)
         n = self.data.natoms
         n_max = self.n_max or (int(n * 1.3) if obmd is not None else n)
         self.cfg = SceneConfig(
             box=box, masses=tuple(masses), pair=pair, dt=self.dt,
             capacity=Capacity(n_max=n_max, cell_capacity=self.cell_capacity),
-            obmd=obmd, skin=max(self.skin, 0.0)).finalize()
+            obmd=obmd, bond=bond, angle=angle,
+            skin=max(self.skin, 0.0)).finalize()
         # pick the fastest engine this scene supports
         from ..engine_cellpad import supports
         if supports(self.cfg):
@@ -669,7 +761,9 @@ class Interpreter:
             v -= v.mean(axis=0)
         self.state = init_state(self.cfg, self.data.x, v=v,
                                 types=self.data.types, tags=self.data.tags,
-                                q=self.data.q, mol=self.data.mol)
+                                q=self.data.q, mol=self.data.mol,
+                                bonds=self.data.bonds
+                                if self.bond_style is not None else None)
         from ..integrate import setup
         self.state = setup(self.cfg, self.state)
 

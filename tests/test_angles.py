@@ -1,0 +1,207 @@
+"""Harmonic bonds + center-atom harmonic angles (angle_harmonic.cpp /
+bond_harmonic.cpp counterparts; VERDICT r2 item 8).
+
+The angle storage is center-atom based (config.AngleHarmonicParams): an
+atom with two bond partners bends the angle between them when its type's
+K > 0.  Forces are validated against autodiff of the analytic energy, and
+a bent trimer template must hold its geometry over a dynamics run.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from obmd_tpu.config import (AngleHarmonicParams, BondHarmonicParams,
+                             Capacity, DPDParams, SceneConfig,
+                             derive_center_angle_table)
+from obmd_tpu.forces.bonded import angle_forces, harmonic_bond_forces
+from obmd_tpu.geometry import Box
+
+
+BOX = Box((0.0, 0.0, 0.0), (10.0, 10.0, 10.0), (True, True, True))
+
+
+def _trimer_arrays(x3):
+    """State columns for one 0-1-2 chain (center = atom 1, type 0;
+    ends type 1), padded to 8 slots."""
+    n = 8
+    x = jnp.zeros((n, 3)).at[:3].set(jnp.asarray(x3))
+    alive = jnp.zeros((n,), bool).at[:3].set(True)
+    types = jnp.zeros((n,), jnp.int32).at[:3].set(jnp.asarray([1, 0, 1]))
+    bond1 = jnp.full((n,), -1, jnp.int32).at[:3].set(jnp.asarray([1, 0, 1]))
+    bond2 = jnp.full((n,), -1, jnp.int32).at[1].set(2)
+    return x, alive, types, bond1, bond2
+
+
+def test_angle_force_matches_autodiff():
+    K, t0_deg = 12.5, 104.5
+    angle = AngleHarmonicParams(k=(K, 0.0), theta0=(t0_deg, 0.0))
+    x3 = np.array([[4.0, 4.0, 4.0],
+                   [5.0, 4.3, 4.1],
+                   [5.8, 5.2, 3.9]])
+
+    def energy(x3_):
+        d1 = x3_[0] - x3_[1]
+        d2 = x3_[2] - x3_[1]
+        c = jnp.dot(d1, d2) / (jnp.linalg.norm(d1) * jnp.linalg.norm(d2))
+        th = jnp.arccos(jnp.clip(c, -1.0, 1.0))
+        return K * (th - jnp.deg2rad(t0_deg)) ** 2
+
+    fref = -jax.grad(energy)(jnp.asarray(x3))
+    x, alive, types, b1, b2 = _trimer_arrays(x3)
+    f, e = angle_forces(angle, BOX, x, b1, b2, types, alive,
+                        compute_energy=True)
+    np.testing.assert_allclose(np.asarray(f[:3]), np.asarray(fref),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(jnp.sum(e)), float(energy(x3)),
+                               rtol=1e-5)
+    # angle forces exert no net force or torque about the center
+    np.testing.assert_allclose(np.asarray(jnp.sum(f, axis=0)),
+                               np.zeros(3), atol=1e-5)
+
+
+def test_harmonic_bond_force_matches_formula():
+    bond = BondHarmonicParams(k=40.0, r0=0.8)
+    n = 4
+    x = jnp.zeros((n, 3)).at[1, 0].set(1.1)
+    alive = jnp.zeros((n,), bool).at[:2].set(True)
+    b1 = jnp.full((n,), -1, jnp.int32).at[0].set(1).at[1].set(0)
+    b2 = jnp.full((n,), -1, jnp.int32)
+    f, e = harmonic_bond_forces(bond, BOX, x, b1, b2, alive,
+                                compute_energy=True)
+    dr = 1.1 - 0.8
+    # F on atom 0 = -2K dr / r * (x0 - x1) = -2K dr/r * (-1.1) = +2K dr
+    np.testing.assert_allclose(float(f[0, 0]), 2 * 40.0 * dr, rtol=1e-6)
+    np.testing.assert_allclose(float(f[1, 0]), -2 * 40.0 * dr, rtol=1e-6)
+    np.testing.assert_allclose(float(jnp.sum(e)), 40.0 * dr * dr, rtol=1e-6)
+
+
+def test_center_table_validation():
+    # arms must be bonds
+    with pytest.raises(ValueError, match="arms must be bonds"):
+        derive_center_angle_table(
+            2, [(1, 0, 1, 2)], {0: 1, 1: 0, 2: 1}, [(0, 1)],
+            {1: (5.0, 100.0)})
+    # a covered 2-bond atom that declares no angle would bend spuriously
+    with pytest.raises(ValueError, match="declares no angle"):
+        derive_center_angle_table(
+            1, [(1, 0, 1, 2)], {i: 0 for i in range(5)},
+            [(0, 1), (1, 2), (2, 3), (3, 4)], {1: (5.0, 100.0)})
+    tab = derive_center_angle_table(
+        2, [(1, 0, 1, 2)], {0: 1, 1: 0, 2: 1}, [(0, 1), (1, 2)],
+        {1: (5.0, 104.5)})
+    assert tab.k == (5.0, 0.0)
+    assert tab.theta0 == (104.5, 0.0)
+
+
+def test_deck_bond_angle_commands(tmp_path):
+    """bond_style/bond_coeff/angle_style/angle_coeff deck commands wire a
+    molecular data file (Bonds + Angles sections) into the engine."""
+    from obmd_tpu.io.script import run_script
+
+    data = tmp_path / "trimer.data"
+    data.write_text("""trimer (obmd_tpu test)
+
+3 atoms
+2 atom types
+2 bonds
+1 bond types
+1 angles
+1 angle types
+
+0.0 10.0 xlo xhi
+0.0 10.0 ylo yhi
+0.0 10.0 zlo zhi
+
+Masses
+
+1 1.0
+2 1.0
+
+Atoms
+
+1 1 2 4.3 5.0 5.0
+2 1 1 5.0 5.0 5.0
+3 1 2 5.3 5.6 5.0
+
+Bonds
+
+1 1 1 2
+2 1 2 3
+
+Angles
+
+1 1 1 2 3
+""")
+    deck = tmp_path / "in.trimer"
+    deck.write_text(f"""
+units lj
+boundary p p p
+atom_style molecular
+read_data {data}
+pair_style dpd 0.2 1.0 42
+pair_coeff * * 5.0 1.0
+bond_style harmonic
+bond_coeff 1 80.0 0.7
+angle_style harmonic
+angle_coeff 1 60.0 104.5
+timestep 0.002
+thermo 10
+run 20
+""")
+    lines = []
+    it = run_script(str(deck), log_fn=lines.append)
+    assert it.cfg.bond is not None and it.cfg.angle is not None
+    assert it.cfg.angle.k[0] == 60.0      # center atom type 1 (0-based 0)
+    assert it.cfg.angle.theta0[0] == 104.5
+    # the cellpad engine permutes slots: look rows up by tag
+    tags = np.asarray(it.state.tag)
+    alive = np.asarray(it.state.alive)
+    rows = {int(t): i for i, t in enumerate(tags) if alive[i]}
+    xs = np.asarray(it.state.x)
+    assert sorted(rows) == [1, 2, 3]
+    d1 = xs[rows[1]] - xs[rows[2]]
+    d2 = xs[rows[3]] - xs[rows[2]]
+    assert np.isfinite(xs[list(rows.values())]).all()
+    assert 0.4 < np.linalg.norm(d1) < 1.1   # bonds held, nothing exploded
+    assert 0.4 < np.linalg.norm(d2) < 1.1
+
+
+def test_bent_trimer_holds_geometry():
+    """A water-like bent trimer with harmonic bonds + angle, started off
+    its minimum, stays at r0/theta0 over a dynamics run (VERDICT item 8's
+    done-criterion)."""
+    from obmd_tpu.config import LangevinParams
+    from obmd_tpu.integrate import make_run, setup
+    from obmd_tpu.state import init_state
+
+    K, t0_deg, r0 = 60.0, 104.5, 0.7
+    cfg = SceneConfig(
+        box=BOX, masses=(1.0, 1.0), dt=0.002,
+        pair=DPDParams.create(temp=0.0, cutoff=1.0, seed=5, a0=0.0,
+                              gamma=0.05, ntypes=2),
+        bond=BondHarmonicParams(k=80.0, r0=r0),
+        angle=AngleHarmonicParams(k=(K, 0.0), theta0=(t0_deg, 0.0)),
+        # T=0 Langevin: pure drag, damps the bending mode (whose 1-3
+        # distance exceeds the DPD cutoff) so the run relaxes to the
+        # bond/angle minimum instead of oscillating around it
+        langevin=LangevinParams(temp=0.0, damp=0.3, seed=11),
+        capacity=Capacity(n_max=8, cell_capacity=8),
+        force_path="nlist")
+    # slightly compressed bonds + opened angle
+    th = np.deg2rad(118.0)
+    x = np.array([[5.0 + 0.65, 5.0, 5.0],
+                  [5.0, 5.0, 5.0],
+                  [5.0 + 0.62 * np.cos(th), 5.0 + 0.62 * np.sin(th), 5.0]])
+    state = init_state(cfg, x, types=np.array([1, 0, 1]),
+                       bonds=np.array([[1, 2], [2, 3]]))
+    state = setup(cfg, state)
+    state = make_run(cfg, 600)(state)
+
+    xs = np.asarray(state.x)[:3]
+    d1 = xs[0] - xs[1]
+    d2 = xs[2] - xs[1]
+    r1, r2 = np.linalg.norm(d1), np.linalg.norm(d2)
+    ang = np.degrees(np.arccos(np.dot(d1, d2) / (r1 * r2)))
+    assert abs(r1 - r0) < 0.08 and abs(r2 - r0) < 0.08, (r1, r2)
+    assert abs(ang - t0_deg) < 8.0, ang
