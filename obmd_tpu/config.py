@@ -464,6 +464,10 @@ class ObmdParams:
     # `orient rx ry rz` — fixed molecule rotation AXIS (angle stays
     # uniform, ref :1001-1016).
     orient: Optional[Tuple[float, float, float]] = None
+    # `rigid <fix-ID>` — integrate template molecules as rigid bodies
+    # (ref :475-500 hands inserted molecules to a rigid fix; here the
+    # engine integrates every mol != 0 atom rigidly via obmd_tpu.rigid).
+    rigid: bool = False
     # `id next|max` — tag policy: "next" counts up from the running
     # maximum (never reuses ids); "max" recomputes the max over alive
     # atoms each stage call, reusing ids freed by deletion (ref :911
@@ -490,6 +494,9 @@ class ObmdParams:
         if self.charged and self.mol is None:
             raise ValueError("`charged 1` requires MOLECULE-mode insertion "
                              "(fix_obmd_merged.cpp:2108-2112)")
+        if self.rigid and self.mol is None:
+            raise ValueError("`rigid` requires MOLECULE-mode insertion "
+                             "(fix_obmd_merged.cpp:475-500)")
         for name in ("region1", "region2", "region5", "region6"):
             if getattr(self, name) is None:
                 raise ValueError(
@@ -538,6 +545,9 @@ class SceneConfig:
     obmd: Optional[ObmdParams] = None
     bond: Optional["BondParams"] = None     # bond style (topology in State)
     angle: Optional[AngleHarmonicParams] = None
+    # fix rigid analogue: integrate every mol != 0 atom as a rigid body
+    # (obmd_tpu.rigid; implied by fix obmd's `rigid` keyword)
+    rigid: bool = False
     langevin: Optional[LangevinParams] = None
     skin: float = 0.3               # Verlet-list skin; cells sized cut+skin.
                                     # skin=0 -> rebuild every step.
@@ -556,9 +566,13 @@ class SceneConfig:
 
     def finalize(self) -> "SceneConfig":
         """Apply reference defaults that depend on other fields
-        (buffersize default 0.3*Lx, fix_obmd_merged.cpp:1912)."""
-        if self.obmd is not None and self.obmd.buffer_size == 0.0:
-            lx = self.box.lengths[0]
-            obmd = dataclasses.replace(self.obmd, buffer_size=0.3 * lx)
-            return dataclasses.replace(self, obmd=obmd)
-        return self
+        (buffersize default 0.3*Lx, fix_obmd_merged.cpp:1912; fix obmd
+        `rigid` enables the scene-level rigid integrator)."""
+        out = self
+        if out.obmd is not None and out.obmd.buffer_size == 0.0:
+            lx = out.box.lengths[0]
+            obmd = dataclasses.replace(out.obmd, buffer_size=0.3 * lx)
+            out = dataclasses.replace(out, obmd=obmd)
+        if out.obmd is not None and out.obmd.rigid and not out.rigid:
+            out = dataclasses.replace(out, rigid=True)
+        return out

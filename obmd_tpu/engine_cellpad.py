@@ -593,8 +593,11 @@ def make_step_cellpad(cfg: SceneConfig):
         dtf = dtype(0.5 * dt)
 
         v = jnp.where(a3, state.v + dtf * state.f / m, state.v)
-        x = jnp.where(a3, state.x + dtype(dt) * v, state.x)
-        x = cfg.box.wrap(x)
+        if cfg.rigid:
+            from .rigid import rigid_drift
+            x, v = rigid_drift(cfg, state, v)
+        else:
+            x = cfg.box.wrap(jnp.where(a3, state.x + dtype(dt) * v, state.x))
         state = state.replace(x=x, v=v)
 
         if cfg.obmd is not None:
@@ -615,6 +618,9 @@ def make_step_cellpad(cfg: SceneConfig):
 
         m = per_atom_mass(cfg, state)[:, None]
         v = jnp.where(state.alive[:, None], state.v + dtf * f / m, state.v)
+        if cfg.rigid:
+            from .rigid import rigid_project
+            v = rigid_project(cfg, state, v)
         state = state.replace(v=v, f=f, step=state.step + 1)
         if cfg.obmd is not None and cfg.obmd.mol is not None:
             from .adress import update_mol_com
@@ -634,13 +640,20 @@ def _plain_step(cfg, geom, kern, state: State, with_stage: bool = True) -> State
     dtf = dtype(0.5 * dt)
 
     v = jnp.where(a3, state.v + dtf * state.f / m, state.v)
-    x = cfg.box.wrap(jnp.where(a3, state.x + dtype(dt) * v, state.x))
+    if cfg.rigid:
+        from .rigid import rigid_drift
+        x, v = rigid_drift(cfg, state, v)
+    else:
+        x = cfg.box.wrap(jnp.where(a3, state.x + dtype(dt) * v, state.x))
     state = state.replace(x=x, v=v)
     if cfg.obmd is not None and with_stage:
         state = _obmd_stage(cfg, geom, state, with_rebuild=False)
     f = _forces(cfg, geom, kern, state)
     m = per_atom_mass(cfg, state)[:, None]
     v = jnp.where(state.alive[:, None], state.v + dtf * f / m, state.v)
+    if cfg.rigid:
+        from .rigid import rigid_project
+        v = rigid_project(cfg, state, v)
     state = state.replace(v=v, f=f, step=state.step + 1)
     if cfg.obmd is not None and cfg.obmd.mol is not None:
         from .adress import update_mol_com

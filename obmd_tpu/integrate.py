@@ -268,9 +268,13 @@ def make_step(cfg: SceneConfig):
 
         # initial integrate (half kick + drift), live atoms only
         v = jnp.where(alive3, state.v + dtf * state.f / m, state.v)
-        x = jnp.where(alive3, state.x + dtype(dt) * v, state.x)
-        # wrap periodic axes before any cell filing; x stays open
-        x = cfg.box.wrap(x)
+        if cfg.rigid:
+            from .rigid import rigid_drift
+            x, v = rigid_drift(cfg, state, v)   # wraps internally
+        else:
+            x = jnp.where(alive3, state.x + dtype(dt) * v, state.x)
+            # wrap periodic axes before any cell filing; x stays open
+            x = cfg.box.wrap(x)
         state = state.replace(x=x, v=v)
 
         # OBMD stage every nfreq steps (ref fix_obmd_merged.cpp:279-281,632)
@@ -310,6 +314,9 @@ def make_step(cfg: SceneConfig):
         # final integrate (half kick)
         m = per_atom_mass(cfg, state)[:, None]
         v = jnp.where(state.alive[:, None], state.v + dtf * f / m, state.v)
+        if cfg.rigid:
+            from .rigid import rigid_project
+            v = rigid_project(cfg, state, v)
 
         return state.replace(v=v, f=f, step=state.step + 1)
 

@@ -704,15 +704,21 @@ class Interpreter:
                 raise ScriptError(
                     f"fix obmd {k}: deposit-style z-offset ramping has no "
                     "meaning for open-x OBMD buffers and is not supported")
-            elif k in ("rigid", "shake"):
-                # ref hooks the insertion into fix rigid/shake
-                # (fix_obmd_merged.cpp:1163-1168); no constraint engine
-                # exists here, so refuse loudly instead of silently
-                # inserting unconstrained molecules
+            elif k == "rigid":
+                # ref hooks insertion into a named fix rigid
+                # (fix_obmd_merged.cpp:475-500,1163-1168); here the engine
+                # itself integrates template molecules as rigid bodies
+                # (obmd_tpu.rigid), so the fix-ID operand is accepted and
+                # the rigid integrator is enabled
+                params["rigid"] = True
+                i += 2
+            elif k == "shake":
+                # no SHAKE constraint engine; refuse loudly instead of
+                # silently inserting unconstrained molecules
                 raise ScriptError(
-                    f"fix obmd {k}: rigid-body/SHAKE constrained insertion "
-                    "is not supported (no constraint engine); remove the "
-                    f"{k} keyword")
+                    "fix obmd shake: SHAKE-constrained insertion is not "
+                    "supported (use `rigid`, or flexible bonds via "
+                    "bond_style)")
             else:
                 if self.strict:
                     raise ScriptError(f"fix obmd keyword {k} unsupported")

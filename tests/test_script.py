@@ -168,8 +168,9 @@ run             0
 
 
 def test_rigid_shake_keywords_rejected(tmp_path):
-    """ref hooks insertion into fix rigid/shake (:1163-1168); without a
-    constraint engine the keywords must refuse loudly, not parse silently."""
+    """`shake` has no constraint engine and must refuse loudly; `rigid`
+    is supported (obmd_tpu.rigid) but requires MOLECULE-mode insertion —
+    on an atom-mode deck it must also refuse loudly (ref :475-500)."""
     data = _write_data(tmp_path)
     for kw in ("rigid fixid", "shake fixid"):
         deck = f"""
@@ -190,5 +191,9 @@ fix             2 all obmd 1 1 987 188.0 0.0 0.0 0.0 0.0 0.7 0.01 130 &
 run             0
 """
         it = Interpreter(log_fn=lambda *a: None)
-        with pytest.raises(ScriptError, match="constraint"):
-            it.run_lines(deck.splitlines())
+        if kw.startswith("shake"):
+            with pytest.raises(ScriptError, match="SHAKE"):
+                it.run_lines(deck.splitlines())
+        else:
+            with pytest.raises(ValueError, match="MOLECULE-mode"):
+                it.run_lines(deck.splitlines())

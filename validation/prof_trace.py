@@ -20,10 +20,10 @@ def main():
                                seed=7)
     cfg = sc.cfg.finalize()
     state = setup(cfg, sc.state)
-    state = equilibrate(cfg, state, 1500)
+    state = equilibrate(cfg, state, int(os.environ.get("PROF_EQUIL", "300")))
     np.asarray(state.x)
 
-    nsteps = int(os.environ.get("PROF_STEPS", "100"))
+    nsteps = int(os.environ.get("PROF_STEPS", "39"))
     run = ec.make_run_cellpad(cfg, nsteps)
     state = run(state)
     np.asarray(state.x)
@@ -43,7 +43,9 @@ def main():
         xs = xplane_pb2.XSpace()
         xs.ParseFromString(open(p, "rb").read())
         for plane in xs.planes:
-            if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            print("plane:", plane.name, len(plane.lines))
+            if ("TPU" not in plane.name and "tpu" not in plane.name.lower()
+                    and "axon" not in plane.name.lower()):
                 continue
             ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
             for line in plane.lines:
