@@ -25,7 +25,7 @@ def mol_com_rounds(cfg: SceneConfig) -> int:
     """Graph diameter bound: template molecules know their size; otherwise
     fall back to a small constant (dimers/trimers)."""
     if cfg.obmd is not None and cfg.obmd.mol is not None:
-        return max(1, cfg.obmd.mol.natoms - 1)
+        return max(1, cfg.obmd.mol_natoms_max - 1)
     return 2
 
 

@@ -450,6 +450,12 @@ class ObmdParams:
     charged: bool = False
     mol_len: int = 1                # atoms per inserted entity (= mol.natoms)
     mol: Optional[MolTemplate] = None  # molecule-mode insertion template
+    # multi-template insertion (the reference's multi-molecule template +
+    # `molfrac f1..fN`, fix_obmd_merged.cpp:2039-2054 onemols/molfrac):
+    # `mols` lists ALL templates (when set, `mol` must be mols[0]);
+    # `molfrac` gives their selection probabilities (default: uniform).
+    mols: Tuple[MolTemplate, ...] = ()
+    molfrac: Optional[Tuple[float, ...]] = None
 
     # Batched-insertion capacity: max candidates evaluated per buffer per
     # pre_exchange (the TPU replacement for the reference's sequential
@@ -487,6 +493,17 @@ class ObmdParams:
     # point, preserving its magnitude (ref :1081-1093).
     target: Optional[Tuple[float, float, float]] = None
 
+    @property
+    def templates(self) -> Tuple[MolTemplate, ...]:
+        """All insertion templates (singleton for the single-`mol` case)."""
+        if self.mols:
+            return self.mols
+        return (self.mol,) if self.mol is not None else ()
+
+    @property
+    def mol_natoms_max(self) -> int:
+        return max((t.natoms for t in self.templates), default=0)
+
     def __post_init__(self):
         if (self.usher is None) == (self.near is None):
             raise ValueError("exactly one of `usher` / `near` must be given "
@@ -494,6 +511,18 @@ class ObmdParams:
         if self.charged and self.mol is None:
             raise ValueError("`charged 1` requires MOLECULE-mode insertion "
                              "(fix_obmd_merged.cpp:2108-2112)")
+        if self.mols:
+            if self.mol is not self.mols[0]:
+                raise ValueError("`mols` given: `mol` must be mols[0]")
+            if self.molfrac is not None:
+                if len(self.molfrac) != len(self.mols):
+                    raise ValueError("molfrac needs one fraction per "
+                                     "template (ref :2045-2052)")
+                s = float(sum(self.molfrac))
+                if not 0.999 <= s <= 1.001:
+                    raise ValueError(f"molfrac must sum to 1 (got {s})")
+        elif self.molfrac is not None:
+            raise ValueError("molfrac without multiple templates")
         if self.rigid and self.mol is None:
             raise ValueError("`rigid` requires MOLECULE-mode insertion "
                              "(fix_obmd_merged.cpp:475-500)")

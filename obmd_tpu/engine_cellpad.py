@@ -159,42 +159,79 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     template candidates per buffer with random rotations (ref :1012-1024),
     translation-USHER or near check over all template atoms, all-or-nothing
     placement (check_mol_proc analogue, ref :1098-1107), intra-molecule
-    bonds wired into the per-slot partner tags."""
+    bonds wired into the per-slot partner tags.
+
+    Multi-template `molfrac` (ref onemols/molfrac, :2039-2054): each
+    candidate draws its template from the molfrac distribution; templates
+    are padded to the largest natoms and pad rows sit at BIG, so every
+    energy/distance/acceptance path ignores them."""
     import numpy as np
-    from .obmd.subset import (mol_candidates, mol_sequential_accept,
+    from .obmd.subset import (mol_candidates_sel, mol_sequential_accept,
                               near_check_subset_mol, random_rotations,
                               usher_search_subset_mol)
     obmd = cfg.obmd
-    tpl = obmd.mol
-    m = tpl.natoms
+    tpls = obmd.templates
+    T = len(tpls)
+    m = obmd.mol_natoms_max
     dtype = state.dtype
     K = obmd.insert_kmax
     n_slots = geom.n_slots
 
+    # ---- static per-template stacks, padded to m rows ----
+    dx_np = np.zeros((T, m, 3))
+    am_np = np.zeros((T, m), bool)
+    ty_np = np.zeros((T, m), np.int64)
+    q_np = np.zeros((T, m))
+    rep_np = np.zeros((T, m), np.int64)
+    nat_np = np.zeros((T,), np.int64)
+    pidx_np = np.full((T, m, 2), -1, np.int64)
+    for t, tpl in enumerate(tpls):
+        mt = tpl.natoms
+        nat_np[t] = mt
+        dx_np[t, :mt] = np.asarray(tpl.dx)
+        am_np[t, :mt] = True
+        ty_np[t, :mt] = np.asarray(tpl.types) + int(obmd.ntype)
+        if len(tpl.q):
+            q_np[t, :mt] = np.asarray(tpl.q)
+        if getattr(tpl, "rep_atom", None):
+            rep_np[t, int(tpl.rep_atom) - 1] = 1
+        for a, b in tpl.bonds:
+            for me, other in ((a, b), (b, a)):
+                if pidx_np[t, me, 0] < 0:
+                    pidx_np[t, me, 0] = other
+                elif pidx_np[t, me, 1] < 0:
+                    pidx_np[t, me, 1] = other
+                else:
+                    raise ValueError("template atom in >2 bonds")
+    frac = (np.asarray(obmd.molfrac, np.float32) if obmd.molfrac is not None
+            else np.full((T,), 1.0 / T, np.float32))
+    dx_s = jnp.asarray(dx_np, dtype)
+    am_s = jnp.asarray(am_np)
+    ty_s = jnp.asarray(ty_np, jnp.int32)
+    q_s = jnp.asarray(q_np, dtype)
+    rep_s = jnp.asarray(rep_np, jnp.int32)
+    nat_s = jnp.asarray(nat_np, jnp.int32)
+    pidx_s = jnp.asarray(pidx_np, jnp.int32)
+
     key = rng.fold_key(state.key, state.step)
     kl, kr_, knext = jax.random.split(key, 3)
-    mol_types = (jnp.asarray(np.asarray(tpl.types), jnp.int32)
-                 + jnp.int32(obmd.ntype))
     # `charged 1` (ref fix_obmd_merged.cpp:2108, chargeflag branch :1545):
     # trial energies see the template atoms' charges via
     # single_atomistic_obmd; with charged 0 trials are neutral even though
     # the inserted atoms still carry the template q.
-    mol_q = (jnp.asarray(np.asarray(tpl.q), dtype)
-             if getattr(obmd, "charged", False) else None)
+    charged = bool(getattr(obmd, "charged", False))
 
     from .obmd.stage import rounds_of
     rounds = rounds_of(cfg)
     M = rounds * K
-    tpl_q_arr = jnp.asarray(np.asarray(tpl.q) if len(tpl.q) else
-                            np.zeros((m,)), dtype)
 
-    def append_mol(sub, pos, acc):
+    def append_mol(sub, pos, acc, types_k, q_k, am_k):
         """Make this round's accepted molecules visible to later rounds
         (the ATOM-mode _append_subset analogue; ref :913-935 sequential
         attempts see earlier insertions)."""
         from .obmd.subset import Subset
         kk = pos.shape[0]
-        accr = jnp.repeat(acc, m)
+        accr = jnp.repeat(acc, m) & am_k.reshape(kk * m)
         from .cells import BIG as _BIG
         return Subset(
             idx=jnp.concatenate([sub.idx,
@@ -203,8 +240,8 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
             x=jnp.concatenate([sub.x,
                                jnp.where(accr[:, None],
                                          pos.reshape(kk * m, 3), _BIG)]),
-            type=jnp.concatenate([sub.type, jnp.tile(mol_types, (kk,))]),
-            q=jnp.concatenate([sub.q, jnp.tile(tpl_q_arr, (kk,))]),
+            type=jnp.concatenate([sub.type, types_k.reshape(kk * m)]),
+            q=jnp.concatenate([sub.q, q_k.reshape(kk * m)]),
             valid=jnp.concatenate([sub.valid, accr]),
             overflow=sub.overflow)
 
@@ -215,66 +252,75 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
         MOLECULE mode (round-2 VERDICT weak #4)."""
         from .obmd.stage import draw_candidates
         rem = jnp.clip(budget, 0, M)
-        poss, accs = [], []
+        poss, accs, tsels = [], [], []
         it_sum = jnp.zeros((), jnp.int32)
         for r in range(rounds):
-            kc, kr = jax.random.split(jax.random.fold_in(side_key, r))
+            if T > 1:
+                kc, kr, kt = jax.random.split(
+                    jax.random.fold_in(side_key, r), 3)
+                tsel = jax.random.choice(kt, T, (K,), p=jnp.asarray(frac))
+            else:
+                # single template: keep the historical two-way split so
+                # trajectories are draw-identical with older runs
+                kc, kr = jax.random.split(jax.random.fold_in(side_key, r))
+                tsel = jnp.zeros((K,), jnp.int32)
             centers, ok0 = draw_candidates(cfg, kc, region, K, dtype)
             rots = random_rotations(kr, K, dtype, axis=obmd.orient)
-            coords = mol_candidates(tpl, centers, rots)   # [K, m, 3]
+            am_k = am_s[tsel]                              # [K, m]
+            types_k = ty_s[tsel]
+            q_k = q_s[tsel]
+            coords = mol_candidates_sel(dx_s[tsel], am_k, centers, rots)
+            mol_q = q_k if charged else None
             if obmd.usher is not None:
-                pos, ok, iters = usher_search_subset_mol(cfg, sub, coords,
-                                                         mol_types, region,
-                                                         mol_q=mol_q)
+                pos, ok, iters = usher_search_subset_mol(
+                    cfg, sub, coords, types_k, region, mol_q=mol_q,
+                    amask=am_k)
             else:
                 ok = near_check_subset_mol(cfg, sub, coords)
                 pos, iters = coords, jnp.zeros((K,), jnp.int32)
-            # all atoms must sit inside the box/region (check_mol_region)
-            ok = ok & ok0 & jnp.all(region.match(pos), axis=1)
-            accepted, cnt = mol_sequential_accept(cfg, pos, mol_types, ok,
+            # all REAL atoms must sit inside the region (check_mol_region)
+            ok = ok & ok0 & jnp.all(region.match(pos) | ~am_k, axis=1)
+            accepted, cnt = mol_sequential_accept(cfg, pos, types_k, ok,
                                                   jnp.minimum(rem, K))
             rem = rem - cnt
             if rounds > 1:
-                sub = append_mol(sub, pos, accepted)
+                sub = append_mol(sub, pos, accepted, types_k, q_k, am_k)
             poss.append(pos)
             accs.append(accepted)
+            tsels.append(tsel)
             it_sum = it_sum + jnp.sum(iters)
-        return jnp.concatenate(poss), jnp.concatenate(accs), it_sum
+        return (jnp.concatenate(poss), jnp.concatenate(accs),
+                jnp.concatenate(tsels), it_sum)
 
-    pos_l, acc_l, it_l = one_side(kl, obmd.region5, nins_l, sub_l)
-    pos_r, acc_r, it_r = one_side(kr_, obmd.region6, nins_r, sub_r)
+    pos_l, acc_l, ts_l, it_l = one_side(kl, obmd.region5, nins_l, sub_l)
+    pos_r, acc_r, ts_r, it_r = one_side(kr_, obmd.region6, nins_r, sub_r)
     pos = jnp.concatenate([pos_l, pos_r])                 # [2M, m, 3]
     accepted = jnp.concatenate([acc_l, acc_r])            # [2M]
+    tsel = jnp.concatenate([ts_l, ts_r])                  # [2M]
 
     km = 2 * M
+    am_k = am_s[tsel]                                     # [2M, m]
+    am_flat = am_k.reshape(km * m)
     apos = pos.reshape(km * m, 3)
-    a_acc = jnp.repeat(accepted, m)
+    a_acc = jnp.repeat(accepted, m) & am_flat
     slot, landed = place_insertions(geom, state, apos, a_acc)
-    landed_mol = jnp.all(landed.reshape(km, m), axis=1)
-    act = jnp.repeat(landed_mol, m)
+    landed_mol = jnp.all(landed.reshape(km, m) | ~am_k, axis=1) & accepted
+    act = jnp.repeat(landed_mol, m) & am_flat
     slot = jnp.where(act, slot, n_slots)                  # atomic commit
 
     from .obmd.stage import insertion_tag_base
     base = insertion_tag_base(cfg, state)
-    mol_rank = jnp.cumsum(landed_mol.astype(jnp.int32)) - 1
-    tag_base = base + mol_rank * m                        # [2K]
+    nat_k = nat_s[tsel]                                   # [2M]
+    placed = jnp.where(landed_mol, nat_k, 0)
+    tag_base = base + jnp.cumsum(placed) - placed         # [2M] exclusive
     atom_idx = jnp.tile(jnp.arange(m, dtype=jnp.int32), (km,))
     new_tag = jnp.repeat(tag_base, m) + atom_idx + 1
     mol_id = jnp.repeat(tag_base + 1, m)                  # first atom's tag
 
-    # intra-molecule bond partners from the static template graph, resolved
-    # to the partner atoms' landed SLOTS (exact for any tag value)
-    pidx = np.full((m, 2), -1, np.int64)
-    for a, b in tpl.bonds:
-        for me, other in ((a, b), (b, a)):
-            if pidx[me, 0] < 0:
-                pidx[me, 0] = other
-            elif pidx[me, 1] < 0:
-                pidx[me, 1] = other
-            else:
-                raise ValueError("template atom in >2 bonds")
-    p1_idx = jnp.tile(jnp.asarray(pidx[:, 0], jnp.int32), (km,))
-    p2_idx = jnp.tile(jnp.asarray(pidx[:, 1], jnp.int32), (km,))
+    # intra-molecule bond partners from the selected template's static
+    # graph, resolved to the partner atoms' landed SLOTS
+    p1_idx = pidx_s[tsel][:, :, 0].reshape(km * m)
+    p2_idx = pidx_s[tsel][:, :, 1].reshape(km * m)
     base_flat = (jnp.arange(km * m, dtype=jnp.int32) // m) * m
 
     def pslot(p_idx):
@@ -284,19 +330,23 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     p1_slot = pslot(p1_idx)
     p2_slot = pslot(p2_idx)
 
-    types_flat = jnp.tile(mol_types, (km,))
-    q_flat = jnp.tile(jnp.asarray(np.asarray(tpl.q), dtype), (km,))
+    types_flat = ty_s[tsel].reshape(km * m)
+    q_flat = q_s[tsel].reshape(km * m)
 
     from .obmd.stage import draw_inserted_velocities
     kv = jax.random.fold_in(knext, 7)
-    vnew = draw_inserted_velocities(cfg, kv, jnp.mean(pos, axis=1), dtype)
+    com_k = (jnp.sum(jnp.where(am_k[:, :, None], pos, 0.0), axis=1)
+             / jnp.maximum(jnp.sum(am_k, axis=1), 1)[:, None])
+    vnew = draw_inserted_velocities(cfg, kv, com_k, dtype)
     if vnew is None:
         av = jnp.zeros((km * m, 3), dtype)
         pins_l = pins_r = jnp.zeros((3,), dtype)
     else:
         av = jnp.repeat(vnew, m, axis=0)              # same v for all atoms
-        mol_mass = jnp.sum(jnp.asarray(cfg.masses, dtype)[mol_types])
-        mv = mol_mass * jnp.where(landed_mol[:, None], vnew, 0.0)
+        mass_tab = jnp.asarray(cfg.masses, dtype)
+        mol_mass = jnp.sum(jnp.where(am_k, mass_tab[ty_s[tsel]], 0.0),
+                           axis=1)                    # [2M]
+        mv = mol_mass[:, None] * jnp.where(landed_mol[:, None], vnew, 0.0)
         pins_l = jnp.sum(mv[:M], axis=0)
         pins_r = jnp.sum(mv[M:], axis=0)
     x = state.x.at[slot].set(apos, mode="drop")
@@ -308,11 +358,8 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     moln = state.mol.at[slot].set(mol_id, mode="drop")
     # representative-atom flag from the template (atom.cpp:2143-2148 copies
     # rep_atom into each created molecule atom)
-    rep_tpl = np.zeros((m,), np.int32)
-    if getattr(tpl, "rep_atom", None):
-        rep_tpl[int(tpl.rep_atom) - 1] = 1
     rep = state.rep_atom.at[slot].set(
-        jnp.tile(jnp.asarray(rep_tpl), (km,)), mode="drop")
+        rep_s[tsel].reshape(km * m), mode="drop")
     lam = state.lambdaF.at[slot].set(jnp.zeros((km * m,), dtype),
                                      mode="drop")
     cms0 = state.cms_mol.at[slot].set(jnp.zeros((km * m, 3), dtype),
@@ -327,14 +374,15 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     aux = aux.replace(xref=aux.xref.at[slot].set(apos, mode="drop"))
 
     n_mols = jnp.sum(landed_mol.astype(jnp.int32))
+    n_atoms_placed = jnp.sum(placed)
     want = jnp.clip(nins_l, 0) + jnp.clip(nins_r, 0)
     return state.replace(
         x=x, v=v, f=f, type=typ, tag=tag, q=qn, mol=moln, alive=aliv,
         lambdaF=lam, cms_mol=cms0, vcms_mol=vcm0, rep_atom=rep,
         bond1=nb1, bond2=nb2, nbrs=aux,
-        maxtag=base + n_mols * m, key=knext,
+        maxtag=base + n_atoms_placed, key=knext,
         obmd=state.obmd.replace(
-            ninserted=state.obmd.ninserted + n_mols * m,
+            ninserted=state.obmd.ninserted + n_atoms_placed,
             insert_fail=state.obmd.insert_fail +
             jnp.maximum(want - n_mols, 0),
             usher_iters=state.obmd.usher_iters + jnp.sum(it_l) + jnp.sum(it_r))), \

@@ -60,6 +60,7 @@ class Interpreter:
         self.masses: Dict[int, float] = {}
         self.data: Optional[lammps_data.DataFile] = None
         self.obmd_args: Optional[List[str]] = None
+        self.molecules: Dict[str, tuple] = {}
         self.bond_style: Optional[str] = None
         self.bond_coeffs: Dict[int, List[float]] = {}
         self.angle_style: Optional[str] = None
@@ -230,6 +231,23 @@ class Interpreter:
         if self.pair is None:
             raise ScriptError("pair_coeff before pair_style")
         self.pair.coeffs.append(list(a))
+
+    def cmd_molecule(self, a):
+        """`molecule ID file1 [file2 ...]` (molecule.cpp): load one or
+        more template files under a template-set id, referenced by
+        `fix obmd ... mol ID len` (multi-template sets pair with the
+        `molfrac` keyword, fix_obmd_merged.cpp:2039-2054)."""
+        from ..config import MolTemplate
+        if len(a) < 2:
+            raise ScriptError("molecule: need an id and >= 1 file")
+        tpls = []
+        for f in a[1:]:
+            try:
+                tpls.append(MolTemplate.from_file(f))
+            except OSError as e:
+                raise ScriptError(
+                    f"molecule {a[0]}: cannot read '{f}': {e}") from e
+        self.molecules[a[0]] = tuple(tpls)
 
     def cmd_bond_style(self, a):
         if a[0] not in ("harmonic", "fene"):
@@ -636,14 +654,27 @@ class Interpreter:
                 params["charged"] = bool(int(kw[i + 1])); i += 2
             elif k == "mol":
                 from ..config import MolTemplate
-                try:
-                    params["mol"] = MolTemplate.from_file(kw[i + 1])
-                except OSError as e:
-                    raise ScriptError(
-                        f"fix obmd mol: cannot read template "
-                        f"'{kw[i + 1]}': {e}") from e
+                ref = kw[i + 1]
+                if ref in self.molecules:
+                    tpls = self.molecules[ref]
+                else:
+                    try:
+                        tpls = (MolTemplate.from_file(ref),)
+                    except OSError as e:
+                        raise ScriptError(
+                            f"fix obmd mol: '{ref}' is neither a molecule "
+                            f"id nor a readable template file: {e}") from e
+                params["mol"] = tpls[0]
+                if len(tpls) > 1:
+                    params["mols"] = tpls
                 params["mol_len"] = int(kw[i + 2])
                 i += 3
+            elif k == "molfrac":
+                # molfrac f1 .. fN, one per template (ref :2045-2052)
+                nt = len(params.get("mols", ())) or 1
+                params["molfrac"] = tuple(float(v)
+                                          for v in kw[i + 1:i + 1 + nt])
+                i += 1 + nt
             elif k == "gaussian":
                 # gaussian xmid ymid zmid sigma (ref :2128-2136, draws at
                 # :930-932)

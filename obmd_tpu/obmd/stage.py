@@ -58,7 +58,7 @@ def delete_outside(cfg: SceneConfig, state: State):
         # natoms-1 rounds covers any chain topology exactly (round-1
         # Weak #6: a fixed 3-round cap under-deleted longer chains).
         n = state.capacity
-        rounds = max(cfg.obmd.mol.natoms - 1, 1)
+        rounds = max(cfg.obmd.mol_natoms_max - 1, 1)
         for _ in range(rounds):
             for partner in (state.bond1, state.bond2):
                 ps = jnp.clip(partner, 0, n - 1)

@@ -226,6 +226,18 @@ def mol_candidates(template, centers, rots):
     return centers[:, None, :] + rotated
 
 
+def mol_candidates_sel(dx_sel, amask, centers, rots):
+    """Per-candidate-template trial coordinates (molfrac multi-template):
+    dx_sel [K, m, 3] (the selected template's displacements, padded),
+    amask [K, m] (real-atom mask) -> [K, m, 3]; pad rows land at BIG so
+    every downstream energy/distance check ignores them."""
+    from ..cells import BIG as _BIG
+    rotated = jnp.einsum("kab,kmb->kma", rots, dx_sel,
+                         precision=jax.lax.Precision.HIGHEST)
+    pos = centers[:, None, :] + rotated
+    return jnp.where(amask[:, :, None], pos, _BIG)
+
+
 def mol_energy_force(cfg, sub: Subset, coords, mol_types,
                      per_atom: bool = False, mol_q=None):
     """Total conservative energy, net force, and (optionally) per-atom
@@ -238,8 +250,11 @@ def mol_energy_force(cfg, sub: Subset, coords, mol_types,
     pair_lj_cut_rf.cpp:533-616)."""
     k, m, _ = coords.shape
     flat = coords.reshape(k * m, 3)
-    types = jnp.tile(mol_types, (k,))
-    cq = None if mol_q is None else jnp.tile(mol_q, (k,))
+    types = (jnp.tile(mol_types, (k,)) if mol_types.ndim == 1
+             else mol_types.reshape(k * m))
+    cq = (None if mol_q is None else
+          (jnp.tile(mol_q, (k,)) if mol_q.ndim == 1
+           else mol_q.reshape(k * m)))
     E, F = conservative_energy_force(cfg.pair, sub, cfg.box, flat, types,
                                      cand_q=cq)
     Fa = F.reshape(k, m, 3)
@@ -264,7 +279,7 @@ def _axis_angle_rotate(coords, com, axis, angle):
 
 
 def usher_search_subset_mol(cfg, sub: Subset, coords, mol_types, region,
-                            mol_q=None):
+                            mol_q=None, amask=None):
     """Molecule USHER: translation along the net force plus rotation about
     the COM along the torque, dtheta = min((E-etarget)/|tau|, dtheta0)
     (ref fix_obmd_merged.cpp:1586-1605).  The torque here is the physical
@@ -276,8 +291,14 @@ def usher_search_subset_mol(cfg, sub: Subset, coords, mol_types, region,
     import jax
     u = cfg.obmd.usher
     dtheta0 = float(getattr(u, "dtheta0", 0.0) or 0.0)
-    masses = jnp.asarray(cfg.masses, coords.dtype)[mol_types]   # [m]
-    wsum = jnp.sum(masses)
+    kk, mm = coords.shape[0], coords.shape[1]
+    mt2 = (mol_types if mol_types.ndim == 2
+           else jnp.broadcast_to(mol_types[None, :], (kk, mm)))
+    am = (jnp.ones((kk, mm), bool) if amask is None
+          else jnp.broadcast_to(amask, (kk, mm)))
+    masses = jnp.where(am, jnp.asarray(cfg.masses, coords.dtype)[mt2],
+                       0.0)                                     # [K, m]
+    wsum = jnp.sum(masses, axis=1)                              # [K]
 
     def body(carry, _):
         pos, active, accepted, iters = carry
@@ -295,7 +316,8 @@ def usher_search_subset_mol(cfg, sub: Subset, coords, mol_types, region,
         moved = pos + (unit * ds[:, None])[:, None, :]
 
         if dtheta0 > 0.0:
-            com = jnp.sum(masses[None, :, None] * moved, axis=1) / wsum
+            com = (jnp.sum(masses[:, :, None] * moved, axis=1)
+                   / wsum[:, None])
             tau = jnp.sum(jnp.cross(moved - com[:, None, :], Fa), axis=1)
             tabs = jnp.sqrt(jnp.sum(tau * tau, axis=-1))
             dth = jnp.minimum((E - u.etarget) / jnp.maximum(tabs, EPSILON),
@@ -305,7 +327,7 @@ def usher_search_subset_mol(cfg, sub: Subset, coords, mol_types, region,
             moved = jnp.where((tabs > EPSILON)[:, None, None], rotated,
                               moved)
 
-        inside = jnp.all(region.match(moved), axis=1)
+        inside = jnp.all(region.match(moved) | ~am, axis=1)
         move_now = active & ~ok & ~degen
         pos = jnp.where(move_now[:, None, None], moved, pos)
         stopped = newly | (active & degen) | (move_now & ~inside)

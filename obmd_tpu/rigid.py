@@ -153,8 +153,8 @@ def _rotate(r, omega, dt):
 
 
 def _rounds(cfg: SceneConfig) -> int:
-    mol = cfg.obmd.mol if cfg.obmd is not None else None
-    return max(1, (mol.natoms - 1) if mol is not None else 2)
+    n = cfg.obmd.mol_natoms_max if cfg.obmd is not None else 0
+    return max(1, (n - 1) if n else 2)
 
 
 def _member(cfg: SceneConfig, state: State):
