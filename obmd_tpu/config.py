@@ -291,6 +291,58 @@ class AngleHarmonicParams:
     theta0: Tuple[float, ...]   # degrees, per center atom type
 
 
+@dataclasses.dataclass(frozen=True)
+class TemplateStacks:
+    """Static numpy stacks of all insertion templates, padded to the
+    largest natoms (multi-template molfrac machinery; pad rows are masked
+    by `amask` and land at BIG in candidate coordinates)."""
+
+    dx: "np.ndarray"       # [T, m, 3]
+    amask: "np.ndarray"    # [T, m] bool
+    types: "np.ndarray"    # [T, m] 0-based engine types (ntype applied)
+    q: "np.ndarray"        # [T, m]
+    rep: "np.ndarray"      # [T, m] rep_atom flags
+    natoms: "np.ndarray"   # [T]
+    pidx: "np.ndarray"     # [T, m, 2] intra-template partner indices (-1)
+    frac: "np.ndarray"     # [T] selection probabilities
+
+
+def template_stacks(obmd) -> TemplateStacks:
+    tpls = obmd.templates
+    T = len(tpls)
+    m = obmd.mol_natoms_max
+    dx = np.zeros((T, m, 3))
+    am = np.zeros((T, m), bool)
+    ty = np.zeros((T, m), np.int64)
+    q = np.zeros((T, m))
+    rep = np.zeros((T, m), np.int64)
+    nat = np.zeros((T,), np.int64)
+    pidx = np.full((T, m, 2), -1, np.int64)
+    for t, tpl in enumerate(tpls):
+        mt = tpl.natoms
+        nat[t] = mt
+        dx[t, :mt] = np.asarray(tpl.dx)
+        am[t, :mt] = True
+        ty[t, :mt] = np.asarray(tpl.types) + int(obmd.ntype)
+        if len(tpl.q):
+            q[t, :mt] = np.asarray(tpl.q)
+        if getattr(tpl, "rep_atom", None):
+            rep[t, int(tpl.rep_atom) - 1] = 1
+        for a, b in tpl.bonds:
+            for me_, other in ((a, b), (b, a)):
+                if pidx[t, me_, 0] < 0:
+                    pidx[t, me_, 0] = other
+                elif pidx[t, me_, 1] < 0:
+                    pidx[t, me_, 1] = other
+                else:
+                    raise ValueError("template atom in >2 bonds")
+    frac = (np.asarray(obmd.molfrac, np.float32)
+            if obmd.molfrac is not None
+            else np.full((T,), 1.0 / T, np.float32))
+    return TemplateStacks(dx=dx, amask=am, types=ty, q=q, rep=rep,
+                          natoms=nat, pidx=pidx, frac=frac)
+
+
 def derive_center_angle_table(ntypes: int, angles, atom_types, bonds,
                               coeffs) -> "AngleHarmonicParams":
     """Build the per-CENTER-ATOM-TYPE angle table from an explicit angle

@@ -178,40 +178,16 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     n_slots = geom.n_slots
 
     # ---- static per-template stacks, padded to m rows ----
-    dx_np = np.zeros((T, m, 3))
-    am_np = np.zeros((T, m), bool)
-    ty_np = np.zeros((T, m), np.int64)
-    q_np = np.zeros((T, m))
-    rep_np = np.zeros((T, m), np.int64)
-    nat_np = np.zeros((T,), np.int64)
-    pidx_np = np.full((T, m, 2), -1, np.int64)
-    for t, tpl in enumerate(tpls):
-        mt = tpl.natoms
-        nat_np[t] = mt
-        dx_np[t, :mt] = np.asarray(tpl.dx)
-        am_np[t, :mt] = True
-        ty_np[t, :mt] = np.asarray(tpl.types) + int(obmd.ntype)
-        if len(tpl.q):
-            q_np[t, :mt] = np.asarray(tpl.q)
-        if getattr(tpl, "rep_atom", None):
-            rep_np[t, int(tpl.rep_atom) - 1] = 1
-        for a, b in tpl.bonds:
-            for me, other in ((a, b), (b, a)):
-                if pidx_np[t, me, 0] < 0:
-                    pidx_np[t, me, 0] = other
-                elif pidx_np[t, me, 1] < 0:
-                    pidx_np[t, me, 1] = other
-                else:
-                    raise ValueError("template atom in >2 bonds")
-    frac = (np.asarray(obmd.molfrac, np.float32) if obmd.molfrac is not None
-            else np.full((T,), 1.0 / T, np.float32))
-    dx_s = jnp.asarray(dx_np, dtype)
-    am_s = jnp.asarray(am_np)
-    ty_s = jnp.asarray(ty_np, jnp.int32)
-    q_s = jnp.asarray(q_np, dtype)
-    rep_s = jnp.asarray(rep_np, jnp.int32)
-    nat_s = jnp.asarray(nat_np, jnp.int32)
-    pidx_s = jnp.asarray(pidx_np, jnp.int32)
+    from .config import template_stacks
+    ts = template_stacks(obmd)
+    frac = ts.frac
+    dx_s = jnp.asarray(ts.dx, dtype)
+    am_s = jnp.asarray(ts.amask)
+    ty_s = jnp.asarray(ts.types, jnp.int32)
+    q_s = jnp.asarray(ts.q, dtype)
+    rep_s = jnp.asarray(ts.rep, jnp.int32)
+    nat_s = jnp.asarray(ts.natoms, jnp.int32)
+    pidx_s = jnp.asarray(ts.pidx, jnp.int32)
 
     key = rng.fold_key(state.key, state.step)
     kl, kr_, knext = jax.random.split(key, 3)

@@ -103,6 +103,35 @@ def harmonic_bond_forces(bond, box: Box, x, bond1, bond2, alive,
     return (f, e) if compute_energy else (f, None)
 
 
+def bond_pair_fvec(bond, rsq, d):
+    """Bond force ON atom i for displacement d = x_i - x_j, any leading
+    shape (the in-sweep evaluation used by the slab path, where the
+    partner is identified by TAG among gathered neighbors)."""
+    from ..config import BondFENEParams, BondHarmonicParams
+    dtype = d.dtype
+    if isinstance(bond, BondHarmonicParams):
+        k = dtype.type(bond.k)
+        r0 = dtype.type(bond.r0)
+        r = jnp.sqrt(jnp.maximum(rsq, 1e-12))
+        fbond = -2.0 * k * (r - r0) / r
+        return fbond[..., None] * d
+    if isinstance(bond, BondFENEParams):
+        k = dtype.type(bond.k)
+        r0sq = dtype.type(bond.r0 * bond.r0)
+        eps = dtype.type(bond.epsilon)
+        sig2 = dtype.type(bond.sigma * bond.sigma)
+        rlogarg = jnp.maximum(1.0 - rsq / r0sq, 0.1)   # LAMMPS guard
+        fbond = -k / rlogarg
+        sr2 = sig2 / jnp.maximum(rsq, 1e-12)
+        sr6 = sr2 * sr2 * sr2
+        wca = rsq < TWO_1_3 * sig2
+        fbond = fbond + jnp.where(
+            wca, 48.0 * eps * sr6 * (sr6 - 0.5) / jnp.maximum(rsq, 1e-12),
+            0.0)
+        return fbond[..., None] * d
+    raise TypeError(f"unsupported bond style {type(bond)}")
+
+
 def bond_forces(bond, box: Box, x, bond1, bond2, alive,
                 compute_energy: bool = False):
     """Dispatch on the bond style (BondFENEParams / BondHarmonicParams)."""

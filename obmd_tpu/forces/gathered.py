@@ -60,9 +60,16 @@ def neighbor_slots(spec: GridSpec, ctab: CellTable, pos: jnp.ndarray):
 def forces_for_subset(params: PairParams, box: Box, spec: GridSpec,
                       ctab: CellTable, full_x, full_v, full_type, full_tag,
                       full_q, my_slot, my_x, my_v, my_type, my_tag, my_q,
-                      salt, *, dt: float):
+                      salt, *, dt: float, my_pb=None, bond=None):
     """Forces on `my` atoms [K] (their global slot ids given in `my_slot`)
-    against the full system.  Self-pairs excluded by slot identity."""
+    against the full system.  Self-pairs excluded by slot identity.
+
+    my_pb [K, 2]: partner TAGS of my atoms (-1 = none).  A neighbor whose
+    tag matches a partner tag is a 1-2 pair: it is excluded from the pair
+    law and, when `bond` is given, contributes the bond force instead —
+    the special_bonds + bond-style evaluation fused into the sweep (the
+    slab path's bond mechanism: partners are found positionally among
+    owned + halo atoms, so bonds crossing slab faces need no slot refs)."""
     dtype = full_x.dtype
     n_full = full_x.shape[0]
     pair_fn = make_pair_law(params, dt, dtype)
@@ -100,9 +107,19 @@ def forces_for_subset(params: PairParams, box: Box, spec: GridSpec,
         qj = gather_padded(full_q, jdx, 0.0)
         kwargs = dict(qi=my_q[:, None], qj=qj)
     from .pairs import apply_pair_law
+    if my_pb is not None:
+        isb = valid & ((gj == my_pb[:, 0:1]) | (gj == my_pb[:, 1:2]))
+        valid_pair = valid & ~isb
+    else:
+        isb = None
+        valid_pair = valid
     fvec, e = apply_pair_law(params, pair_fn, rsq, d, dv, my_type[:, None],
                              tj, my_tag[:, None], gj, salt, **kwargs)
-    fvec = jnp.where(valid[..., None], fvec, 0.0)
+    fvec = jnp.where(valid_pair[..., None], fvec, 0.0)
     f = jnp.sum(fvec, axis=1)
-    pe = 0.5 * jnp.sum(jnp.where(valid, e, 0.0), axis=1)
+    pe = 0.5 * jnp.sum(jnp.where(valid_pair, e, 0.0), axis=1)
+    if isb is not None and bond is not None:
+        from .bonded import bond_pair_fvec
+        fb = bond_pair_fvec(bond, rsq, d)
+        f = f + jnp.sum(jnp.where(isb[..., None], fb, 0.0), axis=1)
     return f, pe

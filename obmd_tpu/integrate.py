@@ -259,6 +259,10 @@ def make_step(cfg: SceneConfig):
     nparams = make_neighbor_params(cfg)
     dt = float(cfg.dt)
     fast = cfg.force_path == "nlist"
+    if not fast and cfg.bond is not None:
+        raise NotImplementedError(
+            "the sweep path has no special-bonds 1-2 exclusion; bonded "
+            "scenes run on nlist or cellpad")
 
     def step(state: State) -> State:
         dtype = state.x.dtype.type

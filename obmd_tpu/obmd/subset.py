@@ -279,7 +279,7 @@ def _axis_angle_rotate(coords, com, axis, angle):
 
 
 def usher_search_subset_mol(cfg, sub: Subset, coords, mol_types, region,
-                            mol_q=None, amask=None):
+                            mol_q=None, amask=None, energy_fn=None):
     """Molecule USHER: translation along the net force plus rotation about
     the COM along the torque, dtheta = min((E-etarget)/|tau|, dtheta0)
     (ref fix_obmd_merged.cpp:1586-1605).  The torque here is the physical
@@ -300,10 +300,14 @@ def usher_search_subset_mol(cfg, sub: Subset, coords, mol_types, region,
                        0.0)                                     # [K, m]
     wsum = jnp.sum(masses, axis=1)                              # [K]
 
+    if energy_fn is None:
+        def energy_fn(pos):
+            return mol_energy_force(cfg, sub, pos, mol_types,
+                                    per_atom=True, mol_q=mol_q)
+
     def body(carry, _):
         pos, active, accepted, iters = carry
-        E, F, Fa = mol_energy_force(cfg, sub, pos, mol_types, per_atom=True,
-                                    mol_q=mol_q)
+        E, F, Fa = energy_fn(pos)
         ok = E < u.etarget + EPSILON
         newly = active & ok
         fabs = jnp.sqrt(jnp.sum(F * F, axis=-1))
@@ -341,7 +345,7 @@ def usher_search_subset_mol(cfg, sub: Subset, coords, mol_types, region,
             jnp.zeros((k,), jnp.int32))
     (pos, active, accepted, iters), _ = jax.lax.scan(
         body, init, None, length=u.nattempt)
-    E, _ = mol_energy_force(cfg, sub, pos, mol_types, mol_q=mol_q)
+    E, _f, _fa = energy_fn(pos)
     accepted = accepted | (active & (E < u.etarget + EPSILON))
     return pos, accepted, iters
 

@@ -85,10 +85,32 @@ def make_slab_geom(cfg: SceneConfig, ndev: int, *, n_loc: int = 0,
     box = cfg.box
     if box.periodic[0]:
         raise ValueError("slab decomposition requires open (non-periodic) x")
-    if cfg.bond is not None or (cfg.obmd is not None
-                                and cfg.obmd.mol is not None):
-        raise NotImplementedError("slab path: ATOM-mode scenes only")
     cut = float(cfg.pair.max_cut)
+    if cfg.obmd is not None and cfg.obmd.mol is not None:
+        # molecule-mode: bonds resolve positionally by TAG among
+        # owned + halo atoms, which requires every bond to fit inside
+        # the halo width (= pair cutoff)
+        import numpy as _np
+        for tpl in cfg.obmd.templates:
+            dx = _np.asarray(tpl.dx)
+            for a, b in tpl.bonds:
+                blen = float(_np.linalg.norm(dx[a] - dx[b]))
+                if blen > cut * 0.95:
+                    raise ValueError(
+                        f"slab path: template bond length {blen:.3g} "
+                        f"exceeds the halo width (pair cutoff {cut:.3g})")
+    if cfg.angle is not None:
+        raise NotImplementedError("slab path: angle forces not wired yet")
+    if cfg.rigid:
+        raise NotImplementedError(
+            "slab path: rigid bodies not wired (rigid.py aggregates over "
+            "partner SLOTS; the slab path stores partner TAGS)")
+    if cfg.obmd is not None and any(
+            getattr(cfg.obmd, k) is not None
+            for k in ("vx", "vy", "vz", "target")):
+        raise NotImplementedError(
+            "slab path: inserted-velocity keywords not wired "
+            "(insertions are at rest, the reference default :1076-1078)")
     lx = box.lengths[0]
     slab_w = lx / ndev
     if slab_w < cut:
@@ -103,12 +125,17 @@ def make_slab_geom(cfg: SceneConfig, ndev: int, *, n_loc: int = 0,
     csx_in = cut + cfg.skin
     n_in = max(1, int(np.floor(slab_w / csx_in)))
     cs_x = slab_w / n_in
+    # the slab-local x-cells are wider than the global grid's (cs_x =
+    # slab_w / n_in >= cut + skin), so per-cell occupancy inflates by the
+    # volume ratio — scale the capacity accordingly or fat cells overflow
+    vol_ratio = cs_x / gs.cell_size[0]
+    cap_local = int(np.ceil(cfg.capacity.cell_capacity * vol_ratio)) + 2
     spec_local = GridSpec(
         dims=(n_in + 2, gs.dims[1], gs.dims[2]),
         cell_size=(cs_x, gs.cell_size[1], gs.cell_size[2]),
         lo=(-cs_x, box.lo[1], box.lo[2]),
         periodic=(False, box.periodic[1], box.periodic[2]),
-        capacity=cfg.capacity.cell_capacity)
+        capacity=cap_local)
     if h_max <= 0:
         # halo volume fraction of the slab, with 4x headroom
         h_max = max(64, int(4 * n_loc * cut / slab_w))
@@ -147,6 +174,18 @@ def shard_by_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
     na = blank(alive, False)
     nq = blank(np.asarray(state.q), 0.0)
     nm = blank(np.asarray(state.mol), 0)
+    nr = blank(np.asarray(state.rep_atom), 0)
+    nb1 = np.full((ndev * n_loc,), -1, np.int32)
+    nb2 = np.full((ndev * n_loc,), -1, np.int32)
+    # slab-path convention: bond1/bond2 hold partner TAGS, not slots
+    # (slots are per-device and break on migration; tags are global)
+    tag_in = np.asarray(state.tag)
+    b1_in = np.asarray(state.bond1)
+    b2_in = np.asarray(state.bond2)
+
+    def ptag(b):
+        return tag_in[b] if b >= 0 else -1
+
     fills = np.zeros(ndev, np.int64)
     for i in np.nonzero(alive)[0]:
         d = slab[i]
@@ -162,6 +201,9 @@ def shard_by_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
         na[j] = True
         nq[j] = np.asarray(state.q)[i]
         nm[j] = np.asarray(state.mol)[i]
+        nr[j] = np.asarray(state.rep_atom)[i]
+        nb1[j] = ptag(int(b1_in[i]))
+        nb2[j] = ptag(int(b2_in[i]))
 
     n_cap = ndev * n_loc
     zf = jnp.zeros((n_cap,), nx.dtype)
@@ -171,9 +213,8 @@ def shard_by_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
         q=jnp.asarray(nq), mol=jnp.asarray(nm),
         lambdaF=zf, cms_mol=jnp.zeros((n_cap, 3), nx.dtype),
         vcms_mol=jnp.zeros((n_cap, 3), nx.dtype),
-        rep_atom=jnp.zeros((n_cap,), jnp.int32),
-        bond1=jnp.full((n_cap,), -1, jnp.int32),
-        bond2=jnp.full((n_cap,), -1, jnp.int32),
+        rep_atom=jnp.asarray(nr),
+        bond1=jnp.asarray(nb1), bond2=jnp.asarray(nb2),
         step=state.step, sim_time=state.sim_time, maxtag=state.maxtag,
         key=state.key, obmd=state.obmd, cell_overflow=state.cell_overflow,
         nbrs=None)
@@ -310,15 +351,17 @@ def _migrate(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d, hi_d):
     go_r = state.alive & (x0 >= hi_d) & (me < ndev - 1)
 
     def pack_dir(mask):
-        # (cms/vcms/rep_atom are molecule fields; the slab path guards to
-        # ATOM-mode scenes, so only lambdaF rides along as a scalar extra)
         idx, valid, (px, pv, pq, plam), missed = _pack_rows(
             mask, m_max, state.x, state.v, state.q, state.lambdaF, n=n_loc)
         safe = jnp.clip(idx, 0, n_loc - 1)
         pt = jnp.where(valid, state.type[safe], 0)
         pg = jnp.where(valid, state.tag[safe], 0)
         pm = jnp.where(valid, state.mol[safe], 0)
-        ints = jnp.stack([pt, pg, pm, valid.astype(jnp.int32)], axis=1)
+        pb1 = jnp.where(valid, state.bond1[safe], -1)
+        pb2 = jnp.where(valid, state.bond2[safe], -1)
+        pr = jnp.where(valid, state.rep_atom[safe], 0)
+        ints = jnp.stack([pt, pg, pm, pb1, pb2, pr,
+                          valid.astype(jnp.int32)], axis=1)
         return idx, px, pv, jnp.stack([pq, plam], axis=1), ints, missed
 
     idx_l, xl, vl, ql, il, miss_l = pack_dir(go_l)
@@ -337,7 +380,7 @@ def _migrate(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d, hi_d):
     av = jnp.concatenate([rv, lv_])
     aq = jnp.concatenate([rq, lq_])
     ai = jnp.concatenate([ri, li_])
-    avalid = ai[:, 3] > 0
+    avalid = ai[:, 6] > 0
 
     # place arrivals into local free slots
     m2 = 2 * m_max
@@ -355,11 +398,17 @@ def _migrate(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d, hi_d):
     typ = state.type.at[slot].set(ai[:, 0], mode="drop")
     tag = tag.at[slot].set(ai[:, 1], mode="drop")
     mol = state.mol.at[slot].set(ai[:, 2], mode="drop")
+    bond1 = jnp.where(gone, -1, state.bond1).at[slot].set(ai[:, 3],
+                                                          mode="drop")
+    bond2 = jnp.where(gone, -1, state.bond2).at[slot].set(ai[:, 4],
+                                                          mode="drop")
+    rep = state.rep_atom.at[slot].set(ai[:, 5], mode="drop")
     alive = alive.at[slot].set(landed, mode="drop")
 
     lost_all = jax.lax.psum(lost, AXIS)
     return state.replace(x=x, v=v, q=q, lambdaF=lam, type=typ, tag=tag,
-                         mol=mol, alive=alive,
+                         mol=mol, bond1=bond1, bond2=bond2, rep_atom=rep,
+                         alive=alive,
                          cell_overflow=state.cell_overflow + lost_all)
 
 
@@ -433,10 +482,14 @@ def _forces_slab(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d):
     salt = rng.step_salt(getattr(cfg.pair, "seed", 0), state.step,
                          PURPOSE_PAIR_NOISE)
     my_slot = jnp.arange(n_loc, dtype=jnp.int32)
+    has_bonds = (cfg.bond is not None
+                 or (cfg.obmd is not None and cfg.obmd.mol is not None))
+    my_pb = (jnp.stack([state.bond1, state.bond2], axis=1)
+             if has_bonds else None)
     f, _pe = forces_for_subset(
         cfg.pair, cfg.box, spec, ctab, xs_full, v_full, t_full, g_full,
         q_full, my_slot, xs_full[:n_loc], state.v, state.type, state.tag,
-        state.q, salt, dt=float(cfg.dt))
+        state.q, salt, dt=float(cfg.dt), my_pb=my_pb, bond=cfg.bond)
     miss_all = jax.lax.psum(halo_miss + ctab.overflow, AXIS)
     return f, miss_all
 
@@ -522,6 +575,211 @@ def _near_check_psum(cfg: SceneConfig, sub: Subset, cand_x):
     return min_rsq >= cfg.obmd.near ** 2
 
 
+
+def _near_check_psum_mol(cfg: SceneConfig, sub: Subset, coords):
+    """Molecule near test with the global minimum distance (pmin over
+    devices); template pad rows sit at BIG and pass trivially."""
+    k, m, _ = coords.shape
+    d = cfg.box.min_image(coords.reshape(k * m, 1, 3) - sub.x[None, :, :])
+    rsq = jnp.sum(d * d, axis=-1)
+    min_rsq = jnp.min(jnp.where(sub.valid[None, :], rsq, jnp.inf), axis=-1)
+    min_rsq = jax.lax.pmin(min_rsq, AXIS)
+    return jnp.all(min_rsq.reshape(k, m) >= cfg.obmd.near ** 2, axis=1)
+
+
+def _insert_mol_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
+                     me, lo_d, hi_d, nins_l, nins_r):
+    """MOLECULE-mode insertion under the slab decomposition: every device
+    draws identical template candidates (replicated key, the reference's
+    same-seeded RanPark :275), completes molecule trial energies by psum
+    of candidate-vs-local partials (the 3 MPI_Allreduce per USHER
+    iteration, :1561-1563), steps the identical steered trajectory, and
+    the device whose slab contains the molecule COM (check_mol_proc,
+    ref :1676-1698) writes ALL template atoms into its free slots — arms
+    reaching into a neighbor slab migrate on the next exchange, exactly
+    like the reference's create-then-exchange ordering (:1114-1222).
+    Bond partners are wired as TAGS (the slab-path bond convention)."""
+    from ..config import template_stacks
+    from ..obmd.stage import draw_candidates, rounds_of
+    from ..obmd.subset import (Subset as _Sub, mol_candidates_sel,
+                               mol_energy_force, mol_sequential_accept,
+                               random_rotations, usher_search_subset_mol)
+    obmd = cfg.obmd
+    box = cfg.box
+    n_loc = geom.n_loc
+    dtype = state.x.dtype
+    T = len(obmd.templates)
+    m = obmd.mol_natoms_max
+    K = obmd.insert_kmax
+    rounds = rounds_of(cfg)
+    M = rounds * K
+
+    ts = template_stacks(obmd)
+    dx_s = jnp.asarray(ts.dx, dtype)
+    am_s = jnp.asarray(ts.amask)
+    ty_s = jnp.asarray(ts.types, jnp.int32)
+    q_s = jnp.asarray(ts.q, dtype)
+    rep_s = jnp.asarray(ts.rep, jnp.int32)
+    nat_s = jnp.asarray(ts.natoms, jnp.int32)
+    pidx_s = jnp.asarray(ts.pidx, jnp.int32)
+    charged = bool(getattr(obmd, "charged", False))
+
+    pad = cfg.pair.max_cut + cfg.skin
+    sub_l = _local_region_subset(cfg, geom, state, obmd.region5, pad)
+    sub_r = _local_region_subset(cfg, geom, state, obmd.region6, pad)
+
+    key = rng.fold_key(state.key, state.step)
+    kl, kr_, knext = jax.random.split(key, 3)
+
+    def append_mol(sub, pos, acc, types_k, q_k, am_k):
+        """Owner-only visibility of this round's insertions (psum'd
+        partials must not double-count across devices)."""
+        kk = pos.shape[0]
+        com = (jnp.sum(jnp.where(am_k[:, :, None], pos, 0.0), axis=1)
+               / jnp.maximum(jnp.sum(am_k, axis=1), 1)[:, None])
+        own = acc & (com[:, 0] >= lo_d) & (com[:, 0] < hi_d)
+        accr = jnp.repeat(own, m) & am_k.reshape(kk * m)
+        return _Sub(
+            idx=jnp.concatenate([sub.idx,
+                                 jnp.full((kk * m,), n_loc, jnp.int32)]),
+            x=jnp.concatenate([sub.x,
+                               jnp.where(accr[:, None],
+                                         pos.reshape(kk * m, 3),
+                                         dtype.type(BIG))]),
+            type=jnp.concatenate([sub.type, types_k.reshape(kk * m)]),
+            q=jnp.concatenate([sub.q, q_k.reshape(kk * m)]),
+            valid=jnp.concatenate([sub.valid, accr]),
+            overflow=sub.overflow)
+
+    def one_side(side_key, region, budget, sub):
+        rem = jnp.clip(budget, 0, M)
+        poss, accs, tsels = [], [], []
+        it_sum = jnp.zeros((), jnp.int32)
+        for r in range(rounds):
+            if T > 1:
+                kc, kr, kt = jax.random.split(
+                    jax.random.fold_in(side_key, r), 3)
+                tsel = jax.random.choice(kt, T, (K,),
+                                         p=jnp.asarray(ts.frac))
+            else:
+                kc, kr = jax.random.split(jax.random.fold_in(side_key, r))
+                tsel = jnp.zeros((K,), jnp.int32)
+            centers, ok0 = draw_candidates(cfg, kc, region, K, dtype.type)
+            rots = random_rotations(kr, K, dtype.type, axis=obmd.orient)
+            am_k = am_s[tsel]
+            types_k = ty_s[tsel]
+            q_k = q_s[tsel]
+            coords = mol_candidates_sel(dx_s[tsel], am_k, centers, rots)
+            mol_q = q_k if charged else None
+
+            def psum_energy(pos):
+                E, F, Fa = mol_energy_force(cfg, sub, pos, types_k,
+                                            per_atom=True, mol_q=mol_q)
+                return (jax.lax.psum(E, AXIS), jax.lax.psum(F, AXIS),
+                        jax.lax.psum(Fa, AXIS))
+
+            if obmd.usher is not None:
+                pos, ok, iters = usher_search_subset_mol(
+                    cfg, sub, coords, types_k, region, mol_q=mol_q,
+                    amask=am_k, energy_fn=psum_energy)
+            else:
+                ok = _near_check_psum_mol(cfg, sub, coords)
+                pos, iters = coords, jnp.zeros((K,), jnp.int32)
+            ok = ok & ok0 & jnp.all(region.match(pos) | ~am_k, axis=1)
+            accepted, cnt = mol_sequential_accept(cfg, pos, types_k, ok,
+                                                  jnp.minimum(rem, K))
+            rem = rem - cnt
+            if rounds > 1:
+                sub = append_mol(sub, pos, accepted, types_k, q_k, am_k)
+            poss.append(pos)
+            accs.append(accepted)
+            tsels.append(tsel)
+            it_sum = it_sum + jnp.sum(iters)
+        return (jnp.concatenate(poss), jnp.concatenate(accs),
+                jnp.concatenate(tsels), it_sum)
+
+    pos_l, acc_l, ts_l, it_l = one_side(kl, obmd.region5, nins_l, sub_l)
+    pos_r, acc_r, ts_r, it_r = one_side(kr_, obmd.region6, nins_r, sub_r)
+    pos = jnp.concatenate([pos_l, pos_r])                 # [2M, m, 3]
+    accepted = jnp.concatenate([acc_l, acc_r])
+    tsel = jnp.concatenate([ts_l, ts_r])
+
+    km = 2 * M
+    am_k = am_s[tsel]
+    nat_k = nat_s[tsel]
+    com = (jnp.sum(jnp.where(am_k[:, :, None], pos, 0.0), axis=1)
+           / jnp.maximum(jnp.sum(am_k, axis=1), 1)[:, None])
+    ndev = geom.ndev
+    mine = accepted & (com[:, 0] >= lo_d) & (com[:, 0] < hi_d)
+    mine = mine | (accepted & (me == 0) & (com[:, 0] < lo_d))
+    mine = mine | (accepted & (me == ndev - 1) & (com[:, 0] >= hi_d))
+
+    # replicated tag layout: accepted molecules get consecutive tag
+    # blocks regardless of owner, so every device agrees on every tag
+    placed_rep = jnp.where(accepted, nat_k, 0)
+    base = state.maxtag
+    tag_base = base + jnp.cumsum(placed_rep) - placed_rep  # [2M]
+    atom_idx = jnp.tile(jnp.arange(m, dtype=jnp.int32), (km,))
+    new_tag = jnp.repeat(tag_base, m) + atom_idx + 1
+    mol_id = jnp.repeat(tag_base + 1, m)
+
+    # owner claims local free slots for its molecules' real atoms
+    am_flat = am_k.reshape(km * m)
+    rows = jnp.repeat(mine, m) & am_flat
+    cap_rows = km * m
+    free = jnp.nonzero(~state.alive, size=cap_rows,
+                       fill_value=n_loc)[0].astype(jnp.int32)
+    lrank = jnp.cumsum(rows.astype(jnp.int32)) - 1
+    slot = jnp.where(rows, free[jnp.clip(lrank, 0, cap_rows - 1)], n_loc)
+    landed = rows & (slot < n_loc)
+    # all-or-nothing per molecule (check_mol_proc analogue)
+    landed_mol = jnp.all(landed.reshape(km, m) | ~am_k, axis=1) & mine
+    act = jnp.repeat(landed_mol, m) & am_flat
+    slot = jnp.where(act, slot, n_loc)
+
+    # partner TAGS from the template graph (slab bond convention)
+    p1_idx = pidx_s[tsel][:, :, 0].reshape(km * m)
+    p2_idx = pidx_s[tsel][:, :, 1].reshape(km * m)
+    tb_flat = jnp.repeat(tag_base, m)
+
+    def ptag(p_idx):
+        return jnp.where((p_idx >= 0) & act, tb_flat + p_idx + 1, -1)
+
+    apos = pos.reshape(km * m, 3)
+    types_flat = ty_s[tsel].reshape(km * m)
+    q_flat = q_s[tsel].reshape(km * m)
+
+    x = state.x.at[slot].set(apos, mode="drop")
+    v = state.v.at[slot].set(jnp.zeros((km * m, 3), dtype), mode="drop")
+    f = state.f.at[slot].set(jnp.zeros((km * m, 3), dtype), mode="drop")
+    typ = state.type.at[slot].set(types_flat, mode="drop")
+    tag = state.tag.at[slot].set(new_tag, mode="drop")
+    qn = state.q.at[slot].set(q_flat, mode="drop")
+    moln = state.mol.at[slot].set(mol_id, mode="drop")
+    rep = state.rep_atom.at[slot].set(rep_s[tsel].reshape(km * m),
+                                      mode="drop")
+    lam = state.lambdaF.at[slot].set(jnp.zeros((km * m,), dtype),
+                                     mode="drop")
+    nb1 = state.bond1.at[slot].set(ptag(p1_idx), mode="drop")
+    nb2 = state.bond2.at[slot].set(ptag(p2_idx), mode="drop")
+    aliv = state.alive.at[slot].set(True, mode="drop")
+
+    n_acc_atoms = jnp.sum(placed_rep)            # replicated
+    n_landed = jax.lax.psum(jnp.sum(jnp.where(landed_mol, nat_k, 0)), AXIS)
+    n_mols = jax.lax.psum(jnp.sum(landed_mol.astype(jnp.int32)), AXIS)
+    want = jnp.clip(nins_l, 0) + jnp.clip(nins_r, 0)
+    return state.replace(
+        x=x, v=v, f=f, type=typ, tag=tag, q=qn, mol=moln, alive=aliv,
+        lambdaF=lam, rep_atom=rep, bond1=nb1, bond2=nb2,
+        maxtag=base + n_acc_atoms, key=knext,
+        obmd=state.obmd.replace(
+            ninserted=state.obmd.ninserted + n_landed,
+            insert_fail=state.obmd.insert_fail
+            + jnp.maximum(want - n_mols, 0),
+            usher_iters=state.obmd.usher_iters
+            + jax.lax.psum(jnp.sum(it_l) + jnp.sum(it_r), AXIS) // geom.ndev))
+
+
 def _pre_exchange_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
                        me, lo_d, hi_d):
     """OBMD stage under the slab decomposition: local deletion with psum
@@ -546,6 +804,29 @@ def _pre_exchange_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
     # ---- deletion (ref try_deleting :639-865): local + psum tallies ----
     x0 = state.x[:, 0]
     doomed = state.alive & ((x0 < box.lo[0]) | (x0 > box.hi[0]))
+    if obmd.mol is not None:
+        # whole-molecule deletion (ref :709-821): doom propagates along
+        # partner TAGS; cross-slab partners see it through ppermute'd
+        # doomed-tag lists (one [D] exchange per propagation round)
+        ndev = geom.ndev
+        D = geom.m_max
+        rounds = max(obmd.mol_natoms_max - 1, 1)
+        for _ in range(rounds):
+            idx, dvalid, _nothing, miss = _pack_rows(doomed, D, n=n_loc)
+            safe = jnp.clip(idx, 0, n_loc - 1)
+            dtags = jnp.where(dvalid, state.tag[safe], -2)
+            dl = _send_right(dtags, ndev)     # left neighbor's doomed tags
+            dr = _send_left(dtags, ndev)
+            all_d = jnp.concatenate([dtags, dl, dr])
+
+            def _hit(b):
+                return (b >= 0) & jnp.any(b[:, None] == all_d[None, :],
+                                          axis=1)
+
+            doomed = doomed | (state.alive
+                               & (_hit(state.bond1) | _hit(state.bond2)))
+            state = state.replace(cell_overflow=state.cell_overflow
+                                  + jax.lax.psum(miss, AXIS))
     mid = 0.5 * (box.lo[0] + box.hi[0])
     left = doomed & (x0 < mid)
     m = jnp.asarray(cfg.masses, state.x.dtype)[state.type]
@@ -557,6 +838,8 @@ def _pre_exchange_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
     ndel = jax.lax.psum(jnp.sum(doomed.astype(jnp.int32)), AXIS)
     state = state.replace(alive=state.alive & ~doomed,
                           tag=jnp.where(doomed, -1, state.tag),
+                          bond1=jnp.where(doomed, -1, state.bond1),
+                          bond2=jnp.where(doomed, -1, state.bond2),
                           obmd=state.obmd.replace(
                               ndeleted=state.obmd.ndeleted + ndel))
 
@@ -571,104 +854,109 @@ def _pre_exchange_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
     nins_r = feedback_count(pcount(obmd.region2), obmd.mol_len, alpha, nbuf,
                             dt, tau)
 
-    # ---- insertion: identical candidates on every device (replicated ----
-    # ---- key, ref :275 same-seeded RanPark), energies completed by ----
-    # ---- psum, placement by the positional owner ----
-    from ..obmd.stage import _append_subset, rounds_of
-    K = obmd.insert_kmax
-    rounds = rounds_of(cfg)
-    M = rounds * K
-    pad = cfg.pair.max_cut + cfg.skin
-    sub_l = _local_region_subset(cfg, geom, state, obmd.region5, pad)
-    sub_r = _local_region_subset(cfg, geom, state, obmd.region6, pad)
-
-    key = rng.fold_key(state.key, state.step)
-    keys = jax.random.split(key, 2 * rounds + 1)
-    knext = keys[-1]
-
-    def one_side(side_keys, region, budget, sub):
-        ctype = jnp.full((K,), obmd.ntype, jnp.int32)
-        zq = jnp.zeros((K,), state.x.dtype)
-        rem = jnp.clip(budget, 0, M)
-        poss, accs = [], []
-        iters_sum = jnp.zeros((), jnp.int32)
-        for r in range(rounds):
-            from ..obmd.stage import draw_candidates
-            cand, ok0 = draw_candidates(cfg, side_keys[r], region, K,
-                                        state.x.dtype.type)
-            if obmd.usher is not None:
-                pos, ok, iters = _usher_search_psum(cfg, sub, cand, ctype,
-                                                    region)
-            else:
-                ok = _near_check_psum(cfg, sub, cand)
-                pos, iters = cand, jnp.zeros((K,), jnp.int32)
-            accepted, count = _sequential_accept(cfg, pos, ctype, ok & ok0,
-                                                 jnp.minimum(rem, K))
-            rem = rem - count
-            if rounds > 1:
-                # visible to later rounds on exactly ONE device (the
-                # positional owner) — psum'd partials must not double-count
-                owner = accepted & (pos[:, 0] >= lo_d) & (pos[:, 0] < hi_d)
-                sub = _append_subset(sub, pos, owner, ctype, zq, n_loc)
-            poss.append(pos)
-            accs.append(accepted)
-            iters_sum = iters_sum + jnp.sum(iters)
-        return jnp.concatenate(poss), jnp.concatenate(accs), iters_sum
-
-    pos_l, acc_l, it_l = one_side(keys[:rounds], obmd.region5, nins_l,
-                                  sub_l)
-    pos_r, acc_r, it_r = one_side(keys[rounds:2 * rounds], obmd.region6,
-                                  nins_r, sub_r)
-    pos = jnp.concatenate([pos_l, pos_r])                 # [2M, 3]
-    accepted = jnp.concatenate([acc_l, acc_r])            # [2M]
-
-    mine = accepted & (pos[:, 0] >= lo_d) & (pos[:, 0] < hi_d)
-    # edge devices own any spill beyond the box faces (cannot happen for
-    # in-region candidates, but keep the tiling airtight)
-    ndev = geom.ndev
-    mine = mine | (accepted & (me == 0) & (pos[:, 0] < lo_d))
-    mine = mine | (accepted & (me == ndev - 1) & (pos[:, 0] >= hi_d))
-
-    m2 = 2 * M
-    free = jnp.nonzero(~state.alive, size=m2,
-                       fill_value=n_loc)[0].astype(jnp.int32)
-    lrank = jnp.cumsum(mine.astype(jnp.int32)) - 1
-    slot = jnp.where(mine, free[jnp.clip(lrank, 0, m2 - 1)], n_loc)
-    landed = mine & (slot < n_loc)
-    order = jnp.cumsum(accepted.astype(jnp.int32)) - 1    # global, replicated
-    if obmd.id_policy == "max":
-        # alive tags are sharded: the per-device max needs a pmax
-        base = jax.lax.pmax(
-            jnp.max(jnp.where(state.alive, state.tag, 0)), AXIS)
+    if obmd.mol is not None:
+        state = _insert_mol_slab(cfg, geom, state, me, lo_d,
+                                 hi_d, nins_l, nins_r)
     else:
-        base = state.maxtag
-    new_tag = base + 1 + order.astype(jnp.int32)
+        # ---- insertion: identical candidates on every device (replicated ----
+        # ---- key, ref :275 same-seeded RanPark), energies completed by ----
+        # ---- psum, placement by the positional owner ----
+        from ..obmd.stage import _append_subset, rounds_of
+        K = obmd.insert_kmax
+        rounds = rounds_of(cfg)
+        M = rounds * K
+        pad = cfg.pair.max_cut + cfg.skin
+        sub_l = _local_region_subset(cfg, geom, state, obmd.region5, pad)
+        sub_r = _local_region_subset(cfg, geom, state, obmd.region6, pad)
 
-    dtype_arr = state.x.dtype
-    x = state.x.at[slot].set(pos, mode="drop")
-    v = state.v.at[slot].set(jnp.zeros((m2, 3), dtype_arr), mode="drop")
-    f = state.f.at[slot].set(jnp.zeros((m2, 3), dtype_arr), mode="drop")
-    typ = state.type.at[slot].set(jnp.full((m2,), obmd.ntype, jnp.int32),
-                                  mode="drop")
-    tag = state.tag.at[slot].set(new_tag, mode="drop")
-    qn = state.q.at[slot].set(jnp.zeros((m2,), dtype_arr), mode="drop")
-    lam = state.lambdaF.at[slot].set(jnp.zeros((m2,), dtype_arr),
-                                     mode="drop")
-    alive = state.alive.at[slot].set(landed, mode="drop")
+        key = rng.fold_key(state.key, state.step)
+        keys = jax.random.split(key, 2 * rounds + 1)
+        knext = keys[-1]
 
-    n_landed = jax.lax.psum(jnp.sum(landed.astype(jnp.int32)), AXIS)
-    want = jnp.clip(nins_l, 0) + jnp.clip(nins_r, 0)
-    state = state.replace(
-        x=x, v=v, f=f, type=typ, tag=tag, q=qn, lambdaF=lam, alive=alive,
-        maxtag=base + n_landed, key=knext,
-        obmd=state.obmd.replace(
-            ninserted=state.obmd.ninserted + n_landed,
-            insert_fail=state.obmd.insert_fail +
-            jnp.maximum(want - n_landed, 0),
-            usher_iters=state.obmd.usher_iters
-            + jnp.sum(it_l) + jnp.sum(it_r)))
+        def one_side(side_keys, region, budget, sub):
+            ctype = jnp.full((K,), obmd.ntype, jnp.int32)
+            zq = jnp.zeros((K,), state.x.dtype)
+            rem = jnp.clip(budget, 0, M)
+            poss, accs = [], []
+            iters_sum = jnp.zeros((), jnp.int32)
+            for r in range(rounds):
+                from ..obmd.stage import draw_candidates
+                cand, ok0 = draw_candidates(cfg, side_keys[r], region, K,
+                                            state.x.dtype.type)
+                if obmd.usher is not None:
+                    pos, ok, iters = _usher_search_psum(cfg, sub, cand, ctype,
+                                                        region)
+                else:
+                    ok = _near_check_psum(cfg, sub, cand)
+                    pos, iters = cand, jnp.zeros((K,), jnp.int32)
+                accepted, count = _sequential_accept(cfg, pos, ctype, ok & ok0,
+                                                     jnp.minimum(rem, K))
+                rem = rem - count
+                if rounds > 1:
+                    # visible to later rounds on exactly ONE device (the
+                    # positional owner) — psum'd partials must not double-count
+                    owner = accepted & (pos[:, 0] >= lo_d) & (pos[:, 0] < hi_d)
+                    sub = _append_subset(sub, pos, owner, ctype, zq, n_loc)
+                poss.append(pos)
+                accs.append(accepted)
+                iters_sum = iters_sum + jnp.sum(iters)
+            return jnp.concatenate(poss), jnp.concatenate(accs), iters_sum
+
+        pos_l, acc_l, it_l = one_side(keys[:rounds], obmd.region5, nins_l,
+                                      sub_l)
+        pos_r, acc_r, it_r = one_side(keys[rounds:2 * rounds], obmd.region6,
+                                      nins_r, sub_r)
+        pos = jnp.concatenate([pos_l, pos_r])                 # [2M, 3]
+        accepted = jnp.concatenate([acc_l, acc_r])            # [2M]
+
+        mine = accepted & (pos[:, 0] >= lo_d) & (pos[:, 0] < hi_d)
+        # edge devices own any spill beyond the box faces (cannot happen for
+        # in-region candidates, but keep the tiling airtight)
+        ndev = geom.ndev
+        mine = mine | (accepted & (me == 0) & (pos[:, 0] < lo_d))
+        mine = mine | (accepted & (me == ndev - 1) & (pos[:, 0] >= hi_d))
+
+        m2 = 2 * M
+        free = jnp.nonzero(~state.alive, size=m2,
+                           fill_value=n_loc)[0].astype(jnp.int32)
+        lrank = jnp.cumsum(mine.astype(jnp.int32)) - 1
+        slot = jnp.where(mine, free[jnp.clip(lrank, 0, m2 - 1)], n_loc)
+        landed = mine & (slot < n_loc)
+        order = jnp.cumsum(accepted.astype(jnp.int32)) - 1    # global, replicated
+        if obmd.id_policy == "max":
+            # alive tags are sharded: the per-device max needs a pmax
+            base = jax.lax.pmax(
+                jnp.max(jnp.where(state.alive, state.tag, 0)), AXIS)
+        else:
+            base = state.maxtag
+        new_tag = base + 1 + order.astype(jnp.int32)
+
+        dtype_arr = state.x.dtype
+        x = state.x.at[slot].set(pos, mode="drop")
+        v = state.v.at[slot].set(jnp.zeros((m2, 3), dtype_arr), mode="drop")
+        f = state.f.at[slot].set(jnp.zeros((m2, 3), dtype_arr), mode="drop")
+        typ = state.type.at[slot].set(jnp.full((m2,), obmd.ntype, jnp.int32),
+                                      mode="drop")
+        tag = state.tag.at[slot].set(new_tag, mode="drop")
+        qn = state.q.at[slot].set(jnp.zeros((m2,), dtype_arr), mode="drop")
+        lam = state.lambdaF.at[slot].set(jnp.zeros((m2,), dtype_arr),
+                                         mode="drop")
+        alive = state.alive.at[slot].set(landed, mode="drop")
+
+        n_landed = jax.lax.psum(jnp.sum(landed.astype(jnp.int32)), AXIS)
+        want = jnp.clip(nins_l, 0) + jnp.clip(nins_r, 0)
+        state = state.replace(
+            x=x, v=v, f=f, type=typ, tag=tag, q=qn, lambdaF=lam, alive=alive,
+            maxtag=base + n_landed, key=knext,
+            obmd=state.obmd.replace(
+                ninserted=state.obmd.ninserted + n_landed,
+                insert_fail=state.obmd.insert_fail +
+                jnp.maximum(want - n_landed, 0),
+                usher_iters=state.obmd.usher_iters
+                + jnp.sum(it_l) + jnp.sum(it_r)))
 
     # ---- setpoint forces for this step's post_force (ref :607-630) ----
+    dtype_arr = state.x.dtype
     area = dtype(box.cross_area)
     sim_time = t + dt
     factor = pxx + dpxx * jnp.sin(2.0 * jnp.pi * freq * sim_time)
