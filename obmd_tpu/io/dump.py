@@ -30,9 +30,11 @@ def write_xyz_frame(path: str, cfg: SceneConfig, state: State,
 
 def write_custom_frame(path: str, cfg: SceneConfig, state: State,
                        cols=("id", "type", "x", "y", "z", "vx", "vy", "vz"),
-                       append: bool = True):
+                       append: bool = True, extra=None):
     """`dump custom` style frame: ITEM: headers + per-atom columns.
-    The default column set routes through the native writer when built."""
+    The default column set routes through the native writer when built.
+    `extra`: {name: per-ALIVE-atom np array} for v_<name> atom-style
+    variable columns (variable.cpp atom style)."""
     if cols == ("id", "type", "x", "y", "z", "vx", "vy", "vz",
                 "fx", "fy", "fz"):
         try:
@@ -61,6 +63,8 @@ def write_custom_frame(path: str, cfg: SceneConfig, state: State,
             "cms_x": cms[:, 0], "cms_y": cms[:, 1], "cms_z": cms[:, 2],
             "vcms_x": vcms[:, 0], "vcms_y": vcms[:, 1],
             "vcms_z": vcms[:, 2]}
+    if extra:
+        data.update(extra)
     lo, hi = cfg.box.lo, cfg.box.hi
     mode = "a" if append else "w"
     with open(path, mode) as fh:

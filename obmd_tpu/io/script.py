@@ -61,6 +61,7 @@ class Interpreter:
         self.data: Optional[lammps_data.DataFile] = None
         self.obmd_args: Optional[List[str]] = None
         self.molecules: Dict[str, tuple] = {}
+        self.atom_var_exprs: Dict[str, str] = {}
         self.bond_style: Optional[str] = None
         self.bond_coeffs: Dict[int, List[float]] = {}
         self.angle_style: Optional[str] = None
@@ -155,6 +156,14 @@ class Interpreter:
         if style in ("equal", "internal"):
             expr = " ".join(a[2:])
             self.variables[name] = self._compile_expr(expr, name)
+        elif style == "atom":
+            # per-atom expression (variable.cpp atom style) over the
+            # per-atom columns; evaluated lazily on the host when a
+            # consumer (dump custom v_name column) samples it
+            expr = " ".join(a[2:])
+            py = expr.replace("^", "**")
+            py = re.sub(r"v_(\w+)", r"_V('\1')", py)
+            self.atom_var_exprs[name] = py
         elif style in ("index", "string"):
             self.variables[name] = a[2]
         elif style == "delete":
@@ -822,7 +831,7 @@ class Interpreter:
                 self._emit_thermo()
             for (_id, _style, every, fname, dargs) in self.dumps:
                 if every and self.total_steps % every == 0:
-                    self._write_dump(fname)
+                    self._write_dump(fname, _style, dargs)
         if not emitted_last:
             self._emit_thermo()
 
@@ -834,10 +843,58 @@ class Interpreter:
                  "atoms": int(th.natoms), "pe": float(th.pe),
                  "ke": float(th.ke), "press": float(th.pressure),
                  "etotal": float(th.pe + th.ke)}.get(c)
+            if v is None and c.startswith("v_") and \
+                    c[2:] in self.variables:
+                v = self._eval_var(c[2:])
             vals.append(f"{v}" if v is not None else "NA")
         self.log("  ".join([*vals]))
 
-    def _write_dump(self, fname):
+    def eval_atom_var(self, name):
+        """Evaluate an atom-style variable over the ALIVE atoms (host-side
+        numpy, like the reference's lazily computed atom vectors)."""
+        import math as _math
+        py = self.atom_var_exprs.get(name)
+        if py is None:
+            raise ScriptError(f"undefined atom-style variable {name}")
+        st = self.state
+        alive = np.asarray(st.alive)
+        x = np.asarray(st.x)[alive]
+        v = np.asarray(st.v)[alive]
+        f = np.asarray(st.f)[alive]
+        masses = np.asarray(self.cfg.masses)
+        types = np.asarray(st.type)[alive]
+        env = {"sin": np.sin, "cos": np.cos, "exp": np.exp,
+               "sqrt": np.sqrt, "abs": np.abs, "floor": np.floor,
+               "ceil": np.ceil, "PI": _math.pi, "ln": np.log,
+               "x": x[:, 0], "y": x[:, 1], "z": x[:, 2],
+               "vx": v[:, 0], "vy": v[:, 1], "vz": v[:, 2],
+               "fx": f[:, 0], "fy": f[:, 1], "fz": f[:, 2],
+               "id": np.asarray(st.tag)[alive],
+               "type": types + 1,
+               "mass": masses[types],
+               "q": np.asarray(st.q)[alive],
+               "mol": np.asarray(st.mol)[alive],
+               "time": self.total_steps * self.dt,
+               "step": self.total_steps, "dt": self.dt}
+
+        def _V(nm):
+            if nm in self.atom_var_exprs:
+                return self.eval_atom_var(nm)
+            return self._eval_var(nm)
+        env["_V"] = _V
+        return np.asarray(eval(py, {"__builtins__": {}}, env))  # noqa: S307
+
+    def _write_dump(self, fname, style="xyz", dargs=()):
+        if style == "custom":
+            from .dump import write_custom_frame
+            extra = {}
+            for c in dargs:
+                if c.startswith("v_"):
+                    extra[c] = self.eval_atom_var(c[2:])
+            kw = {"cols": tuple(dargs)} if dargs else {}
+            write_custom_frame(fname, self.cfg, self.state,
+                               append=True, extra=extra, **kw)
+            return
         from .dump import write_xyz_frame
         write_xyz_frame(fname, self.cfg, self.state, append=True)
 
