@@ -72,6 +72,8 @@ class SlabGeom:
     b_max: int          # per-device insertion-subset capacity
     spec_local: GridSpec  # per-slab cell grid in the slab frame
     halo_w: float       # halo width (= pair cutoff)
+    pad_geom: object = None   # per-slab PadGeometry (the in-shard Pallas
+                              # kernel layout); None when unbuildable
 
     @property
     def capacity(self) -> int:
@@ -144,9 +146,23 @@ def make_slab_geom(cfg: SceneConfig, ndev: int, *, n_loc: int = 0,
     if b_max <= 0:
         # a device can contribute at most its own atoms to a region subset
         b_max = min(n_loc, cfg.capacity.insert_region_max or n_loc)
+    # per-slab padded cell-major geometry for the in-shard Pallas kernel
+    # (force_impl="pallas"): the slab plus one cutoff+skin pad band per
+    # face, in the slab frame (static under SPMD)
+    pad_geom = None
+    try:
+        from ..forces.pallas_dpd import PadGeometry
+        from ..geometry import Box as _Box
+        pad_w = csx_in
+        box_local = _Box((-pad_w, box.lo[1], box.lo[2]),
+                         (slab_w + pad_w, box.hi[1], box.hi[2]),
+                         (False, box.periodic[1], box.periodic[2]))
+        pad_geom = PadGeometry.create(box_local, csx_in, cap_local)
+    except (ValueError, NotImplementedError):
+        pad_geom = None
     return SlabGeom(ndev=ndev, n_loc=n_loc, slab_w=slab_w, x0=box.lo[0],
                     h_max=h_max, m_max=m_max, b_max=b_max,
-                    spec_local=spec_local, halo_w=cut)
+                    spec_local=spec_local, halo_w=cut, pad_geom=pad_geom)
 
 
 def shard_by_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
@@ -259,15 +275,34 @@ def _pack_rows(mask, cap, *arrays, n):
 # --------------------------------------------------------------------------
 
 def make_slab_step(cfg: SceneConfig, mesh: Mesh,
-                   geom: Optional[SlabGeom] = None):
+                   geom: Optional[SlabGeom] = None,
+                   force_impl: str = "gathered"):
     """Jitted sharded step(state) -> state over the x-slab mesh; same
-    semantics as integrate.make_step (validated in tests/test_slab.py)."""
+    semantics as integrate.make_step (validated in tests/test_slab.py).
+
+    force_impl: "gathered" (XLA neighbor-gather sweep; supports bonds) or
+    "pallas" (the per-slab cell-major Pallas kernel inside shard_map —
+    the multi-chip fast path; bond-less scenes)."""
     cfg = cfg.finalize()
     ndev = mesh.devices.size
     if geom is None:
         geom = make_slab_geom(cfg, ndev)
     if geom.ndev != ndev:
         raise ValueError("geom/mesh device count mismatch")
+    kern_pallas = None
+    if force_impl == "pallas":
+        if cfg.bond is not None or (cfg.obmd is not None
+                                    and cfg.obmd.mol is not None):
+            raise NotImplementedError(
+                "slab force_impl='pallas': bonded/molecule scenes run on "
+                "the gathered impl (bond forces resolve by tag there)")
+        if geom.pad_geom is None:
+            raise ValueError("no per-slab PadGeometry for this box")
+        from ..forces.pallas_dpd import make_pair_kernel
+        kern_pallas = make_pair_kernel(geom.pad_geom, params=cfg.pair,
+                                       dt=float(cfg.dt))
+    elif force_impl != "gathered":
+        raise ValueError(f"unknown force_impl {force_impl}")
     n_loc, h_max, m_max = geom.n_loc, geom.h_max, geom.m_max
     dt = float(cfg.dt)
     obmd = cfg.obmd
@@ -312,7 +347,11 @@ def make_slab_step(cfg: SceneConfig, mesh: Mesh,
         state = _migrate(cfg, geom, state, me, lo_d, hi_d)
 
         # ---- halo exchange + local forces ----
-        f, miss = _forces_slab(cfg, geom, state, me, lo_d)
+        if kern_pallas is not None:
+            f, miss = _forces_slab_pallas(cfg, geom, state, kern_pallas,
+                                          me, lo_d)
+        else:
+            f, miss = _forces_slab(cfg, geom, state, me, lo_d)
         state = state.replace(cell_overflow=state.cell_overflow + miss)
         if obmd is not None:
             f = _boundary_force_psum(cfg, state, f)
@@ -491,6 +530,75 @@ def _forces_slab(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d):
         q_full, my_slot, xs_full[:n_loc], state.v, state.type, state.tag,
         state.q, salt, dt=float(cfg.dt), my_pb=my_pb, bond=cfg.bond)
     miss_all = jax.lax.psum(halo_miss + ctab.overflow, AXIS)
+    return f, miss_all
+
+
+
+def _forces_slab_pallas(cfg: SceneConfig, geom: SlabGeom, state: State,
+                        kern, me, lo_d):
+    """Pair forces through the per-slab Pallas kernel inside shard_map —
+    the multi-chip fast path (VERDICT r2 item 6 phase 2).  Owned + halo
+    atoms are filed per step into the slab's padded cell-major layout
+    (geom.pad_geom, static in the slab frame) and the same Newton
+    half-stencil kernel the single-chip engine runs evaluates each pair
+    once; forces on halo slots are simply dropped (their owner computes
+    the identical pair on its own shard — the tag-keyed pair noise is
+    bitwise symmetric, so Newton's third law holds across devices with no
+    reverse communication)."""
+    from ..cellpad import slot_index
+    pg = geom.pad_geom
+    n_loc = geom.n_loc
+    (xs_full, v_full, t_full, g_full, q_full, valid_full,
+     halo_miss) = _halo_arrays(cfg, geom, state, lo_d)
+    n_full = xs_full.shape[0]
+    dtype = xs_full.dtype
+    n_slots = pg.n_slots
+    n_cells = pg.n_cells
+    cap = pg.cap
+
+    cell = jnp.where(valid_full, pg.cell_of(xs_full), n_cells)
+    order = jnp.argsort(cell)
+    sc = cell[order]
+    start = jnp.searchsorted(sc, sc, side="left")
+    rank = (jnp.arange(n_full, dtype=jnp.int32) - start.astype(jnp.int32))
+    ok = (sc < n_cells) & (rank < cap)
+    overflow = jnp.sum(((sc < n_cells) & (rank >= cap)).astype(jnp.int32))
+    dest = jnp.where(ok, slot_index(pg, sc, rank), n_slots)
+
+    from ..config import LJCutRFParams
+    chans = [jnp.where(valid_full[:, None], xs_full, dtype.type(BIG)),
+             v_full]
+    if isinstance(cfg.pair, LJCutRFParams):
+        chans.append(q_full[:, None])
+    if cfg.ntypes > 1:
+        chans.append(t_full.astype(dtype)[:, None])
+    flat = jnp.concatenate(chans, axis=1)[order]          # [n_full, NF]
+    nf = flat.shape[1]
+    base = jnp.concatenate(
+        [jnp.full((n_slots, 3), dtype.type(BIG)),
+         jnp.zeros((n_slots, nf - 3), dtype)], axis=1)
+    fld_flat = base.at[dest].set(flat, mode="drop")
+    nb, lanes = pg.n_blocks, pg.lanes
+    fld = fld_flat.reshape(nb, cap, lanes, nf).transpose(0, 3, 1, 2)
+    tag_flat = jnp.full((n_slots,), -1, jnp.int32).at[dest].set(
+        g_full[order], mode="drop")
+    tag = tag_flat.reshape(nb, cap, lanes)
+    filled = jnp.zeros((n_slots,), bool).at[dest].set(ok, mode="drop")
+    rank_idx = jnp.arange(cap, dtype=jnp.int32)[None, :, None]
+    occ = jnp.max(jnp.where(filled.reshape(nb, cap, lanes), rank_idx, -1),
+                  axis=(1, 2)) + 1
+
+    salt = rng.step_salt(getattr(cfg.pair, "seed", 0), state.step,
+                         PURPOSE_PAIR_NOISE)
+    fpad = kern(fld, tag, salt, occ)                 # [nb, 3, cap, lanes]
+    f_all = fpad.transpose(0, 2, 3, 1).reshape(-1, 3)
+    f_all = jnp.concatenate([f_all, jnp.zeros((1, 3), dtype)])
+    slot_of_row = jnp.full((n_full,), n_slots, jnp.int32).at[order].set(
+        jnp.where(ok, dest, n_slots).astype(jnp.int32), mode="drop")
+    f = f_all[slot_of_row[:n_loc]]
+    dropped = jnp.sum((valid_full[:n_loc]
+                       & (slot_of_row[:n_loc] >= n_slots)).astype(jnp.int32))
+    miss_all = jax.lax.psum(halo_miss + overflow + dropped, AXIS)
     return f, miss_all
 
 

@@ -161,3 +161,48 @@ def test_slab_soak_counters(scene):
     assert abs(del_sh - del_l) <= max(15, 0.25 * del_l), (del_sh, del_l)
     assert abs(ins_sh - ins_l) <= max(15, 0.25 * max(ins_l, 1)), (ins_sh,
                                                                   ins_l)
+
+
+def test_slab_pallas_kernel_matches_gathered():
+    """force_impl='pallas': the per-slab cell-major Pallas kernel inside
+    shard_map produces the same trajectory as the gathered XLA impl
+    (temp=0: drag+conservative only, so the two impls' different noise
+    hash constructions don't enter)."""
+    import dataclasses
+
+    from obmd_tpu.config import Capacity, DPDParams, SceneConfig
+    from obmd_tpu.geometry import Box
+    from obmd_tpu.state import init_state
+    from obmd_tpu.integrate import setup
+
+    box = Box((0.0, 0.0, 0.0), (16.0, 4.0, 4.0), (False, True, True))
+    r = np.random.default_rng(11)
+    n = 500
+    x = r.uniform([0.05, 0.05, 0.05], [15.95, 3.95, 3.95], (n, 3))
+    v = r.normal(0, 0.5, (n, 3))
+    cfg = SceneConfig(
+        box=box, masses=(1.0,), dt=0.004,
+        pair=DPDParams.create(temp=0.0, cutoff=1.0, seed=5, a0=25.0,
+                              gamma=3.0),
+        capacity=Capacity(n_max=n, cell_capacity=20),
+        skin=0.3, force_path="nlist")
+    st = setup(cfg, init_state(cfg, x, v=v))
+    mesh = make_mesh(NDEV)
+    geom = make_slab_geom(cfg, NDEV, n_loc=120)
+    assert geom.pad_geom is not None
+    sst0 = shard_by_slab(cfg, geom, st, mesh)
+    step_g = make_slab_step(cfg, mesh, geom, force_impl="gathered")
+    step_p = make_slab_step(cfg, mesh, geom, force_impl="pallas")
+    sg, sp = sst0, sst0
+    for _ in range(3):
+        sg = step_g(sg)
+        sp = step_p(sp)
+    assert int(sp.cell_overflow) == 0
+    ag, ap = np.asarray(sg.alive), np.asarray(sp.alive)
+    mg = {int(t): np.asarray(sg.x)[i]
+          for i, t in enumerate(np.asarray(sg.tag)) if ag[i]}
+    mp = {int(t): np.asarray(sp.x)[i]
+          for i, t in enumerate(np.asarray(sp.tag)) if ap[i]}
+    assert set(mg) == set(mp)
+    diffs = [np.abs(mg[t] - mp[t]).max() for t in mg]
+    assert max(diffs) < 1e-5, max(diffs)
