@@ -35,7 +35,7 @@ Supported: ATOM-mode scenes (no bonds / molecule templates), open x.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -74,6 +74,10 @@ class SlabGeom:
     halo_w: float       # halo width (= pair cutoff)
     pad_geom: object = None   # per-slab PadGeometry (the in-shard Pallas
                               # kernel layout); None when unbuildable
+    # static slab cuts [ndev+1] (the `balance` command analogue,
+    # balance.cpp: static rebalancing between runs); uniform by default.
+    # slab_w is then the WIDEST slab (grids are sized for it).
+    boundaries: Tuple[float, ...] = ()
 
     @property
     def capacity(self) -> int:
@@ -82,12 +86,27 @@ class SlabGeom:
 
 def make_slab_geom(cfg: SceneConfig, ndev: int, *, n_loc: int = 0,
                    h_max: int = 0, m_max: int = 0,
-                   b_max: int = 0) -> SlabGeom:
+                   b_max: int = 0, boundaries=None) -> SlabGeom:
     cfg = cfg.finalize()
     box = cfg.box
     if box.periodic[0]:
         raise ValueError("slab decomposition requires open (non-periodic) x")
     cut = float(cfg.pair.max_cut)
+    lx_full = box.lengths[0]
+    if boundaries is None:
+        boundaries = tuple(box.lo[0] + lx_full * i / ndev
+                           for i in range(ndev + 1))
+    else:
+        boundaries = tuple(float(b) for b in boundaries)
+        if len(boundaries) != ndev + 1:
+            raise ValueError("boundaries must have ndev+1 cuts")
+        if abs(boundaries[0] - box.lo[0]) > 1e-9 or \
+                abs(boundaries[-1] - box.hi[0]) > 1e-9:
+            raise ValueError("boundaries must span the box")
+        widths = np.diff(boundaries)
+        if (widths < cut).any():
+            raise ValueError(
+                f"balanced slab width {widths.min():.3g} < cutoff {cut:.3g}")
     if cfg.obmd is not None and cfg.obmd.mol is not None:
         # molecule-mode: bonds resolve positionally by TAG among
         # owned + halo atoms, which requires every bond to fit inside
@@ -114,7 +133,7 @@ def make_slab_geom(cfg: SceneConfig, ndev: int, *, n_loc: int = 0,
             "slab path: inserted-velocity keywords not wired "
             "(insertions are at rest, the reference default :1076-1078)")
     lx = box.lengths[0]
-    slab_w = lx / ndev
+    slab_w = float(np.max(np.diff(boundaries)))   # widest slab sizes grids
     if slab_w < cut:
         raise ValueError(f"slab width {slab_w:.3g} < cutoff {cut:.3g}: "
                          f"too many devices for this box")
@@ -162,7 +181,30 @@ def make_slab_geom(cfg: SceneConfig, ndev: int, *, n_loc: int = 0,
         pad_geom = None
     return SlabGeom(ndev=ndev, n_loc=n_loc, slab_w=slab_w, x0=box.lo[0],
                     h_max=h_max, m_max=m_max, b_max=b_max,
-                    spec_local=spec_local, halo_w=cut, pad_geom=pad_geom)
+                    spec_local=spec_local, halo_w=cut, pad_geom=pad_geom,
+                    boundaries=boundaries)
+
+
+def balanced_boundaries(cfg: SceneConfig, state: State,
+                        ndev: int) -> Tuple[float, ...]:
+    """Host-side position-quantile slab cuts — the `balance` command
+    analogue (balance.cpp: static rebalancing between runs; the dynamic
+    fix balance is not implemented).  Equal alive-atom counts per slab,
+    with every cut clamped so no slab is narrower than the pair cutoff."""
+    box = cfg.box.lo[0], cfg.box.hi[0]
+    cut = float(cfg.pair.max_cut)
+    x = np.asarray(state.x)[:, 0][np.asarray(state.alive)]
+    qs = np.quantile(x, np.linspace(0.0, 1.0, ndev + 1))
+    cuts = np.asarray(qs, dtype=np.float64)
+    cuts[0], cuts[-1] = box
+    for i in range(1, ndev + 1):           # enforce min width left-to-right
+        cuts[i] = max(cuts[i], cuts[i - 1] + cut)
+    for i in range(ndev - 1, -1, -1):      # and fit inside the box
+        cuts[i] = min(cuts[i], cuts[i + 1] - cut)
+    if cuts[0] < box[0] - 1e-9:
+        raise ValueError("box too narrow for ndev cutoff-wide slabs")
+    cuts[0], cuts[-1] = box
+    return tuple(float(c) for c in cuts)
 
 
 def shard_by_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
@@ -172,7 +214,8 @@ def shard_by_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
     ndev, n_loc = geom.ndev, geom.n_loc
     x = np.asarray(state.x)
     alive = np.asarray(state.alive)
-    slab = np.clip(((x[:, 0] - geom.x0) / geom.slab_w).astype(np.int64),
+    slab = np.clip(np.searchsorted(np.asarray(geom.boundaries),
+                                   x[:, 0], side="right") - 1,
                    0, ndev - 1)
     center = np.asarray([(l + h) * 0.5
                          for l, h in zip(cfg.box.lo, cfg.box.hi)], x.dtype)
@@ -314,14 +357,14 @@ def make_slab_step(cfg: SceneConfig, mesh: Mesh,
     def local_mass(types, dtype):
         return jnp.asarray(masses, dtype=dtype)[types]
 
-    def my_lo(me, dtype):
-        return dtype(geom.x0) + me.astype(dtype) * dtype(geom.slab_w)
+    bnd = np.asarray(geom.boundaries)
 
     def spmd_step(state: State) -> State:
         dtype = state.x.dtype.type
         me = jax.lax.axis_index(AXIS)
-        lo_d = my_lo(me, dtype)
-        hi_d = lo_d + dtype(geom.slab_w)
+        bj = jnp.asarray(bnd, state.x.dtype)
+        lo_d = bj[me]
+        hi_d = bj[me + 1]
 
         m = local_mass(state.type, state.x.dtype)[:, None]
         alive3 = state.alive[:, None]
@@ -349,9 +392,9 @@ def make_slab_step(cfg: SceneConfig, mesh: Mesh,
         # ---- halo exchange + local forces ----
         if kern_pallas is not None:
             f, miss = _forces_slab_pallas(cfg, geom, state, kern_pallas,
-                                          me, lo_d)
+                                          me, lo_d, hi_d)
         else:
-            f, miss = _forces_slab(cfg, geom, state, me, lo_d)
+            f, miss = _forces_slab(cfg, geom, state, me, lo_d, hi_d)
         state = state.replace(cell_overflow=state.cell_overflow + miss)
         if obmd is not None:
             f = _boundary_force_psum(cfg, state, f)
@@ -451,7 +494,8 @@ def _migrate(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d, hi_d):
                          cell_overflow=state.cell_overflow + lost_all)
 
 
-def _halo_arrays(cfg: SceneConfig, geom: SlabGeom, state: State, lo_d):
+def _halo_arrays(cfg: SceneConfig, geom: SlabGeom, state: State, lo_d,
+                 hi_d=None):
     """Build (xs_full, v_full, type_full, tag_full, q_full, valid_full) =
     owned + left-halo + right-halo, positions shifted into the slab frame
     x' = x - lo_d.  The halo payloads travel by ppermute (borders() +
@@ -459,7 +503,8 @@ def _halo_arrays(cfg: SceneConfig, geom: SlabGeom, state: State, lo_d):
     ndev, n_loc, h_max = geom.ndev, geom.n_loc, geom.h_max
     dtype = state.x.dtype.type
     w = dtype(geom.halo_w)
-    hi_d = lo_d + dtype(geom.slab_w)
+    if hi_d is None:
+        hi_d = lo_d + dtype(geom.slab_w)
     x0 = state.x[:, 0]
 
     near_lo = state.alive & (x0 < lo_d + w)     # -> left neighbor's halo
@@ -508,14 +553,15 @@ def _halo_arrays(cfg: SceneConfig, geom: SlabGeom, state: State, lo_d):
     return xs_full, v_full, t_full, g_full, q_full, valid_full, miss
 
 
-def _forces_slab(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d):
+def _forces_slab(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d,
+                 hi_d=None):
     """Pair forces on owned atoms from (owned + halo) neighbors through the
     per-slab cell grid.  Returns (f, n_missed) where n_missed counts halo
     buffer + cell-table overflow (loud diagnostic, must stay 0)."""
     n_loc = geom.n_loc
     spec = geom.spec_local
     (xs_full, v_full, t_full, g_full, q_full, valid_full,
-     halo_miss) = _halo_arrays(cfg, geom, state, lo_d)
+     halo_miss) = _halo_arrays(cfg, geom, state, lo_d, hi_d)
 
     ctab = build_cells(spec, xs_full, valid_full)
     salt = rng.step_salt(getattr(cfg.pair, "seed", 0), state.step,
@@ -535,7 +581,7 @@ def _forces_slab(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d):
 
 
 def _forces_slab_pallas(cfg: SceneConfig, geom: SlabGeom, state: State,
-                        kern, me, lo_d):
+                        kern, me, lo_d, hi_d=None):
     """Pair forces through the per-slab Pallas kernel inside shard_map —
     the multi-chip fast path (VERDICT r2 item 6 phase 2).  Owned + halo
     atoms are filed per step into the slab's padded cell-major layout
@@ -549,7 +595,7 @@ def _forces_slab_pallas(cfg: SceneConfig, geom: SlabGeom, state: State,
     pg = geom.pad_geom
     n_loc = geom.n_loc
     (xs_full, v_full, t_full, g_full, q_full, valid_full,
-     halo_miss) = _halo_arrays(cfg, geom, state, lo_d)
+     halo_miss) = _halo_arrays(cfg, geom, state, lo_d, hi_d)
     n_full = xs_full.shape[0]
     dtype = xs_full.dtype
     n_slots = pg.n_slots

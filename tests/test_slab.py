@@ -206,3 +206,66 @@ def test_slab_pallas_kernel_matches_gathered():
     assert set(mg) == set(mp)
     diffs = [np.abs(mg[t] - mp[t]).max() for t in mg]
     assert max(diffs) < 1e-5, max(diffs)
+
+
+def test_slab_balance_quantile_cuts():
+    """`balance` analogue (balance.cpp): position-quantile slab cuts give
+    near-equal per-device populations on a skewed scene, and the balanced
+    step preserves the trajectory vs the uniform decomposition."""
+    from obmd_tpu.config import Capacity, DPDParams, SceneConfig
+    from obmd_tpu.geometry import Box
+    from obmd_tpu.integrate import setup
+    from obmd_tpu.parallel.slab_decomp import balanced_boundaries
+    from obmd_tpu.state import init_state
+
+    box = Box((0.0, 0.0, 0.0), (16.0, 4.0, 4.0), (False, True, True))
+    r = np.random.default_rng(2)
+    n = 600
+    # density skew: 3/4 of the atoms in the left half
+    xl = r.uniform([0.05, 0.05, 0.05], [8.0, 3.95, 3.95], (3 * n // 4, 3))
+    xr = r.uniform([8.0, 0.05, 0.05], [15.95, 3.95, 3.95], (n // 4, 3))
+    x = np.concatenate([xl, xr])
+    v = r.normal(0, 0.4, (n, 3))
+    cfg = SceneConfig(
+        box=box, masses=(1.0,), dt=0.004,
+        pair=DPDParams.create(temp=0.0, cutoff=1.0, seed=5, a0=25.0,
+                              gamma=3.0),
+        capacity=Capacity(n_max=n, cell_capacity=24),
+        skin=0.3, force_path="nlist")
+    st = setup(cfg, init_state(cfg, x, v=v))
+    mesh = make_mesh(NDEV)
+
+    cuts = balanced_boundaries(cfg, st, NDEV)
+    assert len(cuts) == NDEV + 1
+    assert min(np.diff(cuts)) >= 1.0 - 1e-9
+
+    geom_u = make_slab_geom(cfg, NDEV, n_loc=240)
+    geom_b = make_slab_geom(cfg, NDEV, n_loc=240, boundaries=cuts)
+    s_u = shard_by_slab(cfg, geom_u, st, mesh)
+    s_b = shard_by_slab(cfg, geom_b, st, mesh)
+
+    def per_dev_counts(s, geom):
+        alive = np.asarray(s.alive)
+        owner = np.arange(geom.capacity) // geom.n_loc
+        return np.asarray([int(alive[owner == d].sum())
+                           for d in range(NDEV)])
+
+    cu = per_dev_counts(s_u, geom_u)
+    cb = per_dev_counts(s_b, geom_b)
+    assert cb.max() - cb.min() < cu.max() - cu.min(), (cu, cb)
+    assert cb.max() <= int(1.35 * n / NDEV), cb   # near-balanced
+
+    step_u = make_slab_step(cfg, mesh, geom_u)
+    step_b = make_slab_step(cfg, mesh, geom_b)
+    for _ in range(3):
+        s_u = step_u(s_u)
+        s_b = step_b(s_b)
+    assert int(s_b.cell_overflow) == 0
+    au, ab = np.asarray(s_u.alive), np.asarray(s_b.alive)
+    mu = {int(t): np.asarray(s_u.x)[i]
+          for i, t in enumerate(np.asarray(s_u.tag)) if au[i]}
+    mb = {int(t): np.asarray(s_b.x)[i]
+          for i, t in enumerate(np.asarray(s_b.tag)) if ab[i]}
+    assert set(mu) == set(mb)
+    diffs = [np.abs(mu[t] - mb[t]).max() for t in mu]
+    assert max(diffs) < 1e-4, max(diffs)
