@@ -333,6 +333,27 @@ class Interpreter:
     def cmd_unfix(self, a):
         pass
 
+    def cmd_min_style(self, a):
+        if a[0] != "fire":
+            raise ScriptError(
+                f"min_style {a[0]} unsupported (fire; CG line searches are "
+                "host-sequential and not implemented)")
+
+    def cmd_minimize(self, a):
+        # minimize etol ftol maxiter maxeval (min.cpp); maxeval folds into
+        # maxiter here (one force evaluation per FIRE iteration)
+        etol, ftol = float(a[0]), float(a[1])
+        maxiter = int(a[2])
+        if len(a) > 3:
+            maxiter = min(maxiter, int(a[3]))
+        self._build()
+        from ..minimize import minimize as _minimize
+        res = _minimize(self.cfg, self.state, ftol=ftol, etol=etol,
+                        maxiter=maxiter)
+        self.state = res.state
+        self.log(f"  minimize: {res.iters} iterations, fmax {res.fmax:.3e},"
+                 f" energy {res.energy:.6g}")
+
     def cmd_run(self, a):
         n = int(a[0])
         self._build()

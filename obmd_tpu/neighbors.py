@@ -98,6 +98,12 @@ def _nlist_chunk(p: NeighborParams, box: Box, table, x, alive, me, xi, ai):
     ok = (rsq < rlist2) & (jdx != me[:, None]) & \
         (xj[..., 0] < BIG * 0.5) & ai[:, None]
     key = jnp.where(ok, 1.0e9 - rsq, -1.0)
+    if key.shape[1] < k:
+        # tiny scene: the candidate pool is narrower than the row capacity
+        pad = k - key.shape[1]
+        key = jnp.pad(key, ((0, 0), (0, pad)), constant_values=-1.0)
+        jdx = jnp.pad(jdx, ((0, 0), (0, pad)), constant_values=n)
+        ok = jnp.pad(ok, ((0, 0), (0, pad)), constant_values=False)
     _, pos = jax.lax.top_k(key, k)                     # [C, K]
     chosen = jnp.take_along_axis(jdx, pos, axis=1)
     chosen_ok = jnp.take_along_axis(ok, pos, axis=1)
