@@ -526,6 +526,14 @@ class ObmdParams:
     # (ref :475-500 hands inserted molecules to a rigid fix; here the
     # engine integrates every mol != 0 atom rigidly via obmd_tpu.rigid).
     rigid: bool = False
+    # fix-deposit z-offset keywords (ref :880 rate, :947-985 global/
+    # local): `rate r` shifts candidate z linearly in simulation time;
+    # `global lo hi` resets candidate z to lo..hi above the highest alive
+    # atom; `local lo hi delta` above the highest atom within lateral
+    # (x,y) distance delta of the candidate.
+    deposit_global: Optional[Tuple[float, float]] = None
+    deposit_local: Optional[Tuple[float, float, float]] = None
+    rate: Optional[float] = None
     # `id next|max` — tag policy: "next" counts up from the running
     # maximum (never reuses ids); "max" recomputes the max over alive
     # atoms each stage call, reusing ids freed by deletion (ref :911
@@ -588,6 +596,9 @@ class ObmdParams:
         # region3/4 is accepted as the zero-extent case — valid only while
         # no shear stress is requested (a callable pxy/pxz cannot be
         # checked at build time, so it requires the regions).
+        if self.deposit_global is not None and self.deposit_local is not None:
+            raise ValueError("global and local are mutually exclusive "
+                             "(fix_obmd_merged.cpp:2088-2095)")
         if self.region3 is None or self.region4 is None:
             for name in ("pxy", "pxz"):
                 v = getattr(self, name)

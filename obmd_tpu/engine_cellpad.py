@@ -240,7 +240,7 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
                 # trajectories are draw-identical with older runs
                 kc, kr = jax.random.split(jax.random.fold_in(side_key, r))
                 tsel = jnp.zeros((K,), jnp.int32)
-            centers, ok0 = draw_candidates(cfg, kc, region, K, dtype)
+            centers, ok0 = draw_candidates(cfg, kc, region, K, dtype, state=state)
             rots = random_rotations(kr, K, dtype, axis=obmd.orient)
             am_k = am_s[tsel]                              # [K, m]
             types_k = ty_s[tsel]
@@ -390,9 +390,9 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     it_l = it_r = jnp.zeros((), jnp.int32)
     for r in range(rounds):
         cand_l, ok0_l = draw_candidates(cfg, keys_l[r], obmd.region5, K,
-                                        dtype)
+                                        dtype, state=state)
         cand_r, ok0_r = draw_candidates(cfg, keys_r[r], obmd.region6, K,
-                                        dtype)
+                                        dtype, state=state)
         if obmd.usher is not None:
             # both buffers in ONE search: the per-iteration launch
             # overhead dominates the [K,B] math at production sizes.

@@ -761,10 +761,24 @@ class Interpreter:
                 self.log("# fix obmd target: inert (insertion velocity is "
                          "always zero in the reference)")
                 i += 4
-            elif k in ("global", "local", "rate"):
-                raise ScriptError(
-                    f"fix obmd {k}: deposit-style z-offset ramping has no "
-                    "meaning for open-x OBMD buffers and is not supported")
+            elif k == "global":
+                # global lo hi: candidate z reset to lo..hi above the
+                # highest alive atom (fix-deposit semantics, ref :947-985)
+                params["deposit_global"] = (float(kw[i + 1]),
+                                            float(kw[i + 2]))
+                i += 3
+            elif k == "local":
+                # local lo hi delta: as global but over atoms within
+                # lateral distance delta of the candidate
+                params["deposit_local"] = (float(kw[i + 1]),
+                                           float(kw[i + 2]),
+                                           float(kw[i + 3]))
+                i += 4
+            elif k == "rate":
+                # rate r: candidate z offset grows linearly in time
+                # (ref :880,2114)
+                params["rate"] = float(kw[i + 1])
+                i += 2
             elif k == "rigid":
                 # ref hooks insertion into a named fix rigid
                 # (fix_obmd_merged.cpp:475-500,1163-1168); here the engine

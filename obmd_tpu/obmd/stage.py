@@ -250,20 +250,53 @@ def _sequential_accept(cfg: SceneConfig, cand_x, cand_type, cand_ok, budget):
     return accepted, count
 
 
-def draw_candidates(cfg: SceneConfig, k_key, region, K: int, dtype):
+def draw_candidates(cfg: SceneConfig, k_key, region, K: int, dtype,
+                    state: State = None):
     """Candidate positions + initial validity: uniform in the insertion
     region (ref :921-927) or, with the `gaussian` keyword, normal draws
     around a point (ref :930-932) — gaussian draws landing outside the
-    insertion region are invalid."""
+    insertion region are invalid.  The fix-deposit `rate` / `global` /
+    `local` keywords then adjust the z coordinate (ref :880, :947-985)."""
     obmd = cfg.obmd
     if obmd.gaussian is not None:
         xm, ym, zm, sg = (float(v) for v in obmd.gaussian)
         g = jax.random.normal(k_key, (K, 3), dtype=dtype)
         mid = jnp.asarray([xm, ym, zm], dtype=dtype)
         cand = mid + jnp.asarray(sg, dtype) * g
-        return cand, region.match(cand)
-    u = jax.random.uniform(k_key, (K, 3), dtype=dtype)
-    return region.sample_uniform(u), jnp.ones((K,), bool)
+        ok = region.match(cand)
+    else:
+        u = jax.random.uniform(k_key, (K, 3), dtype=dtype)
+        cand = region.sample_uniform(u)
+        ok = jnp.ones((K,), bool)
+    if (obmd.rate is not None or obmd.deposit_global is not None
+            or obmd.deposit_local is not None):
+        if state is None:
+            raise ValueError("deposit z keywords need the state at the "
+                             "candidate draw site")
+        sdt = jnp.dtype(dtype).type    # scalar ctor (dtype may be either)
+        z = cand[:, 2]
+        if obmd.rate is not None:
+            # ref :880: offset = elapsed time * rate (fix start = t 0)
+            z = z + sdt(obmd.rate) * state.sim_time
+        dep = obmd.deposit_global or obmd.deposit_local
+        if dep is not None:
+            lo, hi = float(dep[0]), float(dep[1])
+            zs = state.x[:, 2]
+            sel = state.alive
+            if obmd.deposit_local is not None:
+                delta = float(obmd.deposit_local[2])
+                d = cfg.box.min_image(cand[:, None, :] - state.x[None, :, :])
+                lat2 = d[..., 0] ** 2 + d[..., 1] ** 2
+                sel = sel[None, :] & (lat2 <= sdt(delta * delta))
+                zmax = jnp.max(jnp.where(sel, zs[None, :],
+                                         sdt(cfg.box.lo[2])), axis=1)
+            else:
+                zmax = jnp.max(jnp.where(sel, zs, sdt(cfg.box.lo[2])))
+            uz = jax.random.uniform(jax.random.fold_in(k_key, 0x5a), (K,),
+                                    dtype=dtype)
+            z = zmax + sdt(lo) + uz * sdt(hi - lo)
+        cand = jnp.concatenate([cand[:, :2], z[:, None]], axis=1)
+    return cand, ok
 
 
 def draw_inserted_velocities(cfg: SceneConfig, key, pos, dtype):
@@ -367,7 +400,8 @@ def insert_particles_subset(cfg: SceneConfig, state: State,
         poss, accs = [], []
         iters_sum = jnp.zeros((), jnp.int32)
         for r in range(rounds):
-            cand, ok0 = draw_candidates(cfg, side_keys[r], region, K, dtype)
+            cand, ok0 = draw_candidates(cfg, side_keys[r], region, K,
+                                        dtype, state=state)
             if obmd.usher is not None:
                 pos, ok, iters = usher_search_subset(cfg, sub, cand, ctype,
                                                      region)

@@ -132,6 +132,12 @@ def make_slab_geom(cfg: SceneConfig, ndev: int, *, n_loc: int = 0,
         raise NotImplementedError(
             "slab path: inserted-velocity keywords not wired "
             "(insertions are at rest, the reference default :1076-1078)")
+    if cfg.obmd is not None and any(
+            getattr(cfg.obmd, k) is not None
+            for k in ("deposit_global", "deposit_local", "rate")):
+        raise NotImplementedError(
+            "slab path: deposit z-offset keywords not wired "
+            "(the z-max scan needs a pmax reduction)")
     lx = box.lengths[0]
     slab_w = float(np.max(np.diff(boundaries)))   # widest slab sizes grids
     if slab_w < cut:
