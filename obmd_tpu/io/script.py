@@ -62,6 +62,7 @@ class Interpreter:
         self.obmd_args: Optional[List[str]] = None
         self.molecules: Dict[str, tuple] = {}
         self.atom_var_exprs: Dict[str, str] = {}
+        self.langevin = None
         self.bond_style: Optional[str] = None
         self.bond_coeffs: Dict[int, List[float]] = {}
         self.angle_style: Optional[str] = None
@@ -327,6 +328,18 @@ class Interpreter:
             return  # velocity-Verlet is the engine's integrator
         if style == "obmd":
             self.obmd_args = a[3:]
+            return
+        if style == "langevin":
+            # fix ID group langevin Tstart Tstop damp seed
+            # (fix_langevin.cpp; constant T only — a ramp needs the run
+            # window inside the jitted step)
+            t0, t1 = float(a[3]), float(a[4])
+            if t0 != t1:
+                raise ScriptError("fix langevin: temperature ramp "
+                                  "unsupported (Tstart must equal Tstop)")
+            from ..config import LangevinParams
+            self.langevin = LangevinParams(temp=t0, damp=float(a[5]),
+                                           seed=int(a[6]))
             return
         raise ScriptError(f"fix style {style} unsupported")
 
@@ -822,7 +835,7 @@ class Interpreter:
         self.cfg = SceneConfig(
             box=box, masses=tuple(masses), pair=pair, dt=self.dt,
             capacity=Capacity(n_max=n_max, cell_capacity=self.cell_capacity),
-            obmd=obmd, bond=bond, angle=angle,
+            obmd=obmd, bond=bond, angle=angle, langevin=self.langevin,
             skin=max(self.skin, 0.0)).finalize()
         # pick the fastest engine this scene supports
         from ..engine_cellpad import supports

@@ -197,3 +197,45 @@ run             0
         else:
             with pytest.raises(ValueError, match="MOLECULE-mode"):
                 it.run_lines(deck.splitlines())
+
+
+def test_fix_langevin_deck(tmp_path):
+    """`fix ID group langevin T T damp seed` thermostats a deck run to the
+    set temperature (fix_langevin.cpp; constant-T only)."""
+    import numpy as np
+    from obmd_tpu.io.lammps_data import DataFile, write_data
+    from obmd_tpu.io.script import run_script
+
+    r = np.random.RandomState(3)
+    n = 120
+    x = r.uniform(0.2, 5.8, (n, 3))
+    df = DataFile(natoms=n, ntypes=1, box_lo=np.zeros(3),
+                  box_hi=np.full(3, 6.0), masses=np.ones(1), x=x,
+                  types=np.zeros(n, int), tags=np.arange(1, n + 1))
+    p = tmp_path / "s.data"
+    write_data(str(p), df)
+    deck = tmp_path / "in.l"
+    deck.write_text(f"""
+units lj
+boundary p p p
+atom_style atomic
+read_data {p}
+pair_style dpd 0.0 1.0 77
+pair_coeff 1 1 5.0 0.0
+fix 1 all nve
+fix 2 all langevin 0.8 0.8 0.5 9871
+timestep 0.004
+thermo 100
+run 400
+""")
+    lines = []
+    run_script(str(deck), log_fn=lines.append)
+    T = float(lines[-1].split()[-1])
+    assert 0.5 < T < 1.2, T
+    # T ramps refuse loudly
+    import pytest
+    from obmd_tpu.io.script import Interpreter, ScriptError
+    it = Interpreter(log_fn=lambda *a: None)
+    with pytest.raises(ScriptError, match="ramp"):
+        it.run_lines(["units lj",
+                      "fix 2 all langevin 0.5 1.0 0.5 1"])
