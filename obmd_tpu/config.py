@@ -396,6 +396,29 @@ def derive_center_angle_table(ntypes: int, angles, atom_types, bonds,
 
 
 @dataclasses.dataclass(frozen=True)
+class DihedralHarmonicParams:
+    """`dihedral_style harmonic` (dihedral_harmonic.cpp):
+    E = K [1 + d cos(n phi)] per dihedral, d = +-1, n >= 1.
+
+    Storage is center-BOND based (no dihedral array in the fixed-capacity
+    state): every bonded pair (j, k) where BOTH atoms have two bond
+    partners spans one dihedral i-j-k-l with i/l the other partners --
+    exactly the chain-topology quadruples.  One coefficient set (single
+    dihedral type); templates/data files declaring dihedrals are
+    validated to match the implicit chain quadruples."""
+
+    k: float
+    d: int = 1
+    n: int = 1
+
+    def __post_init__(self):
+        if self.d not in (1, -1):
+            raise ValueError("dihedral harmonic: d must be +1 or -1")
+        if self.n < 1:
+            raise ValueError("dihedral harmonic: n must be >= 1")
+
+
+@dataclasses.dataclass(frozen=True)
 class LangevinParams:
     """`fix langevin T T damp seed` (fix_langevin.cpp semantics):
     f += -(m/damp) v + sqrt(24 kB T m / (damp dt)) * uniform(-0.5, 0.5),
@@ -425,6 +448,8 @@ class MolTemplate:
     # consumed by derive_center_angle_table when the deck defines an
     # angle_style (molecule.cpp's Angles section)
     angles: Tuple[Tuple[int, int, int, int], ...] = ()
+    # declared dihedrals, (type, a1..a4) 0-based (molecule.cpp Dihedrals)
+    dihedrals: Tuple[Tuple[int, int, int, int, int], ...] = ()
 
     @property
     def natoms(self) -> int:
@@ -444,7 +469,11 @@ class MolTemplate:
                                          else [])),
             angles=tuple((int(t), int(a) - 1, int(b) - 1, int(c) - 1)
                          for t, a, b, c in (m.angles if m.angles is not None
-                                            else [])))
+                                            else [])),
+            dihedrals=tuple(
+                (int(t), int(a) - 1, int(b) - 1, int(c) - 1, int(e) - 1)
+                for t, a, b, c, e in (m.dihedrals
+                                      if m.dihedrals is not None else [])))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -637,6 +666,7 @@ class SceneConfig:
     obmd: Optional[ObmdParams] = None
     bond: Optional["BondParams"] = None     # bond style (topology in State)
     angle: Optional[AngleHarmonicParams] = None
+    dihedral: Optional[DihedralHarmonicParams] = None
     # fix rigid analogue: integrate every mol != 0 atom as a rigid body
     # (obmd_tpu.rigid; implied by fix obmd's `rigid` keyword)
     rigid: bool = False

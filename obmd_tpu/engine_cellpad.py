@@ -115,6 +115,12 @@ def _forces(cfg, geom, kern, state: State):
             fa, _ = angle_forces(cfg.angle, cfg.box, state.x, state.bond1,
                                  state.bond2, state.type, state.alive)
             f = f + fa
+    if cfg.dihedral is not None:
+        from .forces.bonded import dihedral_forces
+        with jax.named_scope("dihedral"):
+            fd, _ = dihedral_forces(cfg.dihedral, cfg.box, state.x,
+                                    state.bond1, state.bond2, state.alive)
+            f = f + fd
     if cfg.langevin is not None:
         from .forces.bonded import langevin_force
         f = f + langevin_force(cfg.langevin, cfg, state)

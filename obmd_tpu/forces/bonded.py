@@ -222,6 +222,120 @@ def angle_forces(angle, box: Box, x, bond1, bond2, type_, alive,
     return (f, e) if compute_energy else (f, None)
 
 
+def dihedral_forces(dih, box: Box, x, bond1, bond2, alive,
+                    compute_energy: bool = False):
+    """Harmonic dihedral force with center-bond storage: every bonded pair
+    (j, k) where BOTH atoms carry two bond partners spans the chain
+    dihedral i-j-k-l (i/l = the other partners).  Each atom accumulates
+    its OWN gradient for every dihedral it participates in — once per
+    role (end x1 via a 2-hop partner walk, center x2 per own bond), so no
+    scatter-add and each dihedral's four gradients are computed by their
+    four owners (dihedral_harmonic.cpp semantics, E = K[1 + d cos(n phi)]
+    with phi from the atan2 construction).
+
+    Forces are exact autodiff gradients of the energy; degenerate
+    geometries (collinear bonds) are sanitized with the double-where
+    pattern before differentiation."""
+    import jax
+    dtype = x.dtype
+    n = x.shape[0]
+    K = float(dih.k)
+    dsign = float(dih.d)
+    nper = int(dih.n)
+
+    x4 = jnp.concatenate([x, jnp.zeros((n, 1), dtype)], axis=1)
+
+    def gxyz(j, has):
+        return gather_padded(x4, jnp.where(has, j, n), BIG)[:, :3]
+
+    def e_dihedral(x1, x2, x3, x4_):
+        b1 = box.min_image(x2 - x1)
+        b2 = box.min_image(x3 - x2)
+        b3 = box.min_image(x4_ - x3)
+        n1 = jnp.cross(b1, b2)
+        n2 = jnp.cross(b2, b3)
+        b2n = jnp.sqrt(jnp.maximum(jnp.sum(b2 * b2, axis=-1), 1e-12))
+        # phi = atan2((n1 x n2) . b2hat, n1 . n2)  (standard construction)
+        sin_t = jnp.sum(jnp.cross(n1, n2) * b2, axis=-1) / b2n
+        cos_t = jnp.sum(n1 * n2, axis=-1)
+        phi = jnp.arctan2(sin_t, cos_t)
+        return K * (1.0 + dsign * jnp.cos(nper * phi))
+
+    def other(p, me_idx):
+        ps = jnp.clip(p, 0, n - 1)
+        pb1 = bond1[ps]
+        pb2 = bond2[ps]
+        oth = jnp.where(pb1 == me_idx, pb2, pb1)
+        return oth, (p >= 0) & (pb1 >= 0) & (pb2 >= 0)
+
+    me = jnp.arange(n, dtype=bond1.dtype)
+    f = jnp.zeros((n, 3), dtype)
+    e = jnp.zeros((n,), dtype) if compute_energy else None
+
+    # non-degenerate sanitization offsets (double-where: grads of masked
+    # rows must be finite even though they are discarded)
+    s1 = jnp.asarray([1.0, 0.0, 0.0], dtype)
+    s2 = jnp.asarray([1.0, 1.0, 0.0], dtype)
+    s3 = jnp.asarray([0.0, 1.0, 1.0], dtype)
+
+    def role_force(ok, xs_self, xa, xb, xc, role):
+        """-(d/dx_self) sum E with x_self at `role` (0 = x1, 1 = x2)."""
+        ok3 = ok[:, None]
+        a = jnp.where(ok3, xa, xs_self + s1)
+        b = jnp.where(ok3, xb, xs_self + s2)
+        c = jnp.where(ok3, xc, xs_self + s3)
+
+        def etot(xs):
+            if role == 0:
+                ev = e_dihedral(xs, a, b, c)
+            else:
+                ev = e_dihedral(a, xs, b, c)
+            return jnp.sum(jnp.where(ok, ev, 0.0))
+
+        g = jax.grad(etot)(xs_self)
+        return -jnp.where(ok3, g, 0.0)
+
+    for partner in (bond1, bond2):
+        pj = jnp.clip(partner, 0, n - 1)
+        has_p = alive & (partner >= 0) & alive[pj]
+
+        # ---- center role: I am x2 of the dihedral over bond (me, p) ----
+        # i = my other partner, k = p, l = p's other partner
+        i_idx = jnp.where(bond1 == partner, bond2, bond1)
+        l_idx, p_has2 = other(partner, me)
+        ok_c = (has_p & (i_idx >= 0) & p_has2 & (l_idx >= 0)
+                & alive[jnp.clip(i_idx, 0, n - 1)]
+                & alive[jnp.clip(l_idx, 0, n - 1)])
+        xi = gxyz(i_idx, ok_c)
+        xk = gxyz(pj, ok_c)
+        xl = gxyz(l_idx, ok_c)
+        f = f + role_force(ok_c, x, xi, xk, xl, role=1)
+        if compute_energy:
+            # each dihedral has exactly two center roles: half share each
+            ok3 = ok_c[:, None]
+            ev = e_dihedral(jnp.where(ok3, xi, x + s1), x,
+                            jnp.where(ok3, xk, x + s2),
+                            jnp.where(ok3, xl, x + s3))
+            e = e + 0.5 * jnp.where(ok_c, ev, 0.0)
+
+        # ---- end role: I am x1 via the 2-hop walk me -> j=p -> k -> l ----
+        j_idx = pj
+        k_idx, j_has2 = other(partner, me)
+        ks = jnp.clip(k_idx, 0, n - 1)
+        kb1 = bond1[ks]
+        kb2 = bond2[ks]
+        l2_idx = jnp.where(kb1 == j_idx, kb2, kb1)
+        ok_e = (has_p & j_has2 & (k_idx >= 0)
+                & alive[ks] & (kb1 >= 0) & (kb2 >= 0) & (l2_idx >= 0)
+                & alive[jnp.clip(l2_idx, 0, n - 1)])
+        xj = gxyz(j_idx, ok_e)
+        xk2 = gxyz(k_idx, ok_e)
+        xl2 = gxyz(l2_idx, ok_e)
+        f = f + role_force(ok_e, x, xj, xk2, xl2, role=0)
+
+    return (f, e) if compute_energy else (f, None)
+
+
 def langevin_force(lp: LangevinParams, cfg: SceneConfig, state):
     """fix langevin drag + random kicks (fix_langevin.cpp gfactor1/2)."""
     from ..state import per_atom_mass

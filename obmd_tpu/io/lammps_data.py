@@ -34,6 +34,7 @@ class DataFile:
     mol: Optional[np.ndarray] = None
     bonds: Optional[np.ndarray] = None  # [nb, 2] atom-tag pairs
     angles: Optional[np.ndarray] = None  # [na, 4] (type, a1, a2, a3) tags
+    dihedrals: Optional[np.ndarray] = None  # [nd, 5] (type, a1..a4) tags
 
     def box(self, periodic=(False, True, True)) -> Box:
         return Box(tuple(float(v) for v in self.box_lo),
@@ -106,6 +107,7 @@ def _read_data_py(path: str, atom_style: str = "atomic") -> DataFile:
     mol = None
     bonds = None
     angles = None
+    dihedrals = None
     types = np.zeros(natoms, np.int32)
     tags = np.zeros(natoms, np.int32)
 
@@ -168,6 +170,14 @@ def _read_data_py(path: str, atom_style: str = "atomic") -> DataFile:
                 alist.append((int(t[1]), int(t[2]), int(t[3]), int(t[4])))
                 i += 1
             angles = np.asarray(alist, dtype=np.int64)
+        elif header == "Dihedrals":
+            i = _skip_blank(lines, i)
+            dlist = []
+            while i < n and _tokens(lines[i]):
+                t = _tokens(lines[i])
+                dlist.append(tuple(int(v) for v in t[1:6]))
+                i += 1
+            dihedrals = np.asarray(dlist, dtype=np.int64)
         elif header == "Velocities":
             i = _skip_blank(lines, i)
             v = np.zeros((natoms, 3))
@@ -184,7 +194,8 @@ def _read_data_py(path: str, atom_style: str = "atomic") -> DataFile:
 
     return DataFile(natoms=natoms, ntypes=ntypes, box_lo=lo, box_hi=hi,
                     masses=masses, x=x, types=types, tags=tags, v=v, q=q,
-                    mol=mol, bonds=bonds, angles=angles)
+                    mol=mol, bonds=bonds, angles=angles,
+                    dihedrals=dihedrals)
 
 
 def _skip_blank(lines, i):

@@ -25,6 +25,7 @@ class MoleculeTemplate:
     masses: Optional[np.ndarray] = None   # per-atom masses (optional section)
     bonds: Optional[np.ndarray] = None    # [nb, 3] (type, a1, a2) 1-based ids
     angles: Optional[np.ndarray] = None   # [na, 4]
+    dihedrals: Optional[np.ndarray] = None  # [nd, 5] (type, a1..a4)
     rep_atom: Optional[int] = None        # fork's representative atom (1-based)
 
     @property
@@ -46,7 +47,7 @@ def _clean(line: str) -> str:
 def read_molecule(path: str) -> MoleculeTemplate:
     lines = open(path).read().splitlines()
     natoms = 0
-    nbonds = nangles = 0
+    nbonds = nangles = ndihedrals = 0
     i = 1  # skip title
     n = len(lines)
     # header
@@ -62,8 +63,10 @@ def read_molecule(path: str) -> MoleculeTemplate:
             nbonds = int(t[0])
         elif s.endswith("angles"):
             nangles = int(t[0])
+        elif s.endswith("dihedrals"):
+            ndihedrals = int(t[0])
         elif t[0] in ("Coords", "Types", "Charges", "Masses", "Bonds",
-                      "Angles", "Special"):
+                      "Angles", "Dihedrals", "Special"):
             break
         i += 1
 
@@ -73,6 +76,7 @@ def read_molecule(path: str) -> MoleculeTemplate:
     masses = None
     bonds = None
     angles = None
+    dihedrals = None
 
     def read_rows(count, width):
         nonlocal i
@@ -110,9 +114,13 @@ def read_molecule(path: str) -> MoleculeTemplate:
         elif header == "Angles":
             r = read_rows(nangles, 5)
             angles = r[:, 1:5].astype(np.int32)
+        elif header == "Dihedrals":
+            r = read_rows(ndihedrals, 6)
+            dihedrals = r[:, 1:6].astype(np.int32)
         else:
             while i < n and _clean(lines[i]):
                 i += 1
 
     return MoleculeTemplate(natoms=natoms, x=x, types=types, q=q,
-                            masses=masses, bonds=bonds, angles=angles)
+                            masses=masses, bonds=bonds, angles=angles,
+                            dihedrals=dihedrals)

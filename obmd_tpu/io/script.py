@@ -67,6 +67,8 @@ class Interpreter:
         self.bond_coeffs: Dict[int, List[float]] = {}
         self.angle_style: Optional[str] = None
         self.angle_coeffs: Dict[int, tuple] = {}
+        self.dihedral_style: Optional[str] = None
+        self.dihedral_coeffs: Dict[int, tuple] = {}
         self.thermo_every = 0
         self.thermo_cols = ["step", "temp"]
         self.dumps: List[tuple] = []
@@ -281,6 +283,18 @@ class Interpreter:
             raise ScriptError("angle_coeff before angle_style")
         t = 1 if a[0] == "*" else int(a[0])
         self.angle_coeffs[t] = (float(a[1]), float(a[2]))
+
+    def cmd_dihedral_style(self, a):
+        if a[0] != "harmonic":
+            raise ScriptError(
+                f"dihedral style {a[0]} unsupported (harmonic)")
+        self.dihedral_style = a[0]
+
+    def cmd_dihedral_coeff(self, a):
+        if self.dihedral_style is None:
+            raise ScriptError("dihedral_coeff before dihedral_style")
+        t = 1 if a[0] == "*" else int(a[0])
+        self.dihedral_coeffs[t] = (float(a[1]), int(a[2]), int(a[3]))
 
     def cmd_special_bonds(self, a):
         # the engines implement `special_bonds 0 1 1` semantics (1-2
@@ -641,6 +655,43 @@ class Interpreter:
                 t0[t] = tab.theta0[t]
         return AngleHarmonicParams(k=tuple(k), theta0=tuple(t0))
 
+    def _build_dihedral(self, obmd=None):
+        if self.dihedral_style is None:
+            return None
+        if not self.dihedral_coeffs:
+            raise ScriptError("dihedral_style given but no dihedral_coeff")
+        from ..config import DihedralHarmonicParams
+        sets = set(self.dihedral_coeffs.values())
+        if len(sets) > 1:
+            raise ScriptError("one dihedral type supported "
+                              "(identical coefficients)")
+        k, d, nn = next(iter(sets))
+        params = DihedralHarmonicParams(k=k, d=d, n=nn)
+        # validate declared dihedrals against the implicit chain quadruples
+        def check(dihs, bonds, where):
+            bond_set = set()
+            for i, j in bonds:
+                bond_set.add((int(i), int(j)))
+                bond_set.add((int(j), int(i)))
+            for row in dihs:
+                _t, a1, a2, a3, a4 = (int(v) for v in row)
+                for e in ((a1, a2), (a2, a3), (a3, a4)):
+                    if e not in bond_set:
+                        raise ScriptError(
+                            f"dihedral {a1}-{a2}-{a3}-{a4} in {where}: "
+                            "the center-bond storage needs chain "
+                            "quadruples (every edge bonded)")
+        d_ = self.data
+        if d_ is not None and d_.dihedrals is not None:
+            if d_.bonds is None:
+                raise ScriptError("Dihedrals section without Bonds")
+            check(d_.dihedrals, d_.bonds, "data file")
+        mol = getattr(obmd, "mol", None)
+        if mol is not None and getattr(mol, "dihedrals", ()):
+            check(mol.dihedrals,
+                  [(a + 1, b + 1) for a, b in mol.bonds], "template")
+        return params
+
     def _build_obmd(self) -> Optional[ObmdParams]:
         if self.obmd_args is None:
             return None
@@ -830,12 +881,14 @@ class Interpreter:
         obmd = self._build_obmd()
         bond = self._build_bond()
         angle = self._build_angle(ntypes, obmd)
+        dihedral = self._build_dihedral(obmd)
         n = self.data.natoms
         n_max = self.n_max or (int(n * 1.3) if obmd is not None else n)
         self.cfg = SceneConfig(
             box=box, masses=tuple(masses), pair=pair, dt=self.dt,
             capacity=Capacity(n_max=n_max, cell_capacity=self.cell_capacity),
-            obmd=obmd, bond=bond, angle=angle, langevin=self.langevin,
+            obmd=obmd, bond=bond, angle=angle, dihedral=dihedral,
+            langevin=self.langevin,
             skin=max(self.skin, 0.0)).finalize()
         # pick the fastest engine this scene supports
         from ..engine_cellpad import supports

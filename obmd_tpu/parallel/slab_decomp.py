@@ -120,8 +120,9 @@ def make_slab_geom(cfg: SceneConfig, ndev: int, *, n_loc: int = 0,
                     raise ValueError(
                         f"slab path: template bond length {blen:.3g} "
                         f"exceeds the halo width (pair cutoff {cut:.3g})")
-    if cfg.angle is not None:
-        raise NotImplementedError("slab path: angle forces not wired yet")
+    if cfg.angle is not None or cfg.dihedral is not None:
+        raise NotImplementedError(
+            "slab path: angle/dihedral forces not wired yet")
     if cfg.rigid:
         raise NotImplementedError(
             "slab path: rigid bodies not wired (rigid.py aggregates over "
