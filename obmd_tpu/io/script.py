@@ -63,6 +63,7 @@ class Interpreter:
         self.molecules: Dict[str, tuple] = {}
         self.atom_var_exprs: Dict[str, str] = {}
         self.langevin = None
+        self._velocity_ops: list = []
         self.bond_style: Optional[str] = None
         self.bond_coeffs: Dict[int, List[float]] = {}
         self.angle_style: Optional[str] = None
@@ -331,10 +332,17 @@ class Interpreter:
         self.dumps = [d for d in self.dumps if d[0] != a[0]]
 
     def cmd_velocity(self, a):
-        # velocity all create T seed  (simplified)
-        if a[1] != "create":
-            raise ScriptError("only `velocity <grp> create T seed` supported")
-        self._velocity_create = (float(a[2]), int(a[3]))
+        # velocity all create T seed | scale T | zero linear
+        # (velocity.cpp subsets decks actually use)
+        if a[1] == "create":
+            self._velocity_create = (float(a[2]), int(a[3]))
+        elif a[1] == "scale":
+            self._velocity_ops.append(("scale", float(a[2])))
+        elif a[1] == "zero" and a[2] == "linear":
+            self._velocity_ops.append(("zero_linear", 0.0))
+        else:
+            raise ScriptError(
+                "velocity: create T seed | scale T | zero linear")
 
     def cmd_fix(self, a):
         fid, group, style = a[0], a[1], a[2]
@@ -906,6 +914,16 @@ class Interpreter:
             r = np.random.default_rng(seed)
             v = r.normal(0, math.sqrt(temp), (n, 3))
             v -= v.mean(axis=0)
+        for op, val in self._velocity_ops:
+            if v is None:
+                v = np.zeros((n, 3))
+            v = np.asarray(v, float)
+            if op == "zero_linear":
+                v = v - v.mean(axis=0)
+            elif op == "scale":
+                t_cur = (v ** 2).sum() / max(3 * n - 3, 1)
+                if t_cur > 0:
+                    v = v * math.sqrt(val / t_cur)
         self.state = init_state(self.cfg, self.data.x, v=v,
                                 types=self.data.types, tags=self.data.tags,
                                 q=self.data.q, mol=self.data.mol,
