@@ -64,6 +64,8 @@ class Interpreter:
         self.atom_var_exprs: Dict[str, str] = {}
         self.langevin = None
         self._velocity_ops: list = []
+        self.chunks: Dict[str, tuple] = {}
+        self.ave_chunks: list = []
         self.bond_style: Optional[str] = None
         self.bond_coeffs: Dict[int, List[float]] = {}
         self.angle_style: Optional[str] = None
@@ -344,10 +346,53 @@ class Interpreter:
             raise ScriptError(
                 "velocity: create T seed | scale T | zero linear")
 
+    def cmd_compute(self, a):
+        # compute ID group chunk/atom bin/1d x lower <delta> units box|reduced
+        # (compute_chunk_atom.cpp: the 1d-bin pattern the OBMD profile
+        # workflow uses; other compute styles are unsupported)
+        cid, group, style = a[0], a[1], a[2]
+        if style != "chunk/atom" or a[3] != "bin/1d":
+            raise ScriptError(
+                f"compute {style}: only chunk/atom bin/1d supported")
+        axis = {"x": 0, "y": 1, "z": 2}[a[4]]
+        if a[5] != "lower":
+            raise ScriptError("compute chunk/atom: only `lower` origin")
+        delta = float(a[6])
+        units = "box"
+        if len(a) > 8 and a[7] == "units":
+            units = a[8]
+        if units not in ("box", "reduced"):
+            raise ScriptError("compute chunk/atom: units box|reduced")
+        self.chunks[cid] = (axis, delta, units)
+
     def cmd_fix(self, a):
         fid, group, style = a[0], a[1], a[2]
         if style == "nve":
             return  # velocity-Verlet is the engine's integrator
+        if style == "ave/chunk":
+            # fix ID group ave/chunk Nevery Nrepeat Nfreq chunkID
+            #     <density/number|vx|vy|vz|temp>... file <fname>
+            nev, nrep, nfrq = int(a[3]), int(a[4]), int(a[5])
+            cid = a[6]
+            if cid not in self.chunks:
+                raise ScriptError(f"ave/chunk: unknown chunk compute {cid}")
+            vals, fname, i = [], None, 7
+            while i < len(a):
+                if a[i] == "file":
+                    fname = a[i + 1]
+                    i += 2
+                    continue
+                if a[i] not in ("density/number", "vx", "vy", "vz", "temp"):
+                    raise ScriptError(f"ave/chunk value {a[i]} unsupported")
+                vals.append(a[i])
+                i += 1
+            if fname is None:
+                raise ScriptError("ave/chunk: file <name> required")
+            self.ave_chunks.append(
+                {"id": fid, "chunk": cid, "nevery": nev, "nrepeat": nrep,
+                 "nfreq": nfrq, "values": vals, "file": fname,
+                 "samples": [], "wrote_header": False})
+            return
         if style == "obmd":
             self.obmd_args = a[3:]
             return
@@ -951,6 +996,12 @@ class Interpreter:
             for (_id, _style, every, fname, dargs) in self.dumps:
                 if every and self.total_steps % every == 0:
                     self._write_dump(fname, _style, dargs)
+            for ac in self.ave_chunks:
+                if self.total_steps % ac["nevery"] == 0:
+                    ac["samples"].append(self._chunk_sample(ac))
+                    ac["samples"] = ac["samples"][-ac["nrepeat"]:]
+                if self.total_steps % ac["nfreq"] == 0 and ac["samples"]:
+                    self._write_ave_chunk(ac)
         if not emitted_last:
             self._emit_thermo()
 
@@ -1002,6 +1053,61 @@ class Interpreter:
             return self._eval_var(nm)
         env["_V"] = _V
         return np.asarray(eval(py, {"__builtins__": {}}, env))  # noqa: S307
+
+    def _chunk_sample(self, ac):
+        """One per-bin sample: (count, sum m v^2, sum vx, vy, vz)."""
+        axis, delta, units = self.chunks[ac["chunk"]]
+        box = self.cfg.box
+        lo, hi = box.lo[axis], box.hi[axis]
+        width = (hi - lo) * delta if units == "reduced" else delta
+        nbins = max(1, int(np.ceil((hi - lo) / width)))
+        st = self.state
+        alive = np.asarray(st.alive)
+        x = np.asarray(st.x)[alive][:, axis]
+        v = np.asarray(st.v)[alive]
+        m = np.asarray(self.cfg.masses)[np.asarray(st.type)[alive]]
+        b = np.clip(((x - lo) / width).astype(np.int64), 0, nbins - 1)
+        cnt = np.bincount(b, minlength=nbins).astype(float)
+        mv2 = np.bincount(b, weights=m * (v ** 2).sum(axis=1),
+                          minlength=nbins)
+        sums = {"vx": np.bincount(b, weights=v[:, 0], minlength=nbins),
+                "vy": np.bincount(b, weights=v[:, 1], minlength=nbins),
+                "vz": np.bincount(b, weights=v[:, 2], minlength=nbins)}
+        return nbins, width, cnt, mv2, sums
+
+    def _write_ave_chunk(self, ac):
+        axis, delta, units = self.chunks[ac["chunk"]]
+        box = self.cfg.box
+        lo = box.lo[axis]
+        lens = [box.lengths[i] for i in range(3) if i != axis]
+        nbins, width, _, _, _ = ac["samples"][0]
+        vol = width * lens[0] * lens[1]
+        cnt = np.mean([s[2] for s in ac["samples"]], axis=0)
+        mv2 = np.mean([s[3] for s in ac["samples"]], axis=0)
+        vsum = {k: np.mean([s[4][k] for s in ac["samples"]], axis=0)
+                for k in ("vx", "vy", "vz")}
+        mode = "a" if ac["wrote_header"] else "w"
+        with open(ac["file"], mode) as fh:
+            if not ac["wrote_header"]:
+                fh.write("# Chunk-averaged data (obmd_tpu fix ave/chunk)\n")
+                fh.write("# Timestep Number-of-chunks Total-count\n")
+                fh.write("# Chunk Coord1 Ncount "
+                         + " ".join(ac["values"]) + "\n")
+                ac["wrote_header"] = True
+            fh.write(f"{self.total_steps} {nbins} {cnt.sum():.0f}\n")
+            for i in range(nbins):
+                c = max(cnt[i], 1e-30)
+                cols = []
+                for val in ac["values"]:
+                    if val == "density/number":
+                        cols.append(cnt[i] / vol)
+                    elif val == "temp":
+                        cols.append(mv2[i] / (3.0 * c))
+                    else:
+                        cols.append(vsum[val][i] / c)
+                row = " ".join(f"{v:.8g}" for v in cols)
+                fh.write(f"  {i + 1} {lo + (i + 0.5) * width:.6f} "
+                         f"{cnt[i]:.4f} {row}\n")
 
     def _write_dump(self, fname, style="xyz", dargs=()):
         if style == "custom":

@@ -60,3 +60,45 @@ def test_obmd_metrics_stream():
     # setpoint x-components have the +pxx*A / -pxx*A signs (ref :607-630)
     assert float(m.momentum_force_left[0]) > 0
     assert float(m.momentum_force_right[0]) < 0
+
+
+def test_deck_ave_chunk_profiles(tmp_path):
+    """compute chunk/atom bin/1d + fix ave/chunk (the OBMD profile
+    workflow): density/number integrates to N/V, file format parses."""
+    import numpy as np
+    from obmd_tpu.io.lammps_data import DataFile, write_data
+    from obmd_tpu.io.script import run_script
+
+    r = np.random.RandomState(5)
+    n = 400
+    x = r.uniform([0.05, 0, 0], [7.95, 4, 4], (n, 3))
+    df = DataFile(natoms=n, ntypes=1, box_lo=np.zeros(3),
+                  box_hi=np.array([8.0, 4, 4]), masses=np.ones(1), x=x,
+                  types=np.zeros(n, int), tags=np.arange(1, n + 1),
+                  v=r.normal(0, 1, (n, 3)))
+    p = tmp_path / "s.data"
+    write_data(str(p), df)
+    prof = tmp_path / "prof.out"
+    deck = tmp_path / "in.p"
+    deck.write_text(f"""
+units lj
+boundary p p p
+atom_style atomic
+read_data {p}
+pair_style dpd 1.0 1.0 7
+pair_coeff 1 1 25.0 4.5
+compute cc all chunk/atom bin/1d x lower 0.05 units reduced
+fix 1 all nve
+fix 3 all ave/chunk 2 5 10 cc density/number vx temp file {prof}
+timestep 0.01
+thermo 10
+run 20
+""")
+    run_script(str(deck), log_fn=lambda *a: None)
+    txt = prof.read_text().splitlines()
+    rows = [l.split() for l in txt if l.startswith("  ")]
+    assert len(rows) == 40     # 20 bins x 2 output frames
+    dens = np.asarray([float(r_[3]) for r_ in rows[-20:]])
+    assert abs(dens.mean() - n / (8 * 4 * 4)) < 0.35
+    temps = np.asarray([float(r_[5]) for r_ in rows[-20:]])
+    assert 0.5 < temps.mean() < 2.5
