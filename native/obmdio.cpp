@@ -28,6 +28,9 @@ struct DataFile {
   std::vector<int32_t> type;    // [natoms] 0-based
   std::vector<int32_t> tag;     // [natoms]
   std::vector<int32_t> mol;     // [natoms]
+  std::vector<int64_t> bonds;      // [nbonds*2] atom-tag pairs
+  std::vector<int64_t> angles;     // [nangles*4] (type, a1, a2, a3)
+  std::vector<int64_t> dihedrals;  // [ndihedrals*5] (type, a1..a4)
   bool has_v = false, has_q = false, has_mol = false;
   std::string error;
 };
@@ -125,6 +128,30 @@ DataFile* parse_data(const char* path, int style) {
         if (style == 3) { df->q[k] = atof(t[c++].c_str()); df->has_q = true; }
         for (int d = 0; d < 3; d++) df->x[k * 3 + d] = atof(t[c++].c_str());
       }
+    } else if (header == "Bonds") {
+      while (i < lines.size()) {
+        auto t = tokens(clean(lines[i]));
+        if (t.size() < 4) break;
+        df->bonds.push_back(atoll(t[2].c_str()));
+        df->bonds.push_back(atoll(t[3].c_str()));
+        i++;
+      }
+    } else if (header == "Angles") {
+      while (i < lines.size()) {
+        auto t = tokens(clean(lines[i]));
+        if (t.size() < 5) break;
+        for (int c = 1; c <= 4; c++)
+          df->angles.push_back(atoll(t[c].c_str()));
+        i++;
+      }
+    } else if (header == "Dihedrals") {
+      while (i < lines.size()) {
+        auto t = tokens(clean(lines[i]));
+        if (t.size() < 6) break;
+        for (int c = 1; c <= 5; c++)
+          df->dihedrals.push_back(atoll(t[c].c_str()));
+        i++;
+      }
     } else if (header == "Velocities") {
       df->has_v = true;
       for (int64_t k = 0; k < df->natoms && i < lines.size(); k++, i++) {
@@ -186,6 +213,28 @@ void obmdio_fill(void* h, double* x, double* v, double* q, int32_t* type,
   memcpy(tag, df->tag.data(), df->tag.size() * sizeof(int32_t));
   memcpy(mol, df->mol.data(), df->mol.size() * sizeof(int32_t));
   memcpy(masses, df->masses.data(), df->masses.size() * sizeof(double));
+}
+
+int64_t obmdio_nbonds(void* h) {
+  return static_cast<DataFile*>(h)->bonds.size() / 2;
+}
+int64_t obmdio_nangles(void* h) {
+  return static_cast<DataFile*>(h)->angles.size() / 4;
+}
+int64_t obmdio_ndihedrals(void* h) {
+  return static_cast<DataFile*>(h)->dihedrals.size() / 5;
+}
+
+void obmdio_fill_topology(void* h, int64_t* bonds, int64_t* angles,
+                          int64_t* dihedrals) {
+  auto* df = static_cast<DataFile*>(h);
+  if (bonds && !df->bonds.empty())
+    memcpy(bonds, df->bonds.data(), df->bonds.size() * sizeof(int64_t));
+  if (angles && !df->angles.empty())
+    memcpy(angles, df->angles.data(), df->angles.size() * sizeof(int64_t));
+  if (dihedrals && !df->dihedrals.empty())
+    memcpy(dihedrals, df->dihedrals.data(),
+           df->dihedrals.size() * sizeof(int64_t));
 }
 
 void obmdio_free(void* h) { delete static_cast<DataFile*>(h); }

@@ -51,8 +51,8 @@ def _tokens(line: str):
 
 def read_data(path: str, atom_style: str = "atomic",
               prefer_native: bool = True) -> DataFile:
-    if atom_style in ("bond", "molecular", "adress", "full"):
-        prefer_native = False   # native parser does not read Bonds yet
+    if atom_style == "bond":
+        prefer_native = False   # native style codes cover the others
     if prefer_native:
         try:
             from . import native

@@ -211,3 +211,66 @@ def test_obmd_checkpoint_resume_seamless(tmp_path):
     mb = {int(t): np.asarray(b.x)[i] for i, t in enumerate(np.asarray(b.tag)) if ab[i]}
     assert set(ma) == set(mb)
     assert max(np.abs(ma[t] - mb[t]).max() for t in ma) < 1e-5
+
+
+def test_native_parser_molecular_topology(tmp_path):
+    """The native C++ parser reads Bonds/Angles/Dihedrals and molecular
+    atom styles identically to the python parser."""
+    import numpy as np
+    from obmd_tpu.io import lammps_data
+    from obmd_tpu.io.native import available, read_data_native
+
+    if not available():
+        import pytest
+        pytest.skip("native library not built")
+    p = tmp_path / "m.data"
+    p.write_text("""mol topo (obmd_tpu test)
+
+4 atoms
+1 atom types
+3 bonds
+1 bond types
+2 angles
+1 angle types
+1 dihedrals
+1 dihedral types
+
+0.0 10.0 xlo xhi
+0.0 10.0 ylo yhi
+0.0 10.0 zlo zhi
+
+Masses
+
+1 1.5
+
+Atoms
+
+1 1 1 1.0 2.0 3.0
+2 1 1 2.0 2.5 3.0
+3 1 1 3.0 2.0 3.5
+4 1 1 4.0 2.2 3.1
+
+Bonds
+
+1 1 1 2
+2 1 2 3
+3 1 3 4
+
+Angles
+
+1 1 1 2 3
+2 1 2 3 4
+
+Dihedrals
+
+1 1 1 2 3 4
+""")
+    a = lammps_data._read_data_py(str(p), "molecular")
+    b = read_data_native(str(p), "molecular")
+    assert b is not None
+    np.testing.assert_allclose(a.x, b.x)
+    np.testing.assert_array_equal(a.bonds, b.bonds)
+    np.testing.assert_array_equal(a.angles, b.angles)
+    np.testing.assert_array_equal(a.dihedrals, b.dihedrals)
+    assert (np.asarray(a.mol) == b.mol).all()
+    assert b.masses[0] == 1.5
