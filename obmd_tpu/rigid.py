@@ -26,6 +26,7 @@ regularized solve is exact where it matters.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .config import SceneConfig
@@ -161,16 +162,57 @@ def _member(cfg: SceneConfig, state: State):
     return state.alive & (state.mol != 0)
 
 
+def _rotate_inertia(I6, omega, dt):
+    """I' = R I R^T for the Rodrigues rotation R(omega dt), per row."""
+    th = jnp.linalg.norm(omega, axis=1, keepdims=True) * dt
+    k = omega * dt / jnp.maximum(th, 1e-30)
+    small = (th < 1e-8)[:, 0]
+    cos = jnp.cos(th)[:, 0]
+    sin = jnp.sin(th)[:, 0]
+    kx, ky, kz = k[:, 0], k[:, 1], k[:, 2]
+    one_c = 1.0 - cos
+    # rotation matrix entries (Rodrigues)
+    R = jnp.stack([
+        jnp.stack([cos + kx * kx * one_c, kx * ky * one_c - kz * sin,
+                   kx * kz * one_c + ky * sin], axis=-1),
+        jnp.stack([ky * kx * one_c + kz * sin, cos + ky * ky * one_c,
+                   ky * kz * one_c - kx * sin], axis=-1),
+        jnp.stack([kz * kx * one_c - ky * sin, kz * ky * one_c + kx * sin,
+                   cos + kz * kz * one_c], axis=-1)], axis=-2)   # [N,3,3]
+    Imat = jnp.stack([
+        jnp.stack([I6[:, 0], I6[:, 3], I6[:, 4]], axis=-1),
+        jnp.stack([I6[:, 3], I6[:, 1], I6[:, 5]], axis=-1),
+        jnp.stack([I6[:, 4], I6[:, 5], I6[:, 2]], axis=-1)], axis=-2)
+    # [N,3,3] batch products on the VPU (precision-safe: tiny matrices)
+    RI = jnp.einsum("nab,nbc->nac", R, Imat,
+                    precision=jax.lax.Precision.HIGHEST)
+    I2 = jnp.einsum("nab,ncb->nac", RI, R,
+                    precision=jax.lax.Precision.HIGHEST)
+    out = jnp.stack([I2[:, 0, 0], I2[:, 1, 1], I2[:, 2, 2],
+                     I2[:, 0, 1], I2[:, 0, 2], I2[:, 1, 2]], axis=-1)
+    return jnp.where(small[:, None], I6, out)
+
+
 def rigid_drift(cfg: SceneConfig, state: State, v):
     """The initial_integrate drift with rigid members moved as bodies.
-    `v` is the half-kicked velocity.  Returns (x_new, v_new)."""
+    `v` is the half-kicked velocity.  Returns (x_new, v_new).
+
+    The body's angular momentum L is CARRIED through the rotation: the
+    post-rotation velocity field uses omega' = (R I R^T)^-1 L — not the
+    pre-rotation omega — so torque-free tops precess exactly like Euler's
+    equations as dt -> 0.  (Re-deriving L from velocities built with the
+    old omega froze omega instead and leaked L: a constant-rotation-axis
+    bug caught by the fix rigid/small golden comparison,
+    validation/run_rigid_golden.py.)"""
     dt = state.x.dtype.type(cfg.dt)
     member = _member(cfg, state)
     M, rbar, V, L, I6 = _body_sums(cfg, state, v, member, _rounds(cfg))
     omega = _solve_omega(I6, L)
     r_new = _rotate(-rbar, omega, dt)            # my offset from the COM
     x_rigid = state.x + rbar + dt * V + r_new    # X' + R r
-    v_rigid = V + jnp.cross(omega, r_new)
+    I6_new = _rotate_inertia(I6, omega, dt)
+    omega_new = _solve_omega(I6_new, L)          # L conserved through R
+    v_rigid = V + jnp.cross(omega_new, r_new)
     a3 = state.alive[:, None]
     mem3 = member[:, None]
     x = jnp.where(mem3, x_rigid, jnp.where(a3, state.x + dt * v, state.x))
