@@ -979,16 +979,47 @@ class Interpreter:
 
     def _run(self, n: int):
         import jax
-        from ..integrate import make_step
+        import math as _m
+        from ..integrate import make_run, make_step
         from ..observe import make_thermo_fn
         if self._thermo_fn is None:
             self._thermo_fn = make_thermo_fn(self.cfg)
-        step = jax.jit(make_step(self.cfg), donate_argnums=0)
+        # fused-chunk execution: advance by the gcd of every output
+        # cadence with make_run's fused scan (one device dispatch per
+        # chunk instead of per step); a cadence under 4 steps falls back
+        # to per-step dispatch, whose half-skin logic is cheaper than a
+        # relayout per tiny chunk
+        intervals = [self.thermo_every] \
+            + [d[2] for d in self.dumps] \
+            + [ac["nevery"] for ac in self.ave_chunks]
+        cadence = 0
+        for iv in intervals:
+            if iv:
+                cadence = _m.gcd(cadence, int(iv))
+        if cadence == 0:
+            cadence = n
+        fused = cadence >= 4
+        if fused:
+            if getattr(self, "_runner_chunk", None) != cadence:
+                self._runner = make_run(self.cfg, cadence)
+                self._runner_chunk = cadence
+            step = None
+        else:
+            step = jax.jit(make_step(self.cfg), donate_argnums=0)
         self._emit_thermo()
         emitted_last = False
-        for i in range(n):
-            self.state = step(self.state)
-            self.total_steps += 1
+        done = 0
+        while done < n:
+            if fused and n - done >= cadence:
+                self.state = self._runner(self.state)
+                adv = cadence
+            else:
+                if step is None:
+                    step = jax.jit(make_step(self.cfg), donate_argnums=0)
+                self.state = step(self.state)
+                adv = 1
+            self.total_steps += adv
+            done += adv
             emitted_last = (self.thermo_every
                             and self.total_steps % self.thermo_every == 0)
             if emitted_last:
