@@ -207,7 +207,16 @@ def _skip_blank(lines, i):
 def write_data(path: str, df: DataFile, atom_style: str = "atomic"):
     with open(path, "w") as fh:
         fh.write("LAMMPS data file (obmd_tpu)\n\n")
-        fh.write(f"{df.natoms} atoms\n{df.ntypes} atom types\n\n")
+        fh.write(f"{df.natoms} atoms\n{df.ntypes} atom types\n")
+        if df.bonds is not None and len(df.bonds):
+            fh.write(f"{len(df.bonds)} bonds\n1 bond types\n")
+        if df.angles is not None and len(df.angles):
+            nat = int(max(int(r[0]) for r in df.angles))
+            fh.write(f"{len(df.angles)} angles\n{nat} angle types\n")
+        if df.dihedrals is not None and len(df.dihedrals):
+            ndt = int(max(int(r[0]) for r in df.dihedrals))
+            fh.write(f"{len(df.dihedrals)} dihedrals\n{ndt} dihedral types\n")
+        fh.write("\n")
         fh.write(f"{df.box_lo[0]} {df.box_hi[0]} xlo xhi\n")
         fh.write(f"{df.box_lo[1]} {df.box_hi[1]} ylo yhi\n")
         fh.write(f"{df.box_lo[2]} {df.box_hi[2]} zlo zhi\n\n")
@@ -224,9 +233,24 @@ def write_data(path: str, df: DataFile, atom_style: str = "atomic"):
             elif atom_style == "full":
                 fh.write(f"{df.tags[k]} {df.mol[k]} {df.types[k] + 1} "
                          f"{df.q[k]} {pos}\n")
+            elif atom_style in ("molecular", "bond", "adress"):
+                mol_k = df.mol[k] if df.mol is not None else 0
+                fh.write(f"{df.tags[k]} {mol_k} {df.types[k] + 1} {pos}\n")
             else:
                 raise ValueError(atom_style)
         if df.v is not None:
             fh.write("\nVelocities\n\n")
             for k in range(df.natoms):
                 fh.write(f"{df.tags[k]} {df.v[k, 0]} {df.v[k, 1]} {df.v[k, 2]}\n")
+        if df.bonds is not None and len(df.bonds):
+            fh.write("\nBonds\n\n")
+            for i, (b1, b2) in enumerate(df.bonds):
+                fh.write(f"{i + 1} 1 {int(b1)} {int(b2)}\n")
+        if df.angles is not None and len(df.angles):
+            fh.write("\nAngles\n\n")
+            for i, r in enumerate(df.angles):
+                fh.write(f"{i + 1} {int(r[0])} {int(r[1])} {int(r[2])} {int(r[3])}\n")
+        if df.dihedrals is not None and len(df.dihedrals):
+            fh.write("\nDihedrals\n\n")
+            for i, r in enumerate(df.dihedrals):
+                fh.write(f"{i + 1} {int(r[0])} {int(r[1])} {int(r[2])} {int(r[3])} {int(r[4])}\n")

@@ -444,14 +444,32 @@ class Interpreter:
         import numpy as np
         st = self.state
         alive = np.asarray(st.alive)
+        # bond topology: slot partner columns -> unordered tag pairs
+        bonds = None
+        b1 = np.asarray(st.bond1)
+        b2 = np.asarray(st.bond2)
+        tags_full = np.asarray(st.tag)
+        pairs = set()
+        for i in np.nonzero(alive)[0]:
+            for p in (b1[i], b2[i]):
+                if p >= 0 and alive[p]:
+                    t1, t2 = int(tags_full[i]), int(tags_full[p])
+                    pairs.add((min(t1, t2), max(t1, t2)))
+        if pairs:
+            bonds = np.asarray(sorted(pairs))
         df = lammps_data.DataFile(
             natoms=int(alive.sum()), ntypes=self.cfg.ntypes,
             box_lo=np.asarray(self.cfg.box.lo), box_hi=np.asarray(self.cfg.box.hi),
             masses=np.asarray(self.cfg.masses),
             x=np.asarray(st.x)[alive], types=np.asarray(st.type)[alive],
             tags=np.asarray(st.tag)[alive], v=np.asarray(st.v)[alive],
-            q=np.asarray(st.q)[alive], mol=np.asarray(st.mol)[alive])
-        style = self.atom_style if self.atom_style in ("atomic", "charge", "full") else "atomic"
+            q=np.asarray(st.q)[alive], mol=np.asarray(st.mol)[alive],
+            bonds=bonds)
+        style = self.atom_style if self.atom_style in (
+            "atomic", "charge", "full", "molecular", "bond",
+            "adress") else "atomic"
+        if bonds is not None and style in ("atomic", "charge"):
+            style = "molecular"
         lammps_data.write_data(a[0], df, atom_style=style)
 
     def cmd_write_restart(self, a):
