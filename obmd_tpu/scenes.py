@@ -30,6 +30,7 @@ def obmd_dpd_config(scale: float = 1.0, n_max: Optional[int] = None,
                     dtype: str = "float32",
                     cell_capacity: int = 24,
                     insert_kmax: int = 16,
+                    skin: float = 0.39,
                     force_path: str = "cellpad") -> SceneConfig:
     """The OBMD_DPD deck (input.py values), box stretched `scale`x in x."""
     xhi = 33.594 * scale
@@ -80,7 +81,7 @@ def obmd_dpd_config(scale: float = 1.0, n_max: Optional[int] = None,
         # p=2 — the zero-padding-waste packing) while widening the
         # half-skin drift budget enough for a ~13-step static relayout
         # period with margin (see engine_cellpad.auto_rebuild_every).
-        skin=0.39,
+        skin=skin,
     ).finalize()
 
 
