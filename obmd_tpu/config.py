@@ -520,6 +520,13 @@ class ObmdParams:
     region5: Optional[RegionBlock] = None   # left insertion
     region6: Optional[RegionBlock] = None   # right insertion
 
+    # the fix's GROUP (`fix ID group obmd ...`): census counts only group
+    # members (group.cpp:793 count(igroup, region)); None = all.  Stored
+    # as 0-based atom types (the deck's type-based `group` command).
+    # NOTE the reference's reg_force ignores the group (ref :1414) — the
+    # boundary force deliberately stays group-blind here too.
+    group_types: Optional[Tuple[int, ...]] = None
+
     buffer_size: float = 0.0   # default 0.3*Lx applied in SceneConfig.finalize
     g_fac: float = 0.25
     step_parallel: int = 0     # only 0 (smooth) accepted (:2013)

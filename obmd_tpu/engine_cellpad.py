@@ -535,9 +535,11 @@ def _obmd_stage(cfg, geom, state: State, with_rebuild: bool = True) -> State:
                               (cfg.obmd is not None
                                and cfg.obmd.mol is not None))
 
-    nins_l = feedback_count(region_count(state, obmd.region1),
+    nins_l = feedback_count(region_count(state, obmd.region1,
+                                         obmd.group_types),
                             obmd.mol_len, alpha, nbuf, dt, tau)
-    nins_r = feedback_count(region_count(state, obmd.region2),
+    nins_r = feedback_count(region_count(state, obmd.region2,
+                                         obmd.group_types),
                             obmd.mol_len, alpha, nbuf, dt, tau)
 
     pad = cfg.pair.max_cut + cfg.skin

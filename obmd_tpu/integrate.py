@@ -185,8 +185,8 @@ def _obmd_stage_fast(cfg, spec, nparams, state):
     nbrs = maybe_rebuild(nparams, box, nbrs, state.x, state.alive)
     state = state.replace(nbrs=nbrs)
 
-    cnt_left = region_count(state, obmd.region1)
-    cnt_right = region_count(state, obmd.region2)
+    cnt_left = region_count(state, obmd.region1, obmd.group_types)
+    cnt_right = region_count(state, obmd.region2, obmd.group_types)
     nins_l = feedback_count(cnt_left, obmd.mol_len, alpha, nbuf, dt, tau)
     nins_r = feedback_count(cnt_right, obmd.mol_len, alpha, nbuf, dt, tau)
 

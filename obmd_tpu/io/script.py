@@ -65,6 +65,8 @@ class Interpreter:
         self.langevin = None
         self._velocity_ops: list = []
         self.chunks: Dict[str, tuple] = {}
+        self.groups: Dict[str, tuple] = {}
+        self.obmd_group = None
         self.ave_chunks: list = []
         self.bond_style: Optional[str] = None
         self.bond_coeffs: Dict[int, List[float]] = {}
@@ -346,6 +348,14 @@ class Interpreter:
             raise ScriptError(
                 "velocity: create T seed | scale T | zero linear")
 
+    def cmd_group(self, a):
+        # group ID type N [N...]  (group.cpp type-based membership, the
+        # variant the fix obmd census consumes; other styles unsupported)
+        gid, style = a[0], a[1]
+        if style != "type":
+            raise ScriptError(f"group style {style} unsupported (type)")
+        self.groups[gid] = tuple(int(t) - 1 for t in a[2:])
+
     def cmd_compute(self, a):
         # compute ID group chunk/atom bin/1d x lower <delta> units box|reduced
         # (compute_chunk_atom.cpp: the 1d-bin pattern the OBMD profile
@@ -395,6 +405,10 @@ class Interpreter:
             return
         if style == "obmd":
             self.obmd_args = a[3:]
+            if group != "all":
+                if group not in self.groups:
+                    raise ScriptError(f"fix obmd: unknown group {group}")
+                self.obmd_group = self.groups[group]
             return
         if style == "langevin":
             # fix ID group langevin Tstart Tstop damp seed
@@ -935,6 +949,8 @@ class Interpreter:
                 i += 2
         params["usher"] = usher
         params["near"] = near
+        if self.obmd_group is not None:
+            params["group_types"] = self.obmd_group
         return ObmdParams(**params)
 
     def _build(self):

@@ -86,8 +86,14 @@ def delete_outside(cfg: SceneConfig, state: State):
 # buffer census + feedback law (ref :582-589; group.cpp:793 count)
 # --------------------------------------------------------------------------
 
-def region_count(state: State, region) -> jnp.ndarray:
-    return jnp.sum((state.alive & region.match(state.x)).astype(jnp.int32))
+def region_count(state: State, region, group_types=None) -> jnp.ndarray:
+    m = state.alive & region.match(state.x)
+    if group_types is not None:
+        gm = jnp.zeros_like(m)
+        for t in group_types:
+            gm = gm | (state.type == int(t))
+        m = m & gm
+    return jnp.sum(m.astype(jnp.int32))
 
 
 def feedback_count(cnt, mol_len, alpha, nbuf, dt, tau):
@@ -509,8 +515,8 @@ def pre_exchange(cfg: SceneConfig, spec: GridSpec, state: State,
 
     state, vnewl, vnewr = delete_outside(cfg, state)
 
-    cnt_left = region_count(state, obmd.region1)
-    cnt_right = region_count(state, obmd.region2)
+    cnt_left = region_count(state, obmd.region1, obmd.group_types)
+    cnt_right = region_count(state, obmd.region2, obmd.group_types)
     nins_l = feedback_count(cnt_left, obmd.mol_len, alpha, nbuf, dt, tau)
     nins_r = feedback_count(cnt_right, obmd.mol_len, alpha, nbuf, dt, tau)
 

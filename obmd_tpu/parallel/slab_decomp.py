@@ -1006,9 +1006,13 @@ def _pre_exchange_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
 
     # ---- census + feedback law (group.cpp:793 + ref :586-589) ----
     def pcount(region):
-        local = jnp.sum((state.alive
-                         & region.match(state.x)).astype(jnp.int32))
-        return jax.lax.psum(local, AXIS)
+        m = state.alive & region.match(state.x)
+        if obmd.group_types is not None:
+            gm = jnp.zeros_like(m)
+            for ty in obmd.group_types:
+                gm = gm | (state.type == int(ty))
+            m = m & gm
+        return jax.lax.psum(jnp.sum(m.astype(jnp.int32)), AXIS)
 
     nins_l = feedback_count(pcount(obmd.region1), obmd.mol_len, alpha, nbuf,
                             dt, tau)

@@ -117,3 +117,42 @@ def test_orient_fixed_axis_rotations():
     eye = np.einsum("kab,kcb->kac", R, R)
     np.testing.assert_allclose(eye, np.tile(np.eye(3), (16, 1, 1)),
                                atol=1e-5)
+
+
+def test_fix_obmd_group_census():
+    """`fix ID group obmd`: the census counts only group members
+    (group.cpp:793), so restricting the group halves the count and raises
+    the feedback insertion rate."""
+    import jax
+    import numpy as np
+    from obmd_tpu.config import Capacity, DPDParams, ObmdParams, SceneConfig
+    from obmd_tpu.geometry import Box, RegionBlock
+    from obmd_tpu.integrate import make_step, setup
+    from obmd_tpu.state import init_state
+
+    box = Box((0, 0, 0), (10, 4, 4), (False, True, True))
+    r1 = RegionBlock((0, 0, 0), (2, 4, 4))
+    r2 = RegionBlock((8, 0, 0), (10, 4, 4))
+    pair = DPDParams.create(temp=0.5, cutoff=1.0, seed=3, a0=10.0,
+                            gamma=2.0, ntypes=2)
+
+    def run(gt):
+        obmd = ObmdParams(
+            ntype=0, nfreq=1, seed=11, pxx=2.0, alpha=0.5, tau=0.01,
+            nbuf=100.0, region1=r1, region2=r2, region5=r1, region6=r2,
+            buffer_size=2.0, usher=None, near=0.4, insert_kmax=4,
+            group_types=gt)
+        cfg = SceneConfig(box=box, masses=(1.0, 1.0), pair=pair, dt=0.01,
+                          capacity=Capacity(n_max=900, cell_capacity=24),
+                          obmd=obmd, skin=0.3, force_path="nlist")
+        r = np.random.default_rng(2)
+        n0 = 480
+        x = r.uniform([0.05, 0.05, 0.05], [9.95, 3.95, 3.95], (n0, 3))
+        st = setup(cfg, init_state(cfg, x, v=r.normal(0, 0.5, (n0, 3)),
+                                   types=np.arange(n0) % 2))
+        step = jax.jit(make_step(cfg))
+        for _ in range(5):
+            st = step(st)
+        return int(st.obmd.ninserted)
+
+    assert run((0,)) > run(None)
