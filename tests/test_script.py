@@ -239,3 +239,31 @@ run 400
     with pytest.raises(ScriptError, match="ramp"):
         it.run_lines(["units lj",
                       "fix 2 all langevin 0.5 1.0 0.5 1"])
+
+
+def test_reference_generated_deck_verbatim(tmp_path):
+    """The deck text the reference's own generator (OBMD_DPD/input.py
+    write_in) produces — with its exact values — runs through the front
+    end verbatim, reading the reference's own data file."""
+    src = open("/root/reference/examples/OBMD_DPD/input.py").read()
+    ns = {}
+    exec(src[:src.index("def write_in")], ns)      # the deck variables
+    body = src[src.index('content_4in = f"""'):]
+    tpl = body[body.index('"""') + 3:body.index('    """')]
+    ns2 = dict(ns)
+    ns2["steps"] = 4
+    ns2["out"] = 2
+    deck = eval(
+        "f'''" + tpl.replace(
+            "read_data       dpd_8map_obmd.data",
+            "read_data       /root/reference/examples/OBMD_DPD/"
+            "dpd_8map_obmd.data") + "'''", ns2)
+    p = tmp_path / "in.simulation"
+    p.write_text(deck)
+    from obmd_tpu.io.script import run_script
+    lines = []
+    it = run_script(str(p), log_fn=lines.append)
+    assert int(it.state.step) == 4
+    assert it.cfg.obmd.usher.etarget == ns["etarget"]
+    assert float(it.cfg.obmd.pxx) == ns["pxx"]
+    assert 12000 < int(it.state.natoms) < 12700
