@@ -185,8 +185,14 @@ class Interpreter:
         references to other equal variables via v_name."""
         safe = {"sin": math.sin, "cos": math.cos, "exp": math.exp,
                 "sqrt": math.sqrt, "abs": abs, "floor": math.floor,
-                "ceil": math.ceil, "PI": math.pi, "ln": math.log}
+                "ceil": math.ceil, "PI": math.pi, "ln": math.log,
+                "tan": math.tan, "asin": math.asin, "acos": math.acos,
+                "atan": math.atan, "round": round,
+                "MIN": min, "MAX": max}
         py = expr.replace("^", "**")
+        # LAMMPS boolean operators (variable.cpp): comparisons come free
+        # from the python grammar; translate the C-style logicals
+        py = py.replace("&&", " and ").replace("||", " or ")
         py = re.sub(r"v_(\w+)", r"_V('\1')", py)
         if name:
             self.var_exprs[name] = py
