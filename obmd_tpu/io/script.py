@@ -52,7 +52,7 @@ class Interpreter:
         self.variables: Dict[str, object] = {}
         self.var_exprs: Dict[str, str] = {}   # python source of equal vars
         self.regions: Dict[str, RegionBlock] = {}
-        self.boundary = ("f", "p", "p")
+        self.boundary = ("p", "p", "p")   # LAMMPS default (domain.cpp)
         self.atom_style = "atomic"
         self.pair: Optional[_PairStyle] = None
         self.dt = 0.005
@@ -67,6 +67,10 @@ class Interpreter:
         self.chunks: Dict[str, tuple] = {}
         self.groups: Dict[str, tuple] = {}
         self.obmd_group = None
+        self.lattice = None
+        self.pair_shift = False
+        self._create_box = None
+        self._create_atoms: list = []
         self.ave_chunks: list = []
         self.bond_style: Optional[str] = None
         self.bond_coeffs: Dict[int, List[float]] = {}
@@ -173,7 +177,10 @@ class Interpreter:
             py = re.sub(r"v_(\w+)", r"_V('\1')", py)
             self.atom_var_exprs[name] = py
         elif style in ("index", "string"):
-            self.variables[name] = a[2]
+            # index does NOT overwrite an existing definition
+            # (variable.cpp: the -var CLI override mechanism)
+            if style == "string" or name not in self.variables:
+                self.variables[name] = a[2]
         elif style == "delete":
             self.variables.pop(name, None)
         else:
@@ -234,8 +241,36 @@ class Interpreter:
         env["dt"] = self.dt
         return eval(py, {"__builtins__": {}}, env)  # noqa: S307
 
+    def cmd_lattice(self, a):
+        # lattice fcc RHO  (lattice.cpp, lj units: a = (4/rho)^(1/3))
+        if a[0] == "none":
+            self.lattice = None
+            return
+        if a[0] != "fcc":
+            raise ScriptError(f"lattice style {a[0]} unsupported (fcc)")
+        rho = float(a[1])
+        self.lattice = ("fcc", (4.0 / rho) ** (1.0 / 3.0))
+
+    def cmd_create_box(self, a):
+        # create_box N region-ID
+        if a[1] not in self.regions:
+            raise ScriptError(f"create_box: unknown region {a[1]}")
+        self._create_box = (int(a[0]), self.regions[a[1]])
+
+    def cmd_create_atoms(self, a):
+        # create_atoms TYPE box|region ID - lattice fill (create_atoms.cpp)
+        if self.lattice is None:
+            raise ScriptError("create_atoms needs a lattice")
+        if a[1] == "box":
+            region = self._create_box[1]
+        else:
+            region = self.regions[a[2]]
+        self._create_atoms.append((int(a[0]), region))
+
     def cmd_region(self, a):
-        # region ID block xlo xhi ylo yhi zlo zhi [units box]
+        # region ID block xlo xhi ylo yhi zlo zhi [units box|lattice];
+        # with a lattice defined, coordinates default to LATTICE units
+        # (region.cpp scale handling)
         rid, style = a[0], a[1]
         if style != "block":
             raise ScriptError("only block regions supported")
@@ -244,11 +279,28 @@ class Interpreter:
             if tok in ("EDGE", "INF"):
                 raise ScriptError("EDGE/INF region bounds unsupported")
             vals.append(float(tok))
+        units = "lattice" if self.lattice is not None else "box"
+        if len(a) > 9 and a[8] == "units":
+            units = a[9]
+        if units == "lattice":
+            if self.lattice is None:
+                raise ScriptError("region units lattice without a lattice")
+            vals = [v * self.lattice[1] for v in vals]
         self.regions[rid] = RegionBlock((vals[0], vals[2], vals[4]),
                                         (vals[1], vals[3], vals[5]))
 
     def cmd_pair_style(self, a):
         self.pair = _PairStyle(name=a[0], args=a[1:], coeffs=[])
+
+    def cmd_pair_modify(self, a):
+        # pair_modify shift yes|no (pair.cpp offset_flag)
+        i = 0
+        while i < len(a):
+            if a[i] == "shift":
+                self.pair_shift = a[i + 1] == "yes"
+                i += 2
+            else:
+                raise ScriptError(f"pair_modify {a[i]} unsupported")
 
     def cmd_pair_coeff(self, a):
         if self.pair is None:
@@ -640,7 +692,8 @@ class Interpreter:
                             cut[i, j] = cut[j, i] = float(c[4])
             self._mix_geometric(eps, sig, p.coeffs, ntypes)
             return LJCutParams.create(cutoff=rc, epsilon=eps, sigma=sig,
-                                      cut=cut, ntypes=ntypes)
+                                      cut=cut, ntypes=ntypes,
+                                      shift=self.pair_shift)
         if p.name == "lj/cut/rf":
             rc_lj = float(p.args[0])
             rc_rf = float(p.args[1]) if len(p.args) > 1 else rc_lj
@@ -959,11 +1012,50 @@ class Interpreter:
             params["group_types"] = self.obmd_group
         return ObmdParams(**params)
 
+    def _synth_lattice_data(self):
+        """create_box + create_atoms: synthesize a DataFile by filling the
+        create_atoms regions with fcc lattice points (create_atoms.cpp
+        lattice fill; half-open upper bound so periodic images are not
+        duplicated)."""
+        ntypes, boxreg = self._create_box
+        a = self.lattice[1]
+        basis = np.asarray([[0.0, 0.0, 0.0], [0.5, 0.5, 0.0],
+                            [0.5, 0.0, 0.5], [0.0, 0.5, 0.5]])
+        lo = np.asarray(boxreg.lo)
+        hi = np.asarray(boxreg.hi)
+        xs, types = [], []
+        for atype, region in self._create_atoms:
+            rlo = np.asarray(region.lo)
+            rhi = np.asarray(region.hi)
+            n0 = np.floor((rlo - lo) / a).astype(int)
+            n1 = np.ceil((rhi - lo) / a).astype(int) + 1
+            cells = np.stack(np.meshgrid(
+                np.arange(n0[0], n1[0]), np.arange(n0[1], n1[1]),
+                np.arange(n0[2], n1[2]), indexing="ij"),
+                axis=-1).reshape(-1, 1, 3)
+            pts = (lo + (cells + basis[None, :, :]) * a).reshape(-1, 3)
+            eps = 1e-9
+            keep = np.all((pts >= rlo - eps) & (pts < rhi - eps), axis=1)
+            pts = pts[keep]
+            xs.append(pts)
+            types.append(np.full(len(pts), atype - 1, np.int32))
+        x = np.concatenate(xs)
+        t = np.concatenate(types)
+        self.data = lammps_data.DataFile(
+            natoms=len(x), ntypes=ntypes, box_lo=lo, box_hi=hi,
+            masses=np.asarray([self.masses.get(i + 1, 1.0)
+                               for i in range(ntypes)]),
+            x=x, types=t, tags=np.arange(1, len(x) + 1, dtype=np.int32))
+
     def _build(self):
         if self.cfg is not None:
             return
+        if self.data is None and self._create_box is not None \
+                and self._create_atoms:
+            self._synth_lattice_data()
         if self.data is None:
-            raise ScriptError("no read_data before run")
+            raise ScriptError("no read_data before run "
+                              "(or create_box + create_atoms)")
         periodic = tuple(b == "p" for b in self.boundary)
         box = self.data.box(periodic)
         ntypes = self.data.ntypes
@@ -977,9 +1069,29 @@ class Interpreter:
         dihedral = self._build_dihedral(obmd)
         n = self.data.natoms
         n_max = self.n_max or (int(n * 1.3) if obmd is not None else n)
+        # Verlet row capacity from the density (the default 48 silently
+        # clips dense/long-cutoff scenes: dropped pairs inject energy —
+        # caught by check_invariants, but size it right up front)
+        rho = n / max(box.volume, 1e-30)
+        rlist = pair.max_cut + max(self.skin, 0.0)
+        # 2.1x the uniform mean: a perfect lattice packs whole neighbor
+        # shells right at the list radius (fcc at rho*=0.84 counts 134
+        # within 1.67a vs the uniform estimate 77)
+        k_est = int(2.1 * (4.0 / 3.0) * math.pi * rlist ** 3 * rho) + 8
+        max_neigh = max(48, k_est)
+        # cell capacity from the ACTUAL cell volume: the grid uses
+        # floor(L/rlist) cells per axis, so cells can be up to ~2x rlist
+        # wide on small boxes (Poisson max over cells ~ mean + 4.5 sqrt)
+        occ = rho
+        for L in box.lengths:
+            nax = max(1, int(math.floor(L / rlist)))
+            occ *= L / nax
+        cell_cap = max(self.cell_capacity,
+                       int(occ + 4.5 * math.sqrt(max(occ, 1.0))) + 4)
         self.cfg = SceneConfig(
             box=box, masses=tuple(masses), pair=pair, dt=self.dt,
-            capacity=Capacity(n_max=n_max, cell_capacity=self.cell_capacity),
+            capacity=Capacity(n_max=n_max, cell_capacity=cell_cap,
+                              max_neighbors=max_neigh),
             obmd=obmd, bond=bond, angle=angle, dihedral=dihedral,
             langevin=self.langevin,
             skin=max(self.skin, 0.0)).finalize()
@@ -999,6 +1111,10 @@ class Interpreter:
             r = np.random.default_rng(seed)
             v = r.normal(0, math.sqrt(temp), (n, 3))
             v -= v.mean(axis=0)
+            # velocity.cpp rescales to the exact requested temperature
+            t_cur = (v ** 2).sum() / max(3 * n - 3, 1)
+            if t_cur > 0:
+                v *= math.sqrt(temp / t_cur)
         for op, val in self._velocity_ops:
             if v is None:
                 v = np.zeros((n, 3))
@@ -1075,6 +1191,10 @@ class Interpreter:
                     self._write_ave_chunk(ac)
         if not emitted_last:
             self._emit_thermo()
+        # loud validity gate (bench.py policy): a deck run that dropped
+        # pairs or ran on a stale layout must fail, not drift silently
+        from ..observe import check_invariants
+        check_invariants(self.cfg, self.state)
 
     def _emit_thermo(self):
         th = self._thermo_fn(self.state)

@@ -267,3 +267,38 @@ def test_reference_generated_deck_verbatim(tmp_path):
     assert it.cfg.obmd.usher.etarget == ns["etarget"]
     assert float(it.cfg.obmd.pxx) == ns["pxx"]
     assert 12000 < int(it.state.natoms) < 12700
+
+
+def test_reference_bench_in_lj_verbatim():
+    """The reference's own bench/in.lj runs VERBATIM (lattice fcc +
+    create_box/create_atoms + velocity create), pre-seeding the deck's
+    index variables like `lmp -var x 0.25` would (500 atoms)."""
+    import numpy as np
+
+    it = Interpreter(log_fn=lambda *a: None)
+    it.variables["x"] = it.variables["y"] = it.variables["z"] = "0.25"
+    it.run_file("/root/reference/code/bench/in.lj")
+    st = it.state
+    n = int(st.natoms)
+    v = np.asarray(st.v)[np.asarray(st.alive)]
+    T = (v ** 2).sum() / (3 * n - 3)
+    assert n == 500                      # 4 * 5^3 fcc sites
+    # the melt's published thermo settles near T ~ 0.75 by step 100
+    assert 0.55 < T < 0.95, T
+
+
+def test_reference_bench_in_chain_parses():
+    """bench/in.chain (special_bonds fene, bond_style fene, pair_modify
+    shift, fix langevin) builds verbatim against the reference's own
+    data.chain; dynamics covered by bench_chain.py."""
+    it = Interpreter(log_fn=lambda *a: None)
+    deck = open("/root/reference/code/bench/in.chain").read().replace(
+        "read_data       data.chain",
+        "read_data       /root/reference/code/bench/data.chain")
+    deck = [("run             0" if l.startswith("run") else l)
+            for l in deck.splitlines()]
+    it.run_lines(deck)
+    assert int(it.state.natoms) == 32000
+    assert it.cfg.bond.k == 30.0 and it.cfg.bond.r0 == 1.5
+    assert it.cfg.pair.shift is True
+    assert it.cfg.langevin.damp == 10.0
