@@ -34,11 +34,6 @@ def supports(cfg: SceneConfig) -> bool:
         return False
     if not isinstance(cfg.pair, (DPDParams, LJCutParams, LJCutRFParams)):
         return False
-    if getattr(cfg.pair, "gaussian_noise", False):
-        # the Pallas kernel draws variance-matched uniform pair noise; a
-        # deck that explicitly requests gaussian draws must route to the
-        # XLA paths which honor the flag (pairs.py:105)
-        return False
     if cfg.box.periodic[0] and cfg.obmd is not None:
         return False
     try:

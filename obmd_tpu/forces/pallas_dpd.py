@@ -187,6 +187,7 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
     qq = 1.0
     cut_coul = 0.0
     eps_rf_tab = None
+    gaussian_noise = bool(getattr(params, "gaussian_noise", False))
     if params is not None:
         ntypes = params.ntypes
         if isinstance(params, (DPDParams, DPDTstatParams)):
@@ -367,7 +368,21 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                 h = _avalanche_u32(h ^ salt * _U32(0xC2B2AE3D))
                 u24 = pltpu.bitcast(h >> 8, jnp.int32)
                 u01 = u24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
-                noise = sqrt3 * (2.0 * u01 - 1.0)
+                if gaussian_noise:
+                    # Box-Muller from two decorrelated hash draws
+                    # (pair_dpd.cpp uses RanMars gaussian; the uniform
+                    # default is variance-matched but decks asking for
+                    # gaussian draws get them bitwise-deterministically)
+                    h2 = _avalanche_u32(h ^ _U32(0x7F4A7C15))
+                    u2 = (pltpu.bitcast(h2 >> 8, jnp.int32)
+                          .astype(jnp.float32)
+                          * jnp.float32(1.0 / (1 << 24)))
+                    r_bm = jnp.sqrt(-2.0 * jnp.log(
+                        jnp.maximum(u01, jnp.float32(1e-12))))
+                    noise = r_bm * jnp.cos(
+                        jnp.float32(2.0 * np.pi) * u2)
+                else:
+                    noise = sqrt3 * (2.0 * u01 - 1.0)
                 fpair = c_a0(tif, tjf) * wd
                 fpair = fpair - c_gam(tif, tjf) * wd * wd * dot * rinv
                 fpair = fpair + c_sig(tif, tjf) * wd * noise * dtinvsqrt

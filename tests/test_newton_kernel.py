@@ -127,3 +127,39 @@ def test_forces_exact_after_periodic_crossing_mid_epoch():
     f_ref = np.asarray(sweep_f(st))
     assert int(jnp.sum(face)) >= 6          # the scenario actually happened
     np.testing.assert_allclose(f_cell, f_ref, atol=5e-3)
+
+
+def test_gaussian_noise_thermostat_cellpad():
+    """gaussian_noise=True on the cellpad kernel (Box-Muller from two hash
+    draws): the DPD thermostat must hold T = 1 exactly like the uniform
+    default (variance-matched), and the flag must actually change draws."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from obmd_tpu.config import Capacity, DPDParams, SceneConfig
+    from obmd_tpu.geometry import Box
+    from obmd_tpu.integrate import make_run, setup
+    from obmd_tpu.state import init_state
+
+    box = Box((0.0, 0.0, 0.0), (8.0, 8.0, 8.0), (True, True, True))
+    r = np.random.default_rng(4)
+    n = 1500
+    x = r.uniform(0, 8, (n, 3))
+    v = r.normal(0, 1, (n, 3))
+    outs = {}
+    for g in (False, True):
+        pair = DPDParams.create(temp=1.0, cutoff=1.0, seed=9, a0=25.0,
+                                gamma=4.5, gaussian_noise=g)
+        cfg = SceneConfig(box=box, masses=(1.0,), pair=pair, dt=0.02,
+                          capacity=Capacity(n_max=n, cell_capacity=24),
+                          skin=0.3, force_path="cellpad")
+        st = setup(cfg, init_state(cfg, x, v=v))
+        st = make_run(cfg, 300)(st)
+        vv = np.asarray(st.v)[np.asarray(st.alive)]
+        T = (vv ** 2).sum() / (3 * len(vv))
+        outs[g] = (T, np.asarray(st.x).copy())
+        assert 0.9 < T < 1.1, (g, T)
+    # different noise draws -> different trajectories
+    assert np.abs(outs[False][1] - outs[True][1]).max() > 1e-3
