@@ -55,6 +55,33 @@ def main():
     }))
 
 
+def preflight(timeout_s=45):
+    """Fail fast when the accelerator backend is unreachable.
+
+    The tunnel TPU has outage windows lasting hours; without this probe the
+    retry loop below spins into the driver's timeout (rc=124) and the round
+    records nothing.  Probe with a trivial program in a subprocess under a
+    short timeout; on failure print one parseable JSON line and exit nonzero
+    immediately so the artifact is diagnosable.
+    """
+    import subprocess
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(int(jnp.arange(8).sum()), jax.devices()[0].platform)")
+    try:
+        p = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(json.dumps({"error": "backend-unavailable",
+                          "detail": "probe hang >%ds" % timeout_s}))
+        raise SystemExit(2)
+    if p.returncode != 0:
+        sys.stderr.write(p.stderr[-1500:] + "\n")
+        print(json.dumps({"error": "backend-unavailable",
+                          "detail": "probe rc=%d" % p.returncode}))
+        raise SystemExit(2)
+    sys.stderr.write("# preflight ok: %s\n" % p.stdout.strip())
+
+
 if __name__ == "__main__":
     # The tunnel TPU occasionally kills the worker mid-run (UNAVAILABLE /
     # ABORTED, infra-side); a transient crash must not lose the round's
@@ -63,6 +90,7 @@ if __name__ == "__main__":
         main()
     else:
         import subprocess
+        preflight()
         for attempt in range(3):
             env = dict(os.environ, BENCH_NO_RETRY="1")
             p = subprocess.run([sys.executable, __file__], env=env,
