@@ -419,6 +419,54 @@ class DihedralHarmonicParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class ShakeParams:
+    """SHAKE/RATTLE distance constraints (RIGID/fix_shake.cpp analogue;
+    reached through fix obmd's `shake <fix-ID>` keyword,
+    fix_obmd_merged.cpp:1163-1168).
+
+    d0: [ntypes, ntypes] target distances keyed by the endpoint atom
+    types (0 = that pair is unconstrained) — the analogue of fix shake's
+    `b <btypes> a <atypes>` lists resolving to bond/angle-coefficient
+    distances.  Built from the insertion template's own geometry by
+    shake_table_from_templates."""
+
+    d0: Tuple[Tuple[float, ...], ...]
+    iters: int = 30          # Jacobi position sweeps per step (unrolled)
+    vel_iters: int = 10      # RATTLE velocity sweeps per kick
+
+    def __post_init__(self):
+        a = np.asarray(self.d0, dtype=np.float64)
+        if a.ndim != 2 or a.shape[0] != a.shape[1]:
+            raise ValueError("shake d0 must be a square [ntypes, ntypes]")
+        if not np.allclose(a, a.T):
+            raise ValueError("shake d0 must be symmetric")
+
+
+def shake_table_from_templates(templates, ntypes: int,
+                               **kw) -> "ShakeParams":
+    """Derive the constraint table from template bonded pairs: every bonded
+    (i, j) constrains |x_i - x_j| to the template's own distance, keyed by
+    the endpoint types.  Conflicting distances for the same type pair are
+    an error (distinguish the types in the template, exactly like the
+    reference requires distinct bond types for distinct lengths)."""
+    d0 = np.zeros((ntypes, ntypes), dtype=np.float64)
+    for t in templates:
+        dx = np.asarray(t.dx, dtype=np.float64)
+        types = list(t.types) if t.types else [0] * t.natoms
+        for a, b in t.bonds:
+            d = float(np.linalg.norm(dx[a] - dx[b]))
+            ta, tb = types[a], types[b]
+            for i, j in ((ta, tb), (tb, ta)):
+                if d0[i, j] > 0 and abs(d0[i, j] - d) > 1e-10:
+                    raise ValueError(
+                        f"shake: type pair ({i},{j}) carries two different "
+                        f"template distances ({d0[i, j]} vs {d}); give the "
+                        "atoms distinct types")
+                d0[i, j] = d
+    return ShakeParams(d0=tuple(tuple(row) for row in d0), **kw)
+
+
+@dataclasses.dataclass(frozen=True)
 class LangevinParams:
     """`fix langevin T T damp seed` (fix_langevin.cpp semantics):
     f += -(m/damp) v + sqrt(24 kB T m / (damp dt)) * uniform(-0.5, 0.5),
@@ -562,6 +610,11 @@ class ObmdParams:
     # (ref :475-500 hands inserted molecules to a rigid fix; here the
     # engine integrates every mol != 0 atom rigidly via obmd_tpu.rigid).
     rigid: bool = False
+    # `shake <fix-ID>` — constrain inserted molecules' bonded distances
+    # with SHAKE/RATTLE (ref :1163-1168 hands inserted molecules to a
+    # SHAKE fix; here SceneConfig.finalize derives the constraint table
+    # from the template geometry and obmd_tpu.shake enforces it).
+    shake: bool = False
     # fix-deposit z-offset keywords (ref :880 rate, :947-985 global/
     # local): `rate r` shifts candidate z linearly in simulation time;
     # `global lo hi` resets candidate z to lo..hi above the highest alive
@@ -622,6 +675,12 @@ class ObmdParams:
         if self.rigid and self.mol is None:
             raise ValueError("`rigid` requires MOLECULE-mode insertion "
                              "(fix_obmd_merged.cpp:475-500)")
+        if self.shake and self.mol is None:
+            raise ValueError("`shake` requires MOLECULE-mode insertion "
+                             "(fix_obmd_merged.cpp:1163-1168)")
+        if self.shake and self.rigid:
+            raise ValueError("`rigid` and `shake` are mutually exclusive "
+                             "(a molecule is handed to one fix, not both)")
         for name in ("region1", "region2", "region5", "region6"):
             if getattr(self, name) is None:
                 raise ValueError(
@@ -677,6 +736,10 @@ class SceneConfig:
     # fix rigid analogue: integrate every mol != 0 atom as a rigid body
     # (obmd_tpu.rigid; implied by fix obmd's `rigid` keyword)
     rigid: bool = False
+    # fix shake analogue: SHAKE/RATTLE distance constraints over the bond
+    # columns (obmd_tpu.shake; implied by fix obmd's `shake` keyword,
+    # where finalize() derives the table from the insertion template)
+    shake: Optional[ShakeParams] = None
     langevin: Optional[LangevinParams] = None
     skin: float = 0.3               # Verlet-list skin; cells sized cut+skin.
                                     # skin=0 -> rebuild every step.
@@ -704,4 +767,14 @@ class SceneConfig:
             out = dataclasses.replace(out, obmd=obmd)
         if out.obmd is not None and out.obmd.rigid and not out.rigid:
             out = dataclasses.replace(out, rigid=True)
+        if (out.obmd is not None and out.obmd.shake
+                and out.shake is None):
+            out = dataclasses.replace(out, shake=shake_table_from_templates(
+                out.obmd.templates, out.ntypes))
+        if out.shake is not None and out.rigid:
+            raise ValueError("rigid and shake are mutually exclusive")
+        if out.shake is not None and len(out.shake.d0) != out.ntypes:
+            raise ValueError(
+                f"shake d0 table is {len(out.shake.d0)} types, scene has "
+                f"{out.ntypes}")
         return out

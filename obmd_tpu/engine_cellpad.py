@@ -625,6 +625,11 @@ def make_step_cellpad(cfg: SceneConfig):
             x, v = rigid_drift(cfg, state, v)
         else:
             x = cfg.box.wrap(jnp.where(a3, state.x + dtype(dt) * v, state.x))
+        if cfg.shake is not None:
+            from .shake import shake_positions
+            x, v = shake_positions(cfg, state.x, x, v, state.type,
+                                   state.bond1, state.bond2, state.alive,
+                                   1.0 / m[:, 0])
         state = state.replace(x=x, v=v)
 
         if cfg.obmd is not None:
@@ -648,6 +653,10 @@ def make_step_cellpad(cfg: SceneConfig):
         if cfg.rigid:
             from .rigid import rigid_project
             v = rigid_project(cfg, state, v)
+        if cfg.shake is not None:
+            from .shake import rattle_velocities
+            v = rattle_velocities(cfg, state.x, v, state.type, state.bond1,
+                                  state.bond2, state.alive, 1.0 / m[:, 0])
         state = state.replace(v=v, f=f, step=state.step + 1)
         if cfg.obmd is not None and cfg.obmd.mol is not None:
             from .adress import update_mol_com
@@ -672,6 +681,10 @@ def _plain_step(cfg, geom, kern, state: State, with_stage: bool = True) -> State
         x, v = rigid_drift(cfg, state, v)
     else:
         x = cfg.box.wrap(jnp.where(a3, state.x + dtype(dt) * v, state.x))
+    if cfg.shake is not None:
+        from .shake import shake_positions
+        x, v = shake_positions(cfg, state.x, x, v, state.type, state.bond1,
+                               state.bond2, state.alive, 1.0 / m[:, 0])
     state = state.replace(x=x, v=v)
     if cfg.obmd is not None and with_stage:
         state = _obmd_stage(cfg, geom, state, with_rebuild=False)
@@ -681,6 +694,10 @@ def _plain_step(cfg, geom, kern, state: State, with_stage: bool = True) -> State
     if cfg.rigid:
         from .rigid import rigid_project
         v = rigid_project(cfg, state, v)
+    if cfg.shake is not None:
+        from .shake import rattle_velocities
+        v = rattle_velocities(cfg, state.x, v, state.type, state.bond1,
+                              state.bond2, state.alive, 1.0 / m[:, 0])
     state = state.replace(v=v, f=f, step=state.step + 1)
     if cfg.obmd is not None and cfg.obmd.mol is not None:
         from .adress import update_mol_com

@@ -284,6 +284,11 @@ def make_step(cfg: SceneConfig):
             x = jnp.where(alive3, state.x + dtype(dt) * v, state.x)
             # wrap periodic axes before any cell filing; x stays open
             x = cfg.box.wrap(x)
+        if cfg.shake is not None:
+            from .shake import shake_positions
+            x, v = shake_positions(cfg, state.x, x, v, state.type,
+                                   state.bond1, state.bond2, state.alive,
+                                   1.0 / m[:, 0])
         state = state.replace(x=x, v=v)
 
         # OBMD stage every nfreq steps (ref fix_obmd_merged.cpp:279-281,632)
@@ -326,6 +331,10 @@ def make_step(cfg: SceneConfig):
         if cfg.rigid:
             from .rigid import rigid_project
             v = rigid_project(cfg, state, v)
+        if cfg.shake is not None:
+            from .shake import rattle_velocities
+            v = rattle_velocities(cfg, state.x, v, state.type, state.bond1,
+                                  state.bond2, state.alive, 1.0 / m[:, 0])
 
         return state.replace(v=v, f=f, step=state.step + 1)
 
