@@ -11,6 +11,12 @@ examples/OBMD_DPD/in.simulation map 1:1 onto SceneConfig/State:
   velocity | variable equal | thermo | thermo_style | dump | run |
   write_restart / read_restart | write_data | log | print
 
+Script control flow (input.cpp:764 command dispatch): `label`, `jump
+SELF/FILE [label]`, `next v1 [v2 ...]` over loop/index-style variables
+(variable.cpp), `if "<cond>" then "<cmd>" ... [else "<cmd>" ...]`, and
+`clear` — enough to run the reference's multi-run sweep decks (e.g.
+examples/mdi/in.series.alone's label/next/jump loop) verbatim.
+
 Unsupported commands raise (strict mode) or warn (lenient mode).
 """
 from __future__ import annotations
@@ -85,30 +91,83 @@ class Interpreter:
         self.state = None
         self.total_steps = 0
         self._thermo_fn = None
+        # control flow (input.cpp jump/next; variable.cpp loop/index state)
+        self._iter_vars: Dict[str, dict] = {}   # name -> {values, pos}
+        self._skip_next_jump = False
+        self._path: Optional[str] = None
 
     # ---------------- script plumbing ----------------
 
     def run_file(self, path: str):
+        self._path = path
         with open(path) as fh:
             self.run_lines(fh.read().splitlines())
 
-    def run_lines(self, lines):
-        buf = ""
+    @staticmethod
+    def _join_continuations(lines):
+        """Fold `&` trailing-continuation lines (input.cpp parse)."""
+        prog, buf = [], ""
         for raw in lines:
             line = raw.rstrip()
-            if line.endswith("&"):          # continuation (input.cpp parse)
+            if line.endswith("&"):
                 buf += line[:-1] + " "
                 continue
-            buf += line
-            self.one(buf)
+            prog.append(buf + line)
             buf = ""
+        if buf:
+            prog.append(buf)
+        return prog
+
+    def run_lines(self, lines):
+        """Execute a program with a program counter so `jump` can move it
+        (input.cpp:195 file() re-reads; here the program is held in memory
+        and jump/label set the counter)."""
+        prev = (getattr(self, "_prog", None), getattr(self, "_pc", 0))
+        self._prog = self._join_continuations(lines)
+        self._pc = 0
+        try:
+            while self._pc < len(self._prog):
+                line = self._prog[self._pc]
+                self._pc += 1
+                self.one(line)
+        finally:
+            self._prog, self._pc = prev
+
+    # token = "double-quoted" | 'single-quoted' | bare word; quotes group
+    # args with spaces and are stripped (input.cpp:parse single/double/
+    # triple-quote handling; triple quotes are not needed by any deck)
+    _TOKEN_RE = re.compile(r'"([^"]*)"|\'([^\']*)\'|(\S+)')
+
+    @classmethod
+    def _tokenize(cls, line: str) -> List[str]:
+        out = []
+        for m in cls._TOKEN_RE.finditer(line):
+            g1, g2, g3 = m.groups()
+            out.append(g1 if g1 is not None else (g2 if g2 is not None else g3))
+        return out
+
+    @staticmethod
+    def _strip_comment(line: str) -> str:
+        """Drop `# ...` unless the # sits inside a quoted string."""
+        if "#" not in line:
+            return line.strip()
+        quote = ""
+        for i, ch in enumerate(line):
+            if quote:
+                if ch == quote:
+                    quote = ""
+            elif ch in "\"'":
+                quote = ch
+            elif ch == "#":
+                return line[:i].strip()
+        return line.strip()
 
     def one(self, line: str):
-        line = line.split("#")[0].strip()
+        line = self._strip_comment(line)
         if not line:
             return
         line = self._substitute(line)
-        args = line.split()
+        args = self._tokenize(line)
         cmd, rest = args[0], args[1:]
         handler = getattr(self, "cmd_" + cmd.replace("/", "_"), None)
         if handler is None:
@@ -130,6 +189,19 @@ class Interpreter:
     def _eval_var(self, name):
         v = self.variables[name]
         return v() if callable(v) else v
+
+    def _eval_var_num(self, name):
+        """v_name inside a FORMULA: loop/index variables hold strings but
+        evaluate numerically in equal-style expressions (variable.cpp
+        evaluate() coerces); non-numeric strings stay strings so `v_a ==
+        v_b` string comparison still works."""
+        v = self._eval_var(name)
+        if isinstance(v, str):
+            try:
+                return float(v)
+            except ValueError:
+                return v
+        return v
 
     # ---------------- commands ----------------
 
@@ -162,6 +234,114 @@ class Interpreter:
     def cmd_print(self, a):
         self.log(" ".join(a).strip('"'))
 
+    # ---------------- control flow (input.cpp:764 dispatch) ----------------
+
+    def cmd_label(self, a):
+        pass  # jump targets are resolved by cmd_jump's scan
+
+    def cmd_jump(self, a):
+        """jump SELF|<file> [label] — move the program counter; a jump
+        right after an exhausting `next` is skipped (input.cpp Jump +
+        next command semantics)."""
+        if self._skip_next_jump:
+            self._skip_next_jump = False
+            return
+        target = a[0]
+        if target not in ("SELF", self._path):
+            with open(target) as fh:
+                self._prog = self._join_continuations(fh.read().splitlines())
+            self._path = target
+        if len(a) > 1:
+            label = a[1]
+            for i, line in enumerate(self._prog):
+                toks = self._strip_comment(line).split()
+                if len(toks) >= 2 and toks[0] == "label" and toks[1] == label:
+                    self._pc = i
+                    return
+            raise ScriptError(f"label {label} not found for jump")
+        self._pc = 0
+
+    def cmd_next(self, a):
+        """next v1 [v2 ...] — advance loop/index variables in lockstep;
+        on exhaustion delete them and skip the next jump (variable.cpp
+        Variable::next)."""
+        exhausted = False
+        for name in a:
+            it = self._iter_vars.get(name)
+            if it is None:
+                raise ScriptError(
+                    f"next on non-loop/index variable {name}")
+            it["pos"] += 1
+            if it["pos"] >= len(it["values"]):
+                exhausted = True
+            else:
+                self.variables[name] = it["values"][it["pos"]]
+        if exhausted:
+            for name in a:
+                self.variables.pop(name, None)
+                self._iter_vars.pop(name, None)
+            self._skip_next_jump = True
+
+    def cmd_if(self, a):
+        """if "<cond>" then "<cmd>" ... [elif "<cond>" "<cmd>" ...]
+        [else "<cmd>" ...] (input.cpp If::command)."""
+        # split the arg list into (cond, commands) branches
+        branches = []      # [(cond_str_or_None, [cmds])]
+        if len(a) < 2 or a[1] != "then":
+            raise ScriptError("if syntax: if <cond> then <cmds...>")
+        cond, cmds, i = a[0], [], 2
+        while i < len(a):
+            tok = a[i]
+            if tok == "elif":
+                branches.append((cond, cmds))
+                cond, cmds = a[i + 1], []
+                i += 2
+            elif tok == "else":
+                branches.append((cond, cmds))
+                cond, cmds = None, []
+                i += 1
+            else:
+                cmds.append(tok)
+                i += 1
+        branches.append((cond, cmds))
+        for cond, cmds in branches:
+            if cond is None or self._eval_condition(cond):
+                for c in cmds:
+                    self.one(c)
+                return
+
+    def _eval_condition(self, cond: str) -> bool:
+        """Boolean expression (variable.cpp evaluate): numeric comparisons
+        and logicals via the equal-style grammar; `A == B` string equality
+        as the fallback when the operands aren't numeric."""
+        try:
+            return bool(self._compile_expr(cond)())
+        except Exception:
+            for op in ("==", "!="):
+                if op in cond:
+                    lhs, rhs = (s.strip() for s in cond.split(op, 1))
+                    return (lhs == rhs) if op == "==" else (lhs != rhs)
+            raise
+
+    def cmd_clear(self, a):
+        """Reset the system between loop iterations; variables, the log fn,
+        and the program counter survive (input.cpp clear)."""
+        keep_vars = self.variables
+        keep_iters = self._iter_vars
+        keep_exprs = self.var_exprs
+        prog, pc, path = self._prog, self._pc, self._path
+        skip = self._skip_next_jump
+        self.__init__(strict=self.strict, n_max=self.n_max,
+                      cell_capacity=self.cell_capacity, log_fn=self.log)
+        self.variables = keep_vars
+        self._iter_vars = keep_iters
+        self.var_exprs = keep_exprs
+        self._prog, self._pc, self._path = prog, pc, path
+        self._skip_next_jump = skip
+
+    def cmd_shell(self, a):
+        pass  # deliberately inert: decks use it for mkdir/cd bookkeeping
+
     def cmd_variable(self, a):
         # variable name equal <expr>  |  variable name index <val>
         name, style = a[0], a[1]
@@ -176,13 +356,31 @@ class Interpreter:
             py = expr.replace("^", "**")
             py = re.sub(r"v_(\w+)", r"_V('\1')", py)
             self.atom_var_exprs[name] = py
-        elif style in ("index", "string"):
+        elif style == "index":
             # index does NOT overwrite an existing definition
-            # (variable.cpp: the -var CLI override mechanism)
-            if style == "string" or name not in self.variables:
+            # (variable.cpp: loops survive `jump SELF` re-execution and the
+            # -var CLI override mechanism works)
+            if name not in self.variables:
+                self._iter_vars[name] = {"values": list(a[2:]), "pos": 0}
                 self.variables[name] = a[2]
+        elif style == "loop":
+            # variable N loop <n> [pad] | loop <n1> <n2> [pad]
+            if name not in self.variables:
+                rest = list(a[2:])
+                pad = rest and rest[-1] == "pad"
+                if pad:
+                    rest = rest[:-1]
+                lo, hi = (1, int(rest[0])) if len(rest) == 1 else (
+                    int(rest[0]), int(rest[1]))
+                width = len(str(hi)) if pad else 0
+                vals = [str(i).zfill(width) for i in range(lo, hi + 1)]
+                self._iter_vars[name] = {"values": vals, "pos": 0}
+                self.variables[name] = vals[0]
+        elif style == "string":
+            self.variables[name] = a[2]
         elif style == "delete":
             self.variables.pop(name, None)
+            self._iter_vars.pop(name, None)
         else:
             raise ScriptError(f"variable style {style} unsupported")
 
@@ -206,7 +404,7 @@ class Interpreter:
 
         def fn():
             env = dict(safe)
-            env["_V"] = self._eval_var
+            env["_V"] = self._eval_var_num
             env["time"] = self.total_steps * self.dt
             env["step"] = self.total_steps
             env["dt"] = self.dt
@@ -996,12 +1194,14 @@ class Interpreter:
                 params["rigid"] = True
                 i += 2
             elif k == "shake":
-                # no SHAKE constraint engine; refuse loudly instead of
-                # silently inserting unconstrained molecules
-                raise ScriptError(
-                    "fix obmd shake: SHAKE-constrained insertion is not "
-                    "supported (use `rigid`, or flexible bonds via "
-                    "bond_style)")
+                # ref hands inserted molecules to a named SHAKE fix
+                # (fix_obmd_merged.cpp:1163-1168); here the engine itself
+                # constrains template distances with SHAKE/RATTLE
+                # (obmd_tpu.shake; SceneConfig.finalize derives the d0
+                # table from the template geometry), so the fix-ID
+                # operand is accepted and constraints are enabled
+                params["shake"] = True
+                i += 2
             else:
                 if self.strict:
                     raise ScriptError(f"fix obmd keyword {k} unsupported")
@@ -1200,15 +1400,69 @@ class Interpreter:
         th = self._thermo_fn(self.state)
         vals = []
         for c in self.thermo_cols:
-            v = {"step": int(th.step), "temp": float(th.temp),
-                 "atoms": int(th.natoms), "pe": float(th.pe),
-                 "ke": float(th.ke), "press": float(th.pressure),
-                 "etotal": float(th.pe + th.ke)}.get(c)
+            v = self._thermo_keyword(c, th)
             if v is None and c.startswith("v_") and \
                     c[2:] in self.variables:
                 v = self._eval_var(c[2:])
             vals.append(f"{v}" if v is not None else "NA")
         self.log("  ".join([*vals]))
+
+    def _thermo_keyword(self, c: str, th):
+        """thermo_style custom keyword surface (thermo.cpp:2211 dispatch;
+        the subset with meaning in this engine: state/energy/pressure/
+        geometry/time keywords)."""
+        box = self.cfg.box
+        import time as _time
+        simple = {
+            "step": lambda: int(th.step),
+            "elapsed": lambda: int(th.step),    # since run start ~ step
+            "dt": lambda: self.dt,
+            "time": lambda: self.total_steps * self.dt,
+            "cpu": lambda: _time.process_time(),
+            "atoms": lambda: int(th.natoms),
+            "temp": lambda: float(th.temp),
+            "pe": lambda: float(th.pe),
+            "ke": lambda: float(th.ke),
+            "etotal": lambda: float(th.pe + th.ke),
+            "epair": lambda: float(th.epair),
+            "ebond": lambda: float(th.ebond),
+            "eangle": lambda: float(th.eangle),
+            "edihed": lambda: float(th.edihed),
+            "emol": lambda: float(th.ebond + th.eangle + th.edihed),
+            "press": lambda: float(th.pressure),
+            "pxx": lambda: float(th.press_tensor[0]),
+            "pyy": lambda: float(th.press_tensor[1]),
+            "pzz": lambda: float(th.press_tensor[2]),
+            "pxy": lambda: float(th.press_tensor[3]),
+            "pxz": lambda: float(th.press_tensor[4]),
+            "pyz": lambda: float(th.press_tensor[5]),
+            "enthalpy": lambda: float(th.pe + th.ke
+                                      + th.pressure * box.volume),
+            "fmax": lambda: float(th.fmax),
+            "fnorm": lambda: float(th.fnorm),
+            "vol": lambda: float(box.volume),
+            "density": lambda: self._mass_density(th),
+            "lx": lambda: float(box.lengths[0]),
+            "ly": lambda: float(box.lengths[1]),
+            "lz": lambda: float(box.lengths[2]),
+            "xlo": lambda: float(box.lo[0]),
+            "xhi": lambda: float(box.hi[0]),
+            "ylo": lambda: float(box.lo[1]),
+            "yhi": lambda: float(box.hi[1]),
+            "zlo": lambda: float(box.lo[2]),
+            "zhi": lambda: float(box.hi[2]),
+        }
+        fn = simple.get(c)
+        return fn() if fn is not None else None
+
+    def _mass_density(self, th):
+        """total mass / volume (thermo.cpp density, lj units)."""
+        import numpy as _np
+        st = self.state
+        alive = _np.asarray(st.alive)
+        masses = _np.asarray(self.cfg.masses)
+        m = masses[_np.asarray(st.type)[alive]].sum()
+        return float(m / self.cfg.box.volume)
 
     def eval_atom_var(self, name):
         """Evaluate an atom-style variable over the ALIVE atoms (host-side

@@ -28,10 +28,18 @@ class Thermo(NamedTuple):
     step: jnp.ndarray
     natoms: jnp.ndarray
     temp: jnp.ndarray
-    pe: jnp.ndarray          # total pair potential energy
+    pe: jnp.ndarray          # total potential energy (epair + emol)
     ke: jnp.ndarray
     pressure: jnp.ndarray    # scalar P = (W_xx+W_yy+W_zz + sum m v^2)/(3V)
     pxx: jnp.ndarray
+    # thermo.cpp keyword breadth (press tensor, energy split, force norms)
+    press_tensor: jnp.ndarray = jnp.zeros(6)   # pxx pyy pzz pxy pxz pyz
+    epair: jnp.ndarray = jnp.zeros(())
+    ebond: jnp.ndarray = jnp.zeros(())
+    eangle: jnp.ndarray = jnp.zeros(())
+    edihed: jnp.ndarray = jnp.zeros(())
+    fmax: jnp.ndarray = jnp.zeros(())
+    fnorm: jnp.ndarray = jnp.zeros(())
 
 
 class Profiles(NamedTuple):
@@ -63,10 +71,43 @@ def make_thermo_fn(cfg: SceneConfig):
         w = pf.virial
         pressure = (jnp.sum(mv2) + w[0] + w[1] + w[2]) / (3.0 * vol)
         pxx = (jnp.sum(mv2[:, 0]) + w[0]) / vol
+        # full pressure tensor: P_ab = (sum m v_a v_b + W_ab) / V
+        v_ = jnp.where(alive[:, None], state.v, 0.0)
+        mvv = jnp.stack([
+            jnp.sum(mv2[:, 0]), jnp.sum(mv2[:, 1]), jnp.sum(mv2[:, 2]),
+            jnp.sum(m * v_[:, 0] * v_[:, 1]),
+            jnp.sum(m * v_[:, 0] * v_[:, 2]),
+            jnp.sum(m * v_[:, 1] * v_[:, 2])])
+        press_tensor = (mvv + w) / vol
+        epair = jnp.sum(jnp.where(alive, pf.pe, 0.0))
+        zero = jnp.zeros((), state.dtype)
+        ebond = eangle = edihed = zero
+        if cfg.bond is not None:
+            from .forces.bonded import bond_forces
+            _, eb = bond_forces(cfg.bond, cfg.box, state.x, state.bond1,
+                                state.bond2, alive, compute_energy=True)
+            ebond = jnp.sum(jnp.where(alive, eb, 0.0))
+        if cfg.angle is not None:
+            from .forces.bonded import angle_forces
+            _, ea = angle_forces(cfg.angle, cfg.box, state.x, state.bond1,
+                                 state.bond2, state.type, alive,
+                                 compute_energy=True)
+            eangle = jnp.sum(jnp.where(alive, ea, 0.0))
+        if cfg.dihedral is not None:
+            from .forces.bonded import dihedral_forces
+            _, ed = dihedral_forces(cfg.dihedral, cfg.box, state.x,
+                                    state.bond1, state.bond2, alive,
+                                    compute_energy=True)
+            edihed = jnp.sum(jnp.where(alive, ed, 0.0))
+        fa = jnp.where(alive[:, None], state.f, 0.0)
         return Thermo(step=state.step, natoms=state.natoms,
                       temp=temperature(cfg, state),
-                      pe=jnp.sum(jnp.where(alive, pf.pe, 0.0)),
-                      ke=0.5 * jnp.sum(mv2), pressure=pressure, pxx=pxx)
+                      pe=epair + ebond + eangle + edihed,
+                      ke=0.5 * jnp.sum(mv2), pressure=pressure, pxx=pxx,
+                      press_tensor=press_tensor, epair=epair, ebond=ebond,
+                      eangle=eangle, edihed=edihed,
+                      fmax=jnp.max(jnp.abs(fa)),
+                      fnorm=jnp.sqrt(jnp.sum(fa * fa)))
 
     return thermo
 

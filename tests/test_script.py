@@ -168,9 +168,9 @@ run             0
 
 
 def test_rigid_shake_keywords_rejected(tmp_path):
-    """`shake` has no constraint engine and must refuse loudly; `rigid`
-    is supported (obmd_tpu.rigid) but requires MOLECULE-mode insertion —
-    on an atom-mode deck it must also refuse loudly (ref :475-500)."""
+    """`rigid` and `shake` are supported (obmd_tpu.rigid / obmd_tpu.shake)
+    but require MOLECULE-mode insertion — on an atom-mode deck both must
+    refuse loudly (ref :475-500, :1163-1168)."""
     data = _write_data(tmp_path)
     for kw in ("rigid fixid", "shake fixid"):
         deck = f"""
@@ -191,12 +191,8 @@ fix             2 all obmd 1 1 987 188.0 0.0 0.0 0.0 0.0 0.7 0.01 130 &
 run             0
 """
         it = Interpreter(log_fn=lambda *a: None)
-        if kw.startswith("shake"):
-            with pytest.raises(ScriptError, match="SHAKE"):
-                it.run_lines(deck.splitlines())
-        else:
-            with pytest.raises(ValueError, match="MOLECULE-mode"):
-                it.run_lines(deck.splitlines())
+        with pytest.raises(ValueError, match="MOLECULE-mode"):
+            it.run_lines(deck.splitlines())
 
 
 def test_fix_langevin_deck(tmp_path):
@@ -302,3 +298,168 @@ def test_reference_bench_in_chain_parses():
     assert it.cfg.bond.k == 30.0 and it.cfg.bond.r0 == 1.5
     assert it.cfg.pair.shift is True
     assert it.cfg.langevin.damp == 10.0
+
+
+# ---------------- control flow (input.cpp:764; variable.cpp loop/index) ---
+
+
+def test_loop_next_jump():
+    """The canonical label/next/jump SELF loop pattern (the shape of the
+    reference's own sweep decks, e.g. examples/mdi/in.series.alone)."""
+    deck = """
+variable i loop 4
+label LOOP
+print "iter ${i}"
+next i
+jump SELF LOOP
+print "done"
+"""
+    out = []
+    it = Interpreter(log_fn=out.append)
+    it.run_lines(deck.splitlines())
+    assert out == ["iter 1", "iter 2", "iter 3", "iter 4", "done"]
+
+
+def test_index_variable_multi_values():
+    deck = """
+variable rho index 0.7 0.8 0.9
+label LOOP
+print "rho=${rho}"
+next rho
+jump SELF LOOP
+"""
+    out = []
+    Interpreter(log_fn=out.append).run_lines(deck.splitlines())
+    assert out == ["rho=0.7", "rho=0.8", "rho=0.9"]
+
+
+def test_loop_pad_and_range():
+    deck = """
+variable i loop 8 12 pad
+label L
+print "${i}"
+next i
+jump SELF L
+"""
+    out = []
+    Interpreter(log_fn=out.append).run_lines(deck.splitlines())
+    assert out == ["08", "09", "10", "11", "12"]
+
+
+def test_if_then_else():
+    deck = """
+variable x equal 3
+if "${x} > 2" then "print big" else "print small"
+if "${x} > 5" then "print big2" else "print small2"
+if "${x} == 3 && ${x} < 10" then "print both"
+variable s string hello
+if "${s} == hello" then "print strmatch"
+if "${s} != hello" then "print nope" else "print strelse"
+"""
+    out = []
+    Interpreter(log_fn=out.append).run_lines(deck.splitlines())
+    assert out == ["big", "small2", "both", "strmatch", "strelse"]
+
+
+def test_if_multiple_then_commands():
+    deck = '''
+if "1 == 1" then "print a" "print b" "print c"
+'''
+    out = []
+    Interpreter(log_fn=out.append).run_lines(deck.splitlines())
+    assert out == ["a", "b", "c"]
+
+
+def test_loop_sweep_deck_with_runs(tmp_path):
+    """A loop-over-dpxx sweep deck running an actual obmd simulation per
+    iteration with `clear` between them (VERDICT r3 item 6)."""
+    data = _write_data(tmp_path)
+    deck = f"""
+variable dp index 1.0 2.0
+label SWEEP
+
+units           lj
+boundary        f p p
+atom_style      atomic
+region          leftB block 0.0 1.6 0.0 4.0 0.0 4.0
+region          rightB block 6.4 8.0 0.0 4.0 0.0 4.0
+region          z block 0.0 0.0 0.0 0.0 0.0 0.0
+pair_style      dpd 1.0 1.0 4321
+read_data       {data}
+pair_coeff      * * 25.0 4.5 1.0
+neighbor        0.3 bin
+timestep        0.01
+fix             1 all nve
+fix             2 all obmd 1 1 987 10.0 ${{dp}} 0.0 0.0 0.0 0.7 0.01 130 &
+                region1 leftB region2 rightB region3 z region4 z &
+                region5 leftB region6 rightB buffersize 1.6 gfac 0.25 &
+                maxattempt 1 usher 1 10.0 1.0 0.02 10000.0 1.5 1.0 10
+run             10
+print           "swept ${{dp}}"
+clear
+
+next dp
+jump SELF SWEEP
+print           all-done
+"""
+    out = []
+    it = Interpreter(log_fn=out.append)
+    it.run_lines(deck.splitlines())
+    assert "swept 1.0" in out and "swept 2.0" in out
+    assert out[-1] == "all-done"
+
+
+def test_next_exhaustion_skips_jump_only_once():
+    deck = """
+variable a loop 2
+label A
+variable b loop 2
+label B
+print "${a}-${b}"
+next b
+jump SELF B
+next a
+jump SELF A
+"""
+    out = []
+    Interpreter(log_fn=out.append).run_lines(deck.splitlines())
+    assert out == ["1-1", "1-2", "2-1", "2-2"]
+
+
+def test_thermo_keyword_breadth(tmp_path):
+    """thermo_style custom keyword surface (thermo.cpp:2211 subset):
+    energy split, pressure tensor, geometry, density, time keywords."""
+    data = _write_data(tmp_path, n=200, box=(6.0, 6.0, 6.0))
+    deck = f"""
+units           lj
+boundary        p p p
+atom_style      atomic
+pair_style      dpd 1.0 1.0 4321
+read_data       {data}
+pair_coeff      * * 25.0 4.5 1.0
+timestep        0.01
+fix             1 all nve
+thermo          10
+thermo_style    custom step time dt atoms temp press pxx pyy pzz pxy vol &
+                density lx ly lz xlo xhi etotal epair emol enthalpy fmax fnorm
+run             10
+"""
+    out = []
+    it = Interpreter(log_fn=out.append)
+    it.run_lines(deck.splitlines())
+    last = out[-1].split()
+    assert len(last) == 23, out[-1]
+    cols = dict(zip(
+        "step time dt atoms temp press pxx pyy pzz pxy vol density lx ly "
+        "lz xlo xhi etotal epair emol enthalpy fmax fnorm".split(), last))
+    assert "NA" not in last, out[-1]
+    assert cols["step"] == "10" and cols["atoms"] == "200"
+    assert float(cols["vol"]) == 216.0 and float(cols["lx"]) == 6.0
+    assert abs(float(cols["density"]) - 200.0 / 216.0) < 1e-6
+    assert float(cols["time"]) == 0.1 and float(cols["dt"]) == 0.01
+    # scalar press == trace/3 of the tensor
+    tr3 = (float(cols["pxx"]) + float(cols["pyy"]) + float(cols["pzz"])) / 3
+    assert abs(tr3 - float(cols["press"])) < 1e-3 * max(1, abs(tr3))
+    # no bonds in this deck: emol = 0, epair = pe part of etotal
+    assert float(cols["emol"]) == 0.0
+    assert float(cols["fnorm"]) > 0.0 and float(cols["fmax"]) > 0.0
