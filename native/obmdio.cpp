@@ -115,8 +115,21 @@ DataFile* parse_data(const char* path, int style) {
         if (ty >= 1 && ty <= df->ntypes) df->masses[ty - 1] = atof(t[1].c_str());
       }
     } else if (header.rfind("Atoms", 0) == 0) {
+      // column count per style: atomic 5, charge 6, molecular 6, full 7
+      // (+ optional image flags).  A SHORT line means the file's format
+      // does not match the declared atom_style — reading on would shift
+      // every coordinate silently (read_data.cpp errors out the same
+      // way: "Incorrect atom format in data file").
+      const size_t need = (style == 0) ? 5 : (style == 3) ? 7 : 6;
       for (int64_t k = 0; k < df->natoms && i < lines.size(); k++, i++) {
         auto t = tokens(clean(lines[i]));
+        if (t.size() < need) {
+          df->error = "Atoms line has " + std::to_string(t.size()) +
+                      " columns; declared atom_style expects " +
+                      std::to_string(need) +
+                      " (file format does not match atom_style)";
+          return df;
+        }
         size_t c = 0;
         df->tag[k] = atoi(t[c++].c_str());
         if (style == 2 || style == 3) {

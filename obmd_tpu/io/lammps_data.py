@@ -124,8 +124,18 @@ def _read_data_py(path: str, atom_style: str = "atomic") -> DataFile:
                 i += 1
         elif header.startswith("Atoms"):
             i = _skip_blank(lines, i)
+            need = {"atomic": 5, "charge": 6, "bond": 6, "molecular": 6,
+                    "adress": 6, "full": 7}.get(atom_style, 5)
             for k in range(natoms):
                 t = _tokens(lines[i])
+                if len(t) < need:
+                    # read_data.cpp errors the same way ("Incorrect atom
+                    # format in data file") — reading on would silently
+                    # shift every coordinate
+                    raise ValueError(
+                        f"Atoms line {k + 1} has {len(t)} columns; "
+                        f"atom_style '{atom_style}' expects {need} — the "
+                        "data file format does not match the atom_style")
                 tags[k] = int(t[0])
                 if atom_style == "atomic":
                     types[k] = int(t[1]) - 1

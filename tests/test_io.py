@@ -274,3 +274,28 @@ Dihedrals
     np.testing.assert_array_equal(a.dihedrals, b.dihedrals)
     assert (np.asarray(a.mol) == b.mol).all()
     assert b.masses[0] == 1.5
+
+
+def test_read_data_format_mismatch_is_loud(tmp_path):
+    """An atomic-format Atoms section read under atom_style molecular must
+    raise (read_data.cpp 'Incorrect atom format'), not silently shift
+    every coordinate (r4 regression: the misparse filed garbage cells)."""
+    import numpy as np
+    import pytest
+    from obmd_tpu.io import lammps_data, native
+
+    df = lammps_data.DataFile(
+        natoms=4, ntypes=1, box_lo=np.zeros(3), box_hi=np.full(3, 5.0),
+        masses=np.ones(1), x=np.random.RandomState(0).uniform(0, 5, (4, 3)),
+        types=np.zeros(4, int), tags=np.arange(1, 5))
+    p = str(tmp_path / "a.data")
+    lammps_data.write_data(p, df)              # atomic format
+    with pytest.raises((ValueError, IOError), match="atom_style|columns"):
+        lammps_data.read_data(p, atom_style="molecular",
+                              prefer_native=False)
+    if native.available():
+        with pytest.raises((ValueError, IOError), match="atom_style|columns"):
+            native.read_data_native(p, atom_style="molecular")
+    # the matching style still round-trips
+    back = lammps_data.read_data(p, atom_style="atomic")
+    np.testing.assert_allclose(back.x, df.x, rtol=1e-12)
