@@ -6,6 +6,7 @@
 // the deck-front-end Interpreter, so C and Fortran programs can run
 // decks exactly like the reference's C API clients do.  Build with
 // `make -C native libobmdc.so`; clients link -lobmdc -lpython3.12.
+#define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
 #include <cstring>
@@ -55,6 +56,41 @@ def _gather(name):
     arr = {"x": st.x, "v": st.v, "f": st.f}[name]
     out = _np.asarray(arr)[alive][order]
     return _np.ascontiguousarray(out, dtype=_np.float64).tobytes()
+
+def _gather_int(name):
+    st = _h.state
+    alive = _np.asarray(st.alive)
+    tags = _np.asarray(st.tag)[alive]
+    order = _np.argsort(tags)
+    if name == "id":
+        out = tags[order]
+    elif name == "type":
+        # 1-based like the reference's per-atom type array
+        out = _np.asarray(st.type)[alive][order] + 1
+    elif name == "mol":
+        out = _np.asarray(st.mol)[alive][order]
+    else:
+        raise KeyError(name)
+    return _np.ascontiguousarray(out, dtype=_np.int64).tobytes()
+
+def _scatter(name, buf):
+    # lammps_scatter_atoms analogue: write a tag-ordered [natoms,3] field
+    # back into the live slots; positions invalidate neighbor structures,
+    # so rebuild them (the checkpoint-restore path).
+    st = _h.state
+    alive = _np.asarray(st.alive)
+    rows = _np.where(alive)[0][_np.argsort(_np.asarray(st.tag)[alive])]
+    vals = _np.frombuffer(buf, dtype=_np.float64).reshape(-1, 3)
+    if vals.shape[0] != rows.shape[0]:
+        raise ValueError(f"scatter {name}: got {vals.shape[0]} rows, "
+                         f"system has {rows.shape[0]} atoms")
+    import jax.numpy as _jnp
+    full = _np.asarray(getattr(st, name)).copy()
+    full[rows] = vals.astype(full.dtype)
+    _h.state = st.replace(**{name: _jnp.asarray(full)})
+    if name == "x":
+        from obmd_tpu.integrate import rebuild_neighbors
+        _h.state = rebuild_neighbors(_h.cfg, _h.state)
 )PY";
 
 bool ensure_python() {
@@ -167,6 +203,40 @@ int obmd_gather(void* vh, const char* name, double* out) {
     return -1;
   }
   memcpy(out, buf, len);
+  Py_DECREF(r);
+  return 0;
+}
+
+// Gather a per-atom integer field ("id", "type" (1-based), "mol") in
+// ascending-tag order into `out` (caller allocates natoms int64s).
+int obmd_gather_int(void* vh, const char* name, long long* out) {
+  auto* h = static_cast<Handle*>(vh);
+  h->err.clear();
+  PyObject* r = call(h, "_gather_int", Py_BuildValue("(s)", name));
+  if (!r) return -1;
+  char* buf = nullptr;
+  Py_ssize_t len = 0;
+  if (PyBytes_AsStringAndSize(r, &buf, &len) != 0) {
+    capture_error(h);
+    Py_DECREF(r);
+    return -1;
+  }
+  memcpy(out, buf, len);
+  Py_DECREF(r);
+  return 0;
+}
+
+// Scatter a per-atom [natoms, 3] field ("x", "v", "f") from ascending-tag
+// order back into the system — the lammps_scatter_atoms analogue.
+// Scattering "x" rebuilds the neighbor structures.
+int obmd_scatter(void* vh, const char* name, const double* in,
+                 long long natoms) {
+  auto* h = static_cast<Handle*>(vh);
+  h->err.clear();
+  PyObject* r = call(h, "_scatter",
+                     Py_BuildValue("(sy#)", name, (const char*)in,
+                                   (Py_ssize_t)(3 * natoms * sizeof(double))));
+  if (!r) return -1;
   Py_DECREF(r);
   return 0;
 }

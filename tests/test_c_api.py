@@ -19,6 +19,9 @@ extern int obmd_file(void*, const char*);
 extern long long obmd_get_natoms(void*);
 extern double obmd_get_thermo(void*, const char*);
 extern int obmd_gather(void*, const char*, double*);
+extern int obmd_gather_int(void*, const char*, long long*);
+extern int obmd_scatter(void*, const char*, const double*, long long);
+extern int obmd_command(void*, const char*);
 extern const char* obmd_last_error(void*);
 extern void obmd_close(void*);
 int main(int argc, char** argv) {
@@ -33,7 +36,31 @@ int main(int argc, char** argv) {
   double* x = malloc(3 * n * sizeof(double));
   if (obmd_gather(h, "x", x) != 0) {
     fprintf(stderr, "gather: %s\n", obmd_last_error(h)); return 1; }
-  printf("natoms=%lld temp=%.4f step=%.0f x0=%.4f\n", n, T, step, x[0]);
+  /* typed id gather: ascending tags 1..n */
+  long long* ids = malloc(n * sizeof(long long));
+  if (obmd_gather_int(h, "id", ids) != 0) {
+    fprintf(stderr, "gather_int: %s\n", obmd_last_error(h)); return 1; }
+  int ids_ok = (ids[0] == 1 && ids[n - 1] == n);
+  for (long long i = 1; i < n; i++) if (ids[i] <= ids[i - 1]) ids_ok = 0;
+  /* scatter/gather pairing: halve all velocities, read them back */
+  double* v = malloc(3 * n * sizeof(double));
+  if (obmd_gather(h, "v", v) != 0) {
+    fprintf(stderr, "gather v: %s\n", obmd_last_error(h)); return 1; }
+  double v00 = v[0];
+  for (long long i = 0; i < 3 * n; i++) v[i] *= 0.5;
+  if (obmd_scatter(h, "v", v, n) != 0) {
+    fprintf(stderr, "scatter: %s\n", obmd_last_error(h)); return 1; }
+  if (obmd_gather(h, "v", v) != 0) {
+    fprintf(stderr, "regather: %s\n", obmd_last_error(h)); return 1; }
+  int v_ok = (v00 == 0.0) ? 1 : (v[0] / v00 > 0.49 && v[0] / v00 < 0.51);
+  /* scatter x (triggers a neighbor rebuild) and keep running */
+  if (obmd_scatter(h, "x", x, n) != 0) {
+    fprintf(stderr, "scatter x: %s\n", obmd_last_error(h)); return 1; }
+  if (obmd_command(h, "run 5") != 0) {
+    fprintf(stderr, "run: %s\n", obmd_last_error(h)); return 1; }
+  double step2 = obmd_get_thermo(h, "step");
+  printf("natoms=%lld temp=%.4f step=%.0f x0=%.4f ids_ok=%d v_ok=%d "
+         "step2=%.0f\n", n, T, step, x[0], ids_ok, v_ok, step2);
   obmd_close(h);
   return 0;
 }
@@ -91,3 +118,4 @@ run 30
     assert p.returncode == 0, p.stderr[-500:]
     out = p.stdout.strip().splitlines()[-1]
     assert "natoms=150" in out and "step=30" in out, out
+    assert "ids_ok=1" in out and "v_ok=1" in out and "step2=35" in out, out
