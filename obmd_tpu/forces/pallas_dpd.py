@@ -15,8 +15,10 @@ DPD-BASIC/pair_dpd.cpp:66-163), designed around what the TPU does well:
     counter hash (the rng.pair_noise construction, uint32 ops) — Newton's
     third law holds bitwise, no reverse-communication analogue needed.
 
-Single atom type (the OBMD_DPD flagship workload); multi-type systems use
-the XLA paths.
+Handles up to 4 atom types (per-pair a0/gamma/sigma/cut tables indexed by
+a packed type code), optional charge (reaction-field term), and gaussian or
+uniform pair noise; systems with more types fall back to the XLA paths
+(see engine_cellpad.py's kernel-eligibility gate).
 """
 from __future__ import annotations
 

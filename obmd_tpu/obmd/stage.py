@@ -257,12 +257,14 @@ def _sequential_accept(cfg: SceneConfig, cand_x, cand_type, cand_ok, budget):
 
 
 def draw_candidates(cfg: SceneConfig, k_key, region, K: int, dtype,
-                    state: State = None):
+                    state: State = None, axis_name: str = None):
     """Candidate positions + initial validity: uniform in the insertion
     region (ref :921-927) or, with the `gaussian` keyword, normal draws
     around a point (ref :930-932) — gaussian draws landing outside the
     insertion region are invalid.  The fix-deposit `rate` / `global` /
-    `local` keywords then adjust the z coordinate (ref :880, :947-985)."""
+    `local` keywords then adjust the z coordinate (ref :880, :947-985).
+    Under the slab decomposition `axis_name` completes the z-max scan with
+    a pmax so every device draws identical candidates."""
     obmd = cfg.obmd
     if obmd.gaussian is not None:
         xm, ym, zm, sg = (float(v) for v in obmd.gaussian)
@@ -298,6 +300,8 @@ def draw_candidates(cfg: SceneConfig, k_key, region, K: int, dtype,
                                          sdt(cfg.box.lo[2])), axis=1)
             else:
                 zmax = jnp.max(jnp.where(sel, zs, sdt(cfg.box.lo[2])))
+            if axis_name is not None:
+                zmax = jax.lax.pmax(zmax, axis_name)
             uz = jax.random.uniform(jax.random.fold_in(k_key, 0x5a), (K,),
                                     dtype=dtype)
             z = zmax + sdt(lo) + uz * sdt(hi - lo)

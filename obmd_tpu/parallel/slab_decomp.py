@@ -76,7 +76,10 @@ class SlabGeom:
                               # kernel layout); None when unbuildable
     # static slab cuts [ndev+1] (the `balance` command analogue,
     # balance.cpp: static rebalancing between runs); uniform by default.
-    # slab_w is then the WIDEST slab (grids are sized for it).
+    # slab_w is then the WIDEST slab (grids are sized for it).  With
+    # make_slab_step(balance_every > 0) these become the INITIAL cuts of
+    # the dynamic rebalancer (fix balance analogue) and slab_w must
+    # leave headroom (grow_factor in make_slab_geom).
     boundaries: Tuple[float, ...] = ()
 
     @property
@@ -86,7 +89,12 @@ class SlabGeom:
 
 def make_slab_geom(cfg: SceneConfig, ndev: int, *, n_loc: int = 0,
                    h_max: int = 0, m_max: int = 0,
-                   b_max: int = 0, boundaries=None) -> SlabGeom:
+                   b_max: int = 0, boundaries=None,
+                   grow: float = 1.0) -> SlabGeom:
+    """grow > 1 sizes the per-slab grid envelope for slabs up to
+    grow x the widest initial slab — REQUIRED headroom for dynamic load
+    balancing (make_slab_step(balance_every > 0)), where the live cuts
+    may widen a slab well past its initial width."""
     cfg = cfg.finalize()
     box = cfg.box
     if box.periodic[0]:
@@ -107,79 +115,81 @@ def make_slab_geom(cfg: SceneConfig, ndev: int, *, n_loc: int = 0,
         if (widths < cut).any():
             raise ValueError(
                 f"balanced slab width {widths.min():.3g} < cutoff {cut:.3g}")
-    if cfg.obmd is not None and cfg.obmd.mol is not None:
-        # molecule-mode: bonds resolve positionally by TAG among
-        # owned + halo atoms, which requires every bond to fit inside
-        # the halo width (= pair cutoff)
-        import numpy as _np
+    if cfg.shake is not None:
+        raise NotImplementedError(
+            "slab path: SHAKE constraints not wired (the position solve "
+            "needs a pre- AND post-drift halo; use rigid or bond_style)")
+    # Bonded interactions widen the halo beyond the pair cutoff: every
+    # atom computes its OWN share of each bonded term from gathered
+    # positions (no reverse-comm analogue), so an angle's end role reaches
+    # 2 bonds, a dihedral's 3, and a rigid body its whole template span.
+    # Bonds resolve by TAG among owned + halo rows (_resolve_rows).
+    max_bond = 0.0
+    span = 0.0
+    if cfg.bond is not None:
+        # FENE r0 = maximum extension; harmonic r0 = equilibrium (allow
+        # 30% thermal stretch)
+        max_bond = max(max_bond, float(getattr(cfg.bond, "r0", 0.0)) * 1.3)
+    if cfg.obmd is not None:
         for tpl in cfg.obmd.templates:
-            dx = _np.asarray(tpl.dx)
+            dx = np.asarray(tpl.dx)
             for a, b in tpl.bonds:
-                blen = float(_np.linalg.norm(dx[a] - dx[b]))
-                if blen > cut * 0.95:
-                    raise ValueError(
-                        f"slab path: template bond length {blen:.3g} "
-                        f"exceeds the halo width (pair cutoff {cut:.3g})")
-    if cfg.angle is not None or cfg.dihedral is not None:
-        raise NotImplementedError(
-            "slab path: angle/dihedral forces not wired yet")
+                max_bond = max(
+                    max_bond, float(np.linalg.norm(dx[a] - dx[b])) * 1.3)
+            if tpl.natoms > 1:
+                d2 = np.sum((dx[:, None, :] - dx[None, :, :]) ** 2, axis=-1)
+                span = max(span, float(np.sqrt(d2.max())) * 1.1)
+    hops = 3 if cfg.dihedral is not None else (
+        2 if cfg.angle is not None else 1)
+    reach = hops * max_bond
     if cfg.rigid:
-        raise NotImplementedError(
-            "slab path: rigid bodies not wired (rigid.py aggregates over "
-            "partner SLOTS; the slab path stores partner TAGS)")
-    if cfg.obmd is not None and any(
-            getattr(cfg.obmd, k) is not None
-            for k in ("vx", "vy", "vz", "target")):
-        raise NotImplementedError(
-            "slab path: inserted-velocity keywords not wired "
-            "(insertions are at rest, the reference default :1076-1078)")
-    if cfg.obmd is not None and any(
-            getattr(cfg.obmd, k) is not None
-            for k in ("deposit_global", "deposit_local", "rate")):
-        raise NotImplementedError(
-            "slab path: deposit z-offset keywords not wired "
-            "(the z-max scan needs a pmax reduction)")
-    lx = box.lengths[0]
-    slab_w = float(np.max(np.diff(boundaries)))   # widest slab sizes grids
-    if slab_w < cut:
-        raise ValueError(f"slab width {slab_w:.3g} < cutoff {cut:.3g}: "
-                         f"too many devices for this box")
+        reach = max(reach, span)
+    halo_w = max(cut, reach)
+    slab_w = float(np.max(np.diff(boundaries))) * float(grow)
+    slab_w = min(slab_w, lx_full)       # a slab can never exceed the box
+    min_w = float(np.min(np.diff(boundaries)))
+    if min_w < halo_w:
+        raise ValueError(
+            f"slab width {min_w:.3g} < halo width {halo_w:.3g} "
+            f"(cutoff {cut:.3g}, bonded reach {reach:.3g}): halos only "
+            "reach the ADJACENT device — use fewer devices")
     n_max = cfg.capacity.n_max
     if n_loc <= 0:
         n_loc = -(-n_max // ndev)
-    # per-slab grid in the slab frame x' = x - lo_d: one pad cell per face
-    # holds the halo (cell size >= cutoff by construction)
+    # per-slab grid in the slab frame x' = x - lo_d with n_pad pad cells
+    # per face holding the halo band (cell size >= cutoff by construction)
     gs = GridSpec.create(box, cut + cfg.skin, cfg.capacity.cell_capacity)
     csx_in = cut + cfg.skin
     n_in = max(1, int(np.floor(slab_w / csx_in)))
     cs_x = slab_w / n_in
+    n_pad = max(1, int(np.ceil(halo_w / cs_x)))
     # the slab-local x-cells are wider than the global grid's (cs_x =
     # slab_w / n_in >= cut + skin), so per-cell occupancy inflates by the
     # volume ratio — scale the capacity accordingly or fat cells overflow
     vol_ratio = cs_x / gs.cell_size[0]
     cap_local = int(np.ceil(cfg.capacity.cell_capacity * vol_ratio)) + 2
     spec_local = GridSpec(
-        dims=(n_in + 2, gs.dims[1], gs.dims[2]),
+        dims=(n_in + 2 * n_pad, gs.dims[1], gs.dims[2]),
         cell_size=(cs_x, gs.cell_size[1], gs.cell_size[2]),
-        lo=(-cs_x, box.lo[1], box.lo[2]),
+        lo=(-n_pad * cs_x, box.lo[1], box.lo[2]),
         periodic=(False, box.periodic[1], box.periodic[2]),
         capacity=cap_local)
     if h_max <= 0:
         # halo volume fraction of the slab, with 4x headroom
-        h_max = max(64, int(4 * n_loc * cut / slab_w))
+        h_max = max(64, int(4 * n_loc * halo_w / slab_w))
     if m_max <= 0:
         m_max = max(32, n_loc // 8)
     if b_max <= 0:
         # a device can contribute at most its own atoms to a region subset
         b_max = min(n_loc, cfg.capacity.insert_region_max or n_loc)
     # per-slab padded cell-major geometry for the in-shard Pallas kernel
-    # (force_impl="pallas"): the slab plus one cutoff+skin pad band per
+    # (force_impl="pallas"): the slab plus n_pad cutoff+skin pad bands per
     # face, in the slab frame (static under SPMD)
     pad_geom = None
     try:
         from ..forces.pallas_dpd import PadGeometry
         from ..geometry import Box as _Box
-        pad_w = csx_in
+        pad_w = n_pad * csx_in
         box_local = _Box((-pad_w, box.lo[1], box.lo[2]),
                          (slab_w + pad_w, box.hi[1], box.hi[2]),
                          (False, box.periodic[1], box.periodic[2]))
@@ -188,8 +198,75 @@ def make_slab_geom(cfg: SceneConfig, ndev: int, *, n_loc: int = 0,
         pad_geom = None
     return SlabGeom(ndev=ndev, n_loc=n_loc, slab_w=slab_w, x0=box.lo[0],
                     h_max=h_max, m_max=m_max, b_max=b_max,
-                    spec_local=spec_local, halo_w=cut, pad_geom=pad_geom,
+                    spec_local=spec_local, halo_w=halo_w, pad_geom=pad_geom,
                     boundaries=boundaries)
+
+
+try:
+    from flax import struct as _struct
+
+    @_struct.dataclass
+    class SlabCuts:
+        """Live slab cuts [ndev+1] riding in State.nbrs (replicated leaf)
+        for dynamic load balancing (fix_balance.cpp analogue)."""
+
+        cuts: jnp.ndarray
+except ImportError:                                    # pragma: no cover
+    SlabCuts = None
+
+
+def with_balance_cuts(geom: SlabGeom, state: State) -> State:
+    """Install the initial cuts for a balance_every > 0 slab step."""
+    return state.replace(
+        nbrs=SlabCuts(cuts=jnp.asarray(geom.boundaries, state.x.dtype)))
+
+
+def _rebalanced_cuts(cfg: SceneConfig, geom: SlabGeom, state: State, cuts):
+    """One dynamic rebalance: psum'd x-histogram of live atoms ->
+    equal-count quantile cuts (fix_balance.cpp:375 shift(); the recursive
+    bisection collapses into one cumulative-histogram quantile pass),
+    then two clamps that keep the step shape-static and single-hop:
+    each cut moves at most halo_w/4 per event, and every slab width stays
+    in [halo_w, geom.slab_w] (the static grid envelope)."""
+    ndev = geom.ndev
+    dtype = state.x.dtype
+    x0, x1 = float(cfg.box.lo[0]), float(cfg.box.hi[0])
+    nbins = max(64, 16 * ndev)
+    w = (x1 - x0) / nbins
+    xb = jnp.clip(((state.x[:, 0] - x0) / w).astype(jnp.int32), 0, nbins - 1)
+    hist = jnp.zeros((nbins,), jnp.int32).at[xb].add(
+        state.alive.astype(jnp.int32))
+    hist = jax.lax.psum(hist, AXIS)
+    csum = jnp.cumsum(hist).astype(dtype)               # [nbins]
+    total = csum[-1]
+    # target cumulative count at each interior cut; linear interpolation
+    # inside the crossing bin
+    targets = total * jnp.arange(1, ndev, dtype=dtype) / ndev
+    idx = jnp.searchsorted(csum, targets)               # first bin >= target
+    idx = jnp.clip(idx, 0, nbins - 1)
+    prev = jnp.where(idx > 0, csum[jnp.maximum(idx - 1, 0)], 0.0)
+    frac = jnp.where(csum[idx] > prev,
+                     (targets - prev) / jnp.maximum(csum[idx] - prev, 1e-9),
+                     0.5)
+    want = x0 + (idx.astype(dtype) + frac) * dtype.type(w)
+    # clamp the per-event shift: with |shift| < min slab width an atom's
+    # owner index changes by at most 1, so the one-neighbor migration hop
+    # suffices (the m_max buffer must cover the band population — counted
+    # loudly in cell_overflow when it doesn't)
+    step_max = dtype.type(0.9 * geom.halo_w)
+    inner = jnp.clip(want, cuts[1:-1] - step_max, cuts[1:-1] + step_max)
+    # enforce the width envelope [halo_w, slab_w] left-to-right, then
+    # right-to-left — ndev is small and static, so the sequential clamps
+    # unroll at trace time (no scan: fuses, and scan-in-cond-in-shard_map
+    # aborted XLA:CPU)
+    wmin = dtype.type(geom.halo_w)
+    wmax = dtype.type(geom.slab_w)
+    vals = [cuts[0]] + [inner[i] for i in range(ndev - 1)] + [cuts[-1]]
+    for i in range(1, ndev):
+        vals[i] = jnp.clip(vals[i], vals[i - 1] + wmin, vals[i - 1] + wmax)
+    for i in range(ndev - 1, 0, -1):
+        vals[i] = jnp.clip(vals[i], vals[i + 1] - wmax, vals[i + 1] - wmin)
+    return jnp.stack(vals)
 
 
 def balanced_boundaries(cfg: SceneConfig, state: State,
@@ -326,13 +403,25 @@ def _pack_rows(mask, cap, *arrays, n):
 
 def make_slab_step(cfg: SceneConfig, mesh: Mesh,
                    geom: Optional[SlabGeom] = None,
-                   force_impl: str = "gathered"):
+                   force_impl: str = "gathered",
+                   balance_every: int = 0):
     """Jitted sharded step(state) -> state over the x-slab mesh; same
     semantics as integrate.make_step (validated in tests/test_slab.py).
 
     force_impl: "gathered" (XLA neighbor-gather sweep; supports bonds) or
     "pallas" (the per-slab cell-major Pallas kernel inside shard_map —
-    the multi-chip fast path; bond-less scenes)."""
+    the multi-chip fast path; bond-less scenes).
+
+    balance_every > 0 enables DYNAMIC load balancing (the fix balance
+    analogue, fix_balance.cpp:375): every `balance_every` steps the slab
+    cuts are recomputed from a psum'd position histogram toward equal
+    per-device atom counts (balance.cpp's recursive bisection collapsed
+    into one quantile pass), clamped so every slab stays within
+    [halo_w, geom.slab_w] — the static grid envelope — and so each cut
+    moves at most a quarter halo per event (migration only reaches the
+    adjacent device).  The live cuts ride in State.nbrs (a SlabCuts
+    pytree, replicated) so the step stays shape-static and jitted once;
+    pass the state through with_balance_cuts() first."""
     cfg = cfg.finalize()
     ndev = mesh.devices.size
     if geom is None:
@@ -341,16 +430,12 @@ def make_slab_step(cfg: SceneConfig, mesh: Mesh,
         raise ValueError("geom/mesh device count mismatch")
     kern_pallas = None
     if force_impl == "pallas":
-        if cfg.bond is not None or (cfg.obmd is not None
-                                    and cfg.obmd.mol is not None):
-            raise NotImplementedError(
-                "slab force_impl='pallas': bonded/molecule scenes run on "
-                "the gathered impl (bond forces resolve by tag there)")
         if geom.pad_geom is None:
             raise ValueError("no per-slab PadGeometry for this box")
         from ..forces.pallas_dpd import make_pair_kernel
         kern_pallas = make_pair_kernel(geom.pad_geom, params=cfg.pair,
-                                       dt=float(cfg.dt))
+                                       dt=float(cfg.dt),
+                                       exclude_bonded=cfg.bond is not None)
     elif force_impl != "gathered":
         raise ValueError(f"unknown force_impl {force_impl}")
     n_loc, h_max, m_max = geom.n_loc, geom.h_max, geom.m_max
@@ -369,7 +454,22 @@ def make_slab_step(cfg: SceneConfig, mesh: Mesh,
     def spmd_step(state: State) -> State:
         dtype = state.x.dtype.type
         me = jax.lax.axis_index(AXIS)
-        bj = jnp.asarray(bnd, state.x.dtype)
+        if balance_every > 0:
+            if not isinstance(state.nbrs, SlabCuts):
+                raise ValueError(
+                    "balance_every > 0 needs live cuts in state.nbrs — "
+                    "pass the state through with_balance_cuts(geom, state)")
+            cuts = state.nbrs.cuts
+            # the rebalance histogram is a psum: collectives inside a
+            # lax.cond branch abort under shard_map, so compute it every
+            # step (a [nbins] psum is tiny) and SELECT on the cadence
+            new_cuts = _rebalanced_cuts(cfg, geom, state, cuts)
+            cuts = jnp.where(state.step % balance_every == 0,
+                             new_cuts, cuts)
+            state = state.replace(nbrs=SlabCuts(cuts=cuts))
+            bj = cuts.astype(state.x.dtype)
+        else:
+            bj = jnp.asarray(bnd, state.x.dtype)
         lo_d = bj[me]
         hi_d = bj[me + 1]
 
@@ -379,7 +479,10 @@ def make_slab_step(cfg: SceneConfig, mesh: Mesh,
 
         # ---- initial integrate (local) + wrap (y/z) ----
         v = jnp.where(alive3, state.v + dtf * state.f / m, state.v)
-        x = jnp.where(alive3, state.x + dtype(dt) * v, state.x)
+        if cfg.rigid:
+            x, v = _rigid_drift_slab(cfg, geom, state, v, lo_d, hi_d)
+        else:
+            x = jnp.where(alive3, state.x + dtype(dt) * v, state.x)
         state = state.replace(x=box.wrap(x), v=v)
 
         # ---- OBMD pre-exchange (delete / census / insert; psum scalars) ----
@@ -410,6 +513,8 @@ def make_slab_step(cfg: SceneConfig, mesh: Mesh,
         # ---- final integrate (local) ----
         m = local_mass(state.type, state.x.dtype)[:, None]
         v = jnp.where(state.alive[:, None], state.v + dtf * f / m, state.v)
+        if cfg.rigid:
+            v = _rigid_project_slab(cfg, geom, state, v, lo_d, hi_d)
         return state.replace(v=v, f=f, step=state.step + 1)
 
     n_cap = geom.capacity
@@ -506,13 +611,21 @@ def _halo_arrays(cfg: SceneConfig, geom: SlabGeom, state: State, lo_d,
     """Build (xs_full, v_full, type_full, tag_full, q_full, valid_full) =
     owned + left-halo + right-halo, positions shifted into the slab frame
     x' = x - lo_d.  The halo payloads travel by ppermute (borders() +
-    forward_comm() with velocities, comm_brick.cpp:771/:538)."""
+    forward_comm() with velocities, comm_brick.cpp:771/:538).  Bonded
+    scenes additionally ship bond partner TAGS and the molecule id, and
+    the view keeps GLOBAL positions too (`x_glob`) — bonded/rigid math
+    runs in the global frame so that two devices seeing the same molecule
+    compute bitwise-identical displacements (the slab frame differs by a
+    rounded lo_d shift per device)."""
     ndev, n_loc, h_max = geom.ndev, geom.n_loc, geom.h_max
     dtype = state.x.dtype.type
     w = dtype(geom.halo_w)
     if hi_d is None:
         hi_d = lo_d + dtype(geom.slab_w)
     x0 = state.x[:, 0]
+    has_bonds = (cfg.bond is not None or cfg.angle is not None
+                 or cfg.dihedral is not None or cfg.rigid
+                 or (cfg.obmd is not None and cfg.obmd.mol is not None))
 
     near_lo = state.alive & (x0 < lo_d + w)     # -> left neighbor's halo
     near_hi = state.alive & (x0 >= hi_d - w)    # -> right neighbor's halo
@@ -524,7 +637,12 @@ def _halo_arrays(cfg: SceneConfig, geom: SlabGeom, state: State, lo_d,
         pq = jnp.where(valid, state.q[safe], dtype(0.0))
         pt = jnp.where(valid, state.type[safe], 0)
         pg = jnp.where(valid, state.tag[safe], 0)
-        ints = jnp.stack([pt, pg, valid.astype(jnp.int32)], axis=1)
+        cols = [pt, pg, valid.astype(jnp.int32)]
+        if has_bonds:
+            cols.append(jnp.where(valid, state.bond1[safe], -1))
+            cols.append(jnp.where(valid, state.bond2[safe], -1))
+            cols.append(jnp.where(valid, state.mol[safe], 0))
+        ints = jnp.stack(cols, axis=1)
         return px, pv, pq, ints, missed
 
     lx, lv, lq, li, miss_l = pack(near_lo)
@@ -557,7 +675,110 @@ def _halo_arrays(cfg: SceneConfig, geom: SlabGeom, state: State, lo_d,
     g_full = jnp.concatenate([state.tag, halo_l_i[:, 1], halo_r_i[:, 1]])
     valid_full = jnp.concatenate([state.alive, valid_l, valid_r])
     miss = miss_l + miss_r
-    return xs_full, v_full, t_full, g_full, q_full, valid_full, miss
+    extras = None
+    if has_bonds:
+        x_glob = jnp.concatenate([
+            jnp.where(state.alive[:, None], state.x, dtype(BIG)),
+            jnp.where(valid_l[:, None], halo_l_x, dtype(BIG)),
+            jnp.where(valid_r[:, None], halo_r_x, dtype(BIG))])
+        b1 = jnp.concatenate([state.bond1, halo_l_i[:, 3], halo_r_i[:, 3]])
+        b2 = jnp.concatenate([state.bond2, halo_l_i[:, 4], halo_r_i[:, 4]])
+        mol = jnp.concatenate([state.mol, halo_l_i[:, 5], halo_r_i[:, 5]])
+        extras = (x_glob, b1, b2, mol)
+    return xs_full, v_full, t_full, g_full, q_full, valid_full, miss, extras
+
+
+def _resolve_rows(g_full, valid_full, ptags):
+    """Local row of each partner TAG among (owned + halo) rows, -1 when the
+    partner is absent (dead, or beyond the halo — which the halo-width
+    sizing in make_slab_geom rules out for live bonded partners).  Tags
+    are globally unique and each atom is owned by exactly one device, so
+    the sorted-search is exact."""
+    n_full = g_full.shape[0]
+    big = jnp.iinfo(jnp.int32).max
+    key = jnp.where(valid_full & (g_full > 0), g_full, big)
+    order = jnp.argsort(key).astype(jnp.int32)
+    sk = key[order]
+    pos = jnp.clip(jnp.searchsorted(sk, ptags), 0, n_full - 1)
+    found = (ptags > 0) & (sk[pos] == ptags)
+    return jnp.where(found, order[pos], -1)
+
+
+def _rigid_view(cfg: SceneConfig, geom: SlabGeom, state: State, v, lo_d,
+                hi_d):
+    """(owned + halo) arrays for rigid-body aggregation: the halo width
+    covers the template span (make_slab_geom), so every owned member sees
+    its WHOLE molecule locally; math runs in the global frame so both
+    owners of a straddling body compute bitwise-identical moments."""
+    from ..rigid import _rounds
+    st = state.replace(v=v)
+    (_xs, v_full, t_full, g_full, _q, valid_full, _miss,
+     extras) = _halo_arrays(cfg, geom, st, lo_d, hi_d)
+    x_glob, b1_tag, b2_tag, mol = extras
+    b1_loc = _resolve_rows(g_full, valid_full, b1_tag)
+    b2_loc = _resolve_rows(g_full, valid_full, b2_tag)
+    member = valid_full & (mol != 0)
+    mass = jnp.asarray(cfg.masses, x_glob.dtype)[t_full]
+    return (x_glob, v_full, mass, b1_loc, b2_loc, member, _rounds(cfg))
+
+
+def _rigid_drift_slab(cfg: SceneConfig, geom: SlabGeom, state: State, v,
+                      lo_d, hi_d):
+    """Rigid-aware drift on the slab path (fix obmd `rigid` under domain
+    decomposition; single-chip counterpart rigid.rigid_drift)."""
+    from ..rigid import rigid_kinematics
+    n_loc = geom.n_loc
+    dt = state.x.dtype.type(cfg.dt)
+    x_glob, v_full, mass, b1, b2, member, rounds = _rigid_view(
+        cfg, geom, state, v, lo_d, hi_d)
+    x_rig, v_rig = rigid_kinematics(cfg.box, x_glob, v_full, mass, b1, b2,
+                                    member, rounds, dt)
+    mem = member[:n_loc]
+    a3 = state.alive[:, None]
+    x = jnp.where(mem[:, None], x_rig[:n_loc],
+                  jnp.where(a3, state.x + dt * v, state.x))
+    v_out = jnp.where(mem[:, None], v_rig[:n_loc], v)
+    return x, v_out
+
+
+def _rigid_project_slab(cfg: SceneConfig, geom: SlabGeom, state: State, v,
+                        lo_d, hi_d):
+    """Final-kick velocity projection onto the rigid field (single-chip
+    counterpart rigid.rigid_project)."""
+    from ..rigid import _solve_omega, body_moments
+    n_loc = geom.n_loc
+    x_glob, v_full, mass, b1, b2, member, rounds = _rigid_view(
+        cfg, geom, state, v, lo_d, hi_d)
+    M, rbar, V, L, I6 = body_moments(cfg.box, x_glob, v_full, mass, b1, b2,
+                                     member, rounds)
+    omega = _solve_omega(I6, L)
+    v_rigid = V + jnp.cross(omega, -rbar)
+    return jnp.where(member[:n_loc, None], v_rigid[:n_loc], v)
+
+
+def _bonded_extra_forces(cfg: SceneConfig, n_loc, extras, t_full, g_full,
+                         valid_full):
+    """Angle/dihedral forces on owned rows, resolved over (owned + halo)
+    via partner tags — the slab analogue of integrate._extra_forces's
+    bonded terms.  Runs in the GLOBAL frame (extras[0]) so every device
+    sees bitwise-identical molecule geometry.  Returns [n_loc, 3] (zeros
+    when no angle/dihedral style is active)."""
+    x_glob, b1_tag, b2_tag, _mol = extras
+    b1_loc = _resolve_rows(g_full, valid_full, b1_tag)
+    b2_loc = _resolve_rows(g_full, valid_full, b2_tag)
+    dtype = x_glob.dtype
+    f = jnp.zeros((x_glob.shape[0], 3), dtype)
+    if cfg.angle is not None:
+        from ..forces.bonded import angle_forces
+        fa, _ = angle_forces(cfg.angle, cfg.box, x_glob, b1_loc, b2_loc,
+                             t_full, valid_full)
+        f = f + fa
+    if cfg.dihedral is not None:
+        from ..forces.bonded import dihedral_forces
+        fd, _ = dihedral_forces(cfg.dihedral, cfg.box, x_glob, b1_loc,
+                                b2_loc, valid_full)
+        f = f + fd
+    return f[:n_loc]
 
 
 def _forces_slab(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d,
@@ -568,7 +789,7 @@ def _forces_slab(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d,
     n_loc = geom.n_loc
     spec = geom.spec_local
     (xs_full, v_full, t_full, g_full, q_full, valid_full,
-     halo_miss) = _halo_arrays(cfg, geom, state, lo_d, hi_d)
+     halo_miss, extras) = _halo_arrays(cfg, geom, state, lo_d, hi_d)
 
     ctab = build_cells(spec, xs_full, valid_full)
     salt = rng.step_salt(getattr(cfg.pair, "seed", 0), state.step,
@@ -582,6 +803,10 @@ def _forces_slab(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d,
         cfg.pair, cfg.box, spec, ctab, xs_full, v_full, t_full, g_full,
         q_full, my_slot, xs_full[:n_loc], state.v, state.type, state.tag,
         state.q, salt, dt=float(cfg.dt), my_pb=my_pb, bond=cfg.bond)
+    if extras is not None and (cfg.angle is not None
+                               or cfg.dihedral is not None):
+        f = f + _bonded_extra_forces(cfg, n_loc, extras, t_full, g_full,
+                                     valid_full)
     miss_all = jax.lax.psum(halo_miss + ctab.overflow, AXIS)
     return f, miss_all
 
@@ -597,12 +822,15 @@ def _forces_slab_pallas(cfg: SceneConfig, geom: SlabGeom, state: State,
     once; forces on halo slots are simply dropped (their owner computes
     the identical pair on its own shard — the tag-keyed pair noise is
     bitwise symmetric, so Newton's third law holds across devices with no
-    reverse communication)."""
+    reverse communication).  Bonded/molecule scenes (r3 VERDICT item 4):
+    the kernel gets bond partner TAGS for 1-2 exclusion, and bond/angle/
+    dihedral forces are added by the tag-resolved XLA path on the same
+    (owned + halo) view."""
     from ..cellpad import slot_index
     pg = geom.pad_geom
     n_loc = geom.n_loc
     (xs_full, v_full, t_full, g_full, q_full, valid_full,
-     halo_miss) = _halo_arrays(cfg, geom, state, lo_d, hi_d)
+     halo_miss, extras) = _halo_arrays(cfg, geom, state, lo_d, hi_d)
     n_full = xs_full.shape[0]
     dtype = xs_full.dtype
     n_slots = pg.n_slots
@@ -643,7 +871,17 @@ def _forces_slab_pallas(cfg: SceneConfig, geom: SlabGeom, state: State,
 
     salt = rng.step_salt(getattr(cfg.pair, "seed", 0), state.step,
                          PURPOSE_PAIR_NOISE)
-    fpad = kern(fld, tag, salt, occ)                 # [nb, 3, cap, lanes]
+    if cfg.bond is not None:
+        # 1-2 exclusion by partner TAG channels (the single-chip kernel's
+        # pbond convention, engine_cellpad._forces)
+        x_glob, b1_tag, b2_tag, _mol = extras
+        pb_flat = jnp.full((2, n_slots), -2, jnp.int32)
+        pb_flat = pb_flat.at[0, dest].set(b1_tag[order], mode="drop")
+        pb_flat = pb_flat.at[1, dest].set(b2_tag[order], mode="drop")
+        pbond = pb_flat.reshape(2, nb, cap, lanes).transpose(1, 0, 2, 3)
+        fpad = kern(fld, tag, salt, occ, pbond)
+    else:
+        fpad = kern(fld, tag, salt, occ)             # [nb, 3, cap, lanes]
     f_all = fpad.transpose(0, 2, 3, 1).reshape(-1, 3)
     f_all = jnp.concatenate([f_all, jnp.zeros((1, 3), dtype)])
     slot_of_row = jnp.full((n_full,), n_slots, jnp.int32).at[order].set(
@@ -651,6 +889,18 @@ def _forces_slab_pallas(cfg: SceneConfig, geom: SlabGeom, state: State,
     f = f_all[slot_of_row[:n_loc]]
     dropped = jnp.sum((valid_full[:n_loc]
                        & (slot_of_row[:n_loc] >= n_slots)).astype(jnp.int32))
+    if extras is not None:
+        if cfg.bond is not None:
+            from ..forces.bonded import bond_forces
+            x_glob, b1_tag, b2_tag, _mol = extras
+            b1_loc = _resolve_rows(g_full, valid_full, b1_tag)
+            b2_loc = _resolve_rows(g_full, valid_full, b2_tag)
+            fb, _ = bond_forces(cfg.bond, cfg.box, x_glob, b1_loc, b2_loc,
+                                valid_full)
+            f = f + fb[:n_loc]
+        if cfg.angle is not None or cfg.dihedral is not None:
+            f = f + _bonded_extra_forces(cfg, n_loc, extras, t_full,
+                                         g_full, valid_full)
     miss_all = jax.lax.psum(halo_miss + overflow + dropped, AXIS)
     return f, miss_all
 
@@ -825,7 +1075,8 @@ def _insert_mol_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
             else:
                 kc, kr = jax.random.split(jax.random.fold_in(side_key, r))
                 tsel = jnp.zeros((K,), jnp.int32)
-            centers, ok0 = draw_candidates(cfg, kc, region, K, dtype.type)
+            centers, ok0 = draw_candidates(cfg, kc, region, K, dtype.type,
+                                           state=state, axis_name=AXIS)
             rots = random_rotations(kr, K, dtype.type, axis=obmd.orient)
             am_k = am_s[tsel]
             types_k = ty_s[tsel]
@@ -910,8 +1161,25 @@ def _insert_mol_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
     types_flat = ty_s[tsel].reshape(km * m)
     q_flat = q_s[tsel].reshape(km * m)
 
+    # inserted-velocity keywords (vx/vy/vz/target): replicated draws keyed
+    # by the replicated key, momentum tally psum'd from the owners
+    from ..obmd.stage import draw_inserted_velocities
+    kv = jax.random.fold_in(knext, 7)
+    vnew = draw_inserted_velocities(cfg, kv, com, dtype.type)
+    if vnew is None:
+        av = jnp.zeros((km * m, 3), dtype)
+        pins_l = pins_r = jnp.zeros((3,), dtype)
+    else:
+        av = jnp.repeat(vnew, m, axis=0)             # same v for all atoms
+        mass_tab = jnp.asarray(cfg.masses, dtype)
+        mol_mass = jnp.sum(jnp.where(am_k, mass_tab[ty_s[tsel]], 0.0),
+                           axis=1)                   # [2M]
+        mv = mol_mass[:, None] * jnp.where(landed_mol[:, None], vnew, 0.0)
+        pins_l = jax.lax.psum(jnp.sum(mv[:M], axis=0), AXIS)
+        pins_r = jax.lax.psum(jnp.sum(mv[M:], axis=0), AXIS)
+
     x = state.x.at[slot].set(apos, mode="drop")
-    v = state.v.at[slot].set(jnp.zeros((km * m, 3), dtype), mode="drop")
+    v = state.v.at[slot].set(av, mode="drop")
     f = state.f.at[slot].set(jnp.zeros((km * m, 3), dtype), mode="drop")
     typ = state.type.at[slot].set(types_flat, mode="drop")
     tag = state.tag.at[slot].set(new_tag, mode="drop")
@@ -938,7 +1206,8 @@ def _insert_mol_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
             insert_fail=state.obmd.insert_fail
             + jnp.maximum(want - n_mols, 0),
             usher_iters=state.obmd.usher_iters
-            + jax.lax.psum(jnp.sum(it_l) + jnp.sum(it_r), AXIS) // geom.ndev))
+            + jax.lax.psum(jnp.sum(it_l) + jnp.sum(it_r), AXIS)
+            // geom.ndev)), pins_l, pins_r
 
 
 def _pre_exchange_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
@@ -1020,8 +1289,10 @@ def _pre_exchange_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
                             dt, tau)
 
     if obmd.mol is not None:
-        state = _insert_mol_slab(cfg, geom, state, me, lo_d,
-                                 hi_d, nins_l, nins_r)
+        state, pins_l, pins_r = _insert_mol_slab(cfg, geom, state, me, lo_d,
+                                                 hi_d, nins_l, nins_r)
+        vnewl = vnewl - pins_l
+        vnewr = vnewr - pins_r
     else:
         # ---- insertion: identical candidates on every device (replicated ----
         # ---- key, ref :275 same-seeded RanPark), energies completed by ----
@@ -1047,7 +1318,8 @@ def _pre_exchange_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
             for r in range(rounds):
                 from ..obmd.stage import draw_candidates
                 cand, ok0 = draw_candidates(cfg, side_keys[r], region, K,
-                                            state.x.dtype.type)
+                                            state.x.dtype.type,
+                                            state=state, axis_name=AXIS)
                 if obmd.usher is not None:
                     pos, ok, iters = _usher_search_psum(cfg, sub, cand, ctype,
                                                         region)
@@ -1097,8 +1369,22 @@ def _pre_exchange_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
         new_tag = base + 1 + order.astype(jnp.int32)
 
         dtype_arr = state.x.dtype
+        # inserted-velocity keywords (replicated draws; owners' momentum
+        # tally psum'd and folded into the setpoint like the single-chip
+        # stage, ref vnewl/vnewr bookkeeping :1076-1093)
+        from ..obmd.stage import draw_inserted_velocities
+        kv = jax.random.fold_in(knext, 7)
+        vnew = draw_inserted_velocities(cfg, kv, pos, dtype)
+        if vnew is None:
+            av = jnp.zeros((m2, 3), dtype_arr)
+        else:
+            av = vnew
+            mass_i = jnp.asarray(cfg.masses, dtype_arr)[obmd.ntype]
+            mv_ins = mass_i * jnp.where(landed[:, None], vnew, 0.0)
+            vnewl = vnewl - jax.lax.psum(jnp.sum(mv_ins[:M], axis=0), AXIS)
+            vnewr = vnewr - jax.lax.psum(jnp.sum(mv_ins[M:], axis=0), AXIS)
         x = state.x.at[slot].set(pos, mode="drop")
-        v = state.v.at[slot].set(jnp.zeros((m2, 3), dtype_arr), mode="drop")
+        v = state.v.at[slot].set(av, mode="drop")
         f = state.f.at[slot].set(jnp.zeros((m2, 3), dtype_arr), mode="drop")
         typ = state.type.at[slot].set(jnp.full((m2,), obmd.ntype, jnp.int32),
                                       mode="drop")

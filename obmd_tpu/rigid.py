@@ -63,28 +63,28 @@ def _shift(msg, s):
     return jnp.concatenate([W, S2, P, J2, Q22, T2], axis=1)
 
 
-def _body_sums(cfg: SceneConfig, state: State, v, member, rounds: int):
-    """Per-atom body moments in each atom's own frame.  Returns
+def body_moments(box, x, v, mass, bond1, bond2, member, rounds: int):
+    """Per-atom body moments in each atom's own frame, from raw arrays
+    (bond1/bond2 are partner ROW indices, -1 = none — the slab path
+    resolves its tag-keyed columns to local rows first).  Returns
     (M [N,1], rbar [N,3] = COM - x_me, V [N,3], L [N,3] about the COM,
     I [N,6] about the COM)."""
-    box = cfg.box
-    n = state.capacity
-    x = state.x
-    m = jnp.where(member, per_atom_mass(cfg, state), 0.0)
+    n = x.shape[0]
+    m = jnp.where(member, mass, 0.0)
     mv = m[:, None] * v
     zeros3 = jnp.zeros_like(x)
     A = jnp.concatenate([m[:, None], zeros3, mv, zeros3,
                          jnp.zeros((n, 7), x.dtype)], axis=1)   # [N,17]
 
-    p1 = jnp.where(member, state.bond1, -1)
-    p2 = jnp.where(member, state.bond2, -1)
+    p1 = jnp.where(member, bond1, -1)
+    p2 = jnp.where(member, bond2, -1)
     me = jnp.arange(n, dtype=jnp.int32)
 
     def incoming(msg1, msg2, p):
         ps = jnp.clip(p, 0, n - 1)
-        toward_me_is_1 = (state.bond1[ps] == me)[:, None]
+        toward_me_is_1 = (bond1[ps] == me)[:, None]
         from_p = jnp.where(toward_me_is_1, msg1[ps], msg2[ps])
-        s = box.min_image(x[ps] - x)          # sender frame -> my frame
+        s = box.min_image(jnp.where((p >= 0)[:, None], x[ps] - x, 0.0))
         out = _shift(from_p, s)
         return jnp.where((p >= 0)[:, None], out, 0.0)
 
@@ -96,6 +96,10 @@ def _body_sums(cfg: SceneConfig, state: State, v, member, rounds: int):
         msg1 = A + in2
         msg2 = A + in1
     tot = A + incoming(msg1, msg2, p1) + incoming(msg1, msg2, p2)
+    return _moments_from_total(tot)
+
+
+def _moments_from_total(tot):
 
     M = jnp.maximum(tot[:, 0:1], 1e-30)
     rbar = tot[:, 1:4] / M
@@ -115,6 +119,27 @@ def _body_sums(cfg: SceneConfig, state: State, v, member, rounds: int):
     Iyz = -T[:, 5:6] + M * rbar[:, 1:2] * rbar[:, 2:3]
     I6 = jnp.concatenate([Ixx, Iyy, Izz, Ixy, Ixz, Iyz], axis=1)
     return M, rbar, V, L, I6
+
+
+def _body_sums(cfg: SceneConfig, state: State, v, member, rounds: int):
+    """State-level wrapper over body_moments (partner SLOT columns)."""
+    return body_moments(cfg.box, state.x, v, per_atom_mass(cfg, state),
+                        state.bond1, state.bond2, member, rounds)
+
+
+def rigid_kinematics(box, x, v, mass, bond1, bond2, member, rounds, dt):
+    """One rigid drift's kinematics from raw arrays: returns
+    (x_rigid, v_rigid) for member rows (garbage elsewhere — mask with
+    `member`).  Shared by the single-chip drift and the slab path."""
+    M, rbar, V, L, I6 = body_moments(box, x, v, mass, bond1, bond2,
+                                     member, rounds)
+    omega = _solve_omega(I6, L)
+    r_new = _rotate(-rbar, omega, dt)            # my offset from the COM
+    x_rigid = x + rbar + dt * V + r_new          # X' + R r
+    I6_new = _rotate_inertia(I6, omega, dt)
+    omega_new = _solve_omega(I6_new, L)          # L conserved through R
+    v_rigid = V + jnp.cross(omega_new, r_new)
+    return x_rigid, v_rigid
 
 
 def _solve_omega(I6, L):
@@ -206,13 +231,9 @@ def rigid_drift(cfg: SceneConfig, state: State, v):
     validation/run_rigid_golden.py.)"""
     dt = state.x.dtype.type(cfg.dt)
     member = _member(cfg, state)
-    M, rbar, V, L, I6 = _body_sums(cfg, state, v, member, _rounds(cfg))
-    omega = _solve_omega(I6, L)
-    r_new = _rotate(-rbar, omega, dt)            # my offset from the COM
-    x_rigid = state.x + rbar + dt * V + r_new    # X' + R r
-    I6_new = _rotate_inertia(I6, omega, dt)
-    omega_new = _solve_omega(I6_new, L)          # L conserved through R
-    v_rigid = V + jnp.cross(omega_new, r_new)
+    x_rigid, v_rigid = rigid_kinematics(
+        cfg.box, state.x, v, per_atom_mass(cfg, state), state.bond1,
+        state.bond2, member, _rounds(cfg), dt)
     a3 = state.alive[:, None]
     mem3 = member[:, None]
     x = jnp.where(mem3, x_rigid, jnp.where(a3, state.x + dt * v, state.x))

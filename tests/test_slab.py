@@ -269,3 +269,85 @@ def test_slab_balance_quantile_cuts():
     assert set(mu) == set(mb)
     diffs = [np.abs(mu[t] - mb[t]).max() for t in mu]
     assert max(diffs) < 1e-4, max(diffs)
+
+
+def test_slab_dynamic_balance_tracks_drift():
+    """fix balance analogue (fix_balance.cpp:375): under a strong
+    left-to-right density drift, dynamic cuts keep per-device atom counts
+    far tighter than static uniform cuts, with zero dropped pairs and the
+    ownership invariant intact w.r.t. the LIVE cuts."""
+    import jax.numpy as jnp
+    from obmd_tpu.config import Capacity, DPDParams, SceneConfig
+    from obmd_tpu.geometry import Box
+    from obmd_tpu.parallel.slab_decomp import with_balance_cuts
+    from obmd_tpu.state import init_state
+
+    # closed-in-x is not allowed; use an OBMD-free open box where atoms
+    # drift right under their initial velocity (no pair forces: the point
+    # is the partitioner, not the physics)
+    box = Box((0.0, 0.0, 0.0), (16.0, 4.0, 4.0), (False, True, True))
+    cfg = SceneConfig(
+        box=box, masses=(1.0,), dt=0.05,   # free streaming: max move/step
+        pair=DPDParams.create(temp=0.0, cutoff=1.0, seed=1, a0=0.0,
+                              gamma=0.0),  # 3*0.05 << min slab width
+        capacity=Capacity(n_max=1024, cell_capacity=32),
+        skin=0.3, force_path="sweep")
+    r = np.random.default_rng(0)
+    n = 800
+    # everything starts in the left 40% and STRETCHES right (vx spread
+    # 0.5..3): by the end the cloud spans most of the box, so equal-count
+    # cuts are reachable inside the width envelope [halo_w, slab_w] — a
+    # pure rigid drift would just park empty slabs on the vacated side
+    x = r.uniform([0.1, 0.0, 0.0], [6.4, 4.0, 4.0], (n, 3))
+    v = np.c_[r.uniform(0.5, 3.0, n), r.normal(0, 0.1, (n, 2))]
+    st = setup(cfg, init_state(cfg, x, v=v))
+
+    mesh = make_mesh(NDEV)
+    # grow=2.5: the live cuts may widen a slab well past lx/ndev;
+    # n_loc=512: everything starts concentrated in a few slabs;
+    # m_max=256: a rebalance event migrates a whole cut band at once
+    geom = make_slab_geom(cfg, NDEV, grow=2.5, n_loc=512, m_max=256)
+    owner_id = np.arange(geom.capacity) // geom.n_loc
+
+    def spread(s):
+        alive = np.asarray(s.alive)
+        counts = np.asarray([alive[owner_id == d].sum()
+                             for d in range(NDEV)], float)
+        return counts
+
+    # static control
+    # NB: one sharded program in flight at a time (block per step) — on a
+    # low-core host, queueing many 8-partition programs starves XLA:CPU's
+    # in-process collective rendezvous and aborts the process (observed:
+    # "collective permute ... only 5 of 8 arrived").  A TPU mesh has
+    # per-chip hardware queues and no such constraint.
+    s_static = shard_by_slab(cfg, geom, st, mesh)
+    step_static = make_slab_step(cfg, mesh, geom)
+    for _ in range(60):
+        s_static = jax.block_until_ready(step_static(s_static))
+    # dynamic: rebalance every 4 steps
+    s_dyn = with_balance_cuts(geom, shard_by_slab(cfg, geom, st, mesh))
+    step_dyn = make_slab_step(cfg, mesh, geom, balance_every=4)
+    for _ in range(60):
+        s_dyn = jax.block_until_ready(step_dyn(s_dyn))
+
+    assert int(s_dyn.cell_overflow) == 0, "dynamic path dropped pairs"
+    c_static = spread(s_static)
+    c_dyn = spread(s_dyn)
+    n_alive = c_dyn.sum()
+    assert n_alive == c_static.sum() == n       # nothing lost either way
+    # ownership invariant w.r.t. the live cuts
+    cuts = np.asarray(s_dyn.nbrs.cuts)
+    xs = np.asarray(s_dyn.x)[:, 0]
+    alive = np.asarray(s_dyn.alive)
+    slab_of = np.clip(np.searchsorted(cuts, xs, side="right") - 1,
+                      0, NDEV - 1)
+    assert int((alive & (slab_of != owner_id)).sum()) == 0
+    # balance quality: the busiest device (the step-time bottleneck —
+    # fix balance's own "imbalance factor") carries far fewer atoms under
+    # dynamic cuts.  The width clamps [halo_w, slab_w] bound how tight the
+    # cuts can pack, so assert the bottleneck ratio, not perfect equality.
+    target = n_alive / NDEV
+    assert c_dyn.max() < 0.80 * c_static.max(), (c_dyn.tolist(),
+                                                 c_static.tolist())
+    assert c_dyn.max() < 1.6 * target, (c_dyn.tolist(), target)
