@@ -14,6 +14,8 @@ import time
 
 
 def main():
+    import dataclasses
+
     import jax
     import numpy as np
 
@@ -23,11 +25,29 @@ def main():
     scale = float(os.environ.get("BENCH_SCALE", "8"))   # 8 -> ~101k atoms
     nsteps = int(os.environ.get("BENCH_STEPS", "400"))
     equil = int(os.environ.get("BENCH_EQUIL", "1500"))
+    cap = int(os.environ.get("BENCH_CAP", "16"))
 
     sc = scenes.obmd_dpd_scene(scale=scale, seed=7)
     state = setup(sc.cfg, sc.state)
     state = equilibrate(sc.cfg, state, equil)
     _ = np.asarray(state.x)
+
+    # Production layout: the equilibrated DPD liquid is far more uniform
+    # than the Poisson t=0 gas (measured max cell occupancy 13 vs >16), so
+    # repack into an occupancy-tight cell capacity — the j-side width of the
+    # pair kernel.  The reference's own example starts from a
+    # pre-equilibrated data file (examples/OBMD_DPD reads data.equil), so
+    # sizing the production layout to the equilibrated fluid is parity.
+    # Overflow stays loud: check_invariants below voids the number.
+    if cap != sc.cfg.capacity.cell_capacity:
+        from obmd_tpu.cellpad import layout_build
+        from obmd_tpu.engine_cellpad import make_geometry
+        cfg = dataclasses.replace(
+            sc.cfg, capacity=dataclasses.replace(
+                sc.cfg.capacity, cell_capacity=cap)).finalize()
+        geom = make_geometry(cfg)
+        state = jax.jit(lambda s: layout_build(geom, cfg.box, s))(state)
+        sc = dataclasses.replace(sc, cfg=cfg)
 
     run = make_run(sc.cfg, nsteps)
     state = run(state)            # compile + settle

@@ -164,7 +164,10 @@ def compact_indices(mask: jnp.ndarray, size: int, fill: int) -> jnp.ndarray:
 
 
 def relayout_incremental(geom: PadGeometry, box: Box, state: State,
-                         m_max: int = 0, has_bonds: bool = True) -> State:
+                         m_max: int = 0, has_bonds: bool = True,
+                         has_mol: bool = True,
+                         has_charge: bool = True,
+                         has_types: bool = True) -> State:
     """Movers-only epoch relayout — the fast replacement for layout_build.
 
     A full argsort relayout of the padded store measured 139 ms at 316k
@@ -177,7 +180,14 @@ def relayout_incremental(geom: PadGeometry, box: Box, state: State,
     their fields over, free the old slots, and reset the epoch reference
     positions.  Atoms that cannot be placed (cell at capacity, or more
     movers than m_max) stay in their old slot — stale by one cell, counted
-    in PadAux.overflow so a mis-sized capacity is loud, never silent."""
+    in PadAux.overflow so a mis-sized capacity is loud, never silent.
+
+    has_mol/has_charge/has_types: scatter/gather ops here have a large
+    per-op cost at production sizes regardless of row count, so fields
+    that are globally CONSTANT for the scene (q == 0, mol/lambdaF/cms/rep
+    == 0, type == 0, bonds == -1) skip their row-moves entirely — a
+    mover's value at the new slot already equals the old one.  Callers
+    derive the flags from the scene config (engine_cellpad.relayout_flags)."""
     n_slots = geom.n_slots
     cap, lanes = geom.cap, geom.lanes
     if m_max <= 0:
@@ -245,8 +255,8 @@ def relayout_incremental(geom: PadGeometry, box: Box, state: State,
         jnp.concatenate([jnp.ones((m_max,), bool),
                          jnp.zeros((m_max,), bool)]), mode="drop")
 
-    bond1 = move(state.bond1, -1)
-    bond2 = move(state.bond2, -1)
+    upd = dict(x=x, v=move(state.v, 0.0), f=move(state.f, 0.0),
+               alive=alive, tag=move(state.tag, -1))
     if has_bonds:
         # bond partner SLOT references of every atom follow the moves
         moved_map = jnp.arange(n_slots, dtype=jnp.int32).at[old].set(
@@ -256,17 +266,20 @@ def relayout_incremental(geom: PadGeometry, box: Box, state: State,
             return jnp.where(bond >= 0,
                              moved_map[jnp.clip(bond, 0, n_slots - 1)], -1)
 
-        bond1 = remap(bond1)
-        bond2 = remap(bond2)
+        upd["bond1"] = remap(move(state.bond1, -1))
+        upd["bond2"] = remap(move(state.bond2, -1))
+    if has_charge:
+        upd["q"] = move(state.q, 0.0)
+    if has_mol:
+        upd.update(lambdaF=move(state.lambdaF, 0.0),
+                   cms_mol=move(state.cms_mol, 0.0),
+                   vcms_mol=move(state.vcms_mol, 0.0),
+                   mol=move(state.mol, 0),
+                   rep_atom=move(state.rep_atom, 0))
+    if has_types:
+        upd["type"] = move(state.type, 0)
 
-    new = state.replace(
-        x=x, v=move(state.v, 0.0), f=move(state.f, 0.0),
-        q=move(state.q, 0.0), lambdaF=move(state.lambdaF, 0.0),
-        cms_mol=move(state.cms_mol, 0.0), vcms_mol=move(state.vcms_mol, 0.0),
-        alive=alive,
-        type=move(state.type, 0), tag=move(state.tag, -1),
-        mol=move(state.mol, 0), rep_atom=move(state.rep_atom, 0),
-        bond1=bond1, bond2=bond2)
+    new = state.replace(**upd)
     return new.replace(nbrs=aux.replace(
         xref=new.x, force_rebuild=jnp.zeros((), bool),
         rebuilds=aux.rebuilds + 1,
@@ -274,20 +287,23 @@ def relayout_incremental(geom: PadGeometry, box: Box, state: State,
 
 
 def maybe_rebuild(geom: PadGeometry, box: Box, skin: float,
-                  state: State, has_bonds: bool = True) -> State:
+                  state: State, has_bonds: bool = True,
+                  **field_flags) -> State:
     """Half-skin displacement trigger (neighbor.cpp:2342 analogue).  The
     taken branch is the cheap incremental relayout, so the data-dependent
     cond no longer hides a 139-ms argsort behind itself."""
     aux: PadAux = state.nbrs
     if skin <= 0.0:
-        return relayout_incremental(geom, box, state, has_bonds=has_bonds)
+        return relayout_incremental(geom, box, state, has_bonds=has_bonds,
+                                    **field_flags)
     d = box.min_image(state.x - aux.xref)
     disp2 = jnp.where(state.alive, jnp.sum(d * d, axis=-1), 0.0)
     trip = jnp.max(disp2) > (0.5 * skin) ** 2
     need = trip | aux.force_rebuild
     return jax.lax.cond(need,
                         lambda s: relayout_incremental(
-                            geom, box, s, has_bonds=has_bonds),
+                            geom, box, s, has_bonds=has_bonds,
+                            **field_flags),
                         lambda s: s, state)
 
 

@@ -751,6 +751,13 @@ class SceneConfig:
                                     # violations are counted, not reacted to
                                     # (PadAux.skin_trips must stay 0).
     dtype: str = "float32"
+    # Relayout field hints: whether per-atom charge / molecule-id fields can
+    # carry non-constant values (atom_style charge|full|adress sets charge;
+    # bond|molecular|adress|full set mol).  None = derive from the pair
+    # style / OBMD / bonded config.  Constant fields skip their relayout
+    # row-moves entirely (engine_cellpad.relayout_flags).
+    per_atom_charge: Optional[bool] = None
+    per_atom_mol: Optional[bool] = None
 
     @property
     def ntypes(self) -> int:

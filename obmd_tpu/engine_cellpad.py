@@ -49,6 +49,29 @@ def make_geometry(cfg: SceneConfig) -> PadGeometry:
                               cfg.capacity.cell_capacity)
 
 
+def relayout_flags(cfg: SceneConfig) -> dict:
+    """Which optional per-atom fields must follow relayout row-moves.
+    A field whose value is globally constant for the scene (single type,
+    no charges, no molecules, no bonds) can skip its move ops entirely —
+    each scatter/gather has a large fixed per-op cost on TPU.  The deck
+    front end overrides via SceneConfig.per_atom_charge / per_atom_mol
+    (atom_style can introduce per-atom values the physics config alone
+    cannot see, e.g. charges in a data file under a neutral pair style)."""
+    from .config import LJCutRFParams
+    mol_mode = cfg.obmd is not None and cfg.obmd.mol is not None
+    has_bonds = (cfg.bond is not None or mol_mode
+                 or cfg.shake is not None or cfg.rigid)
+    has_mol = (has_bonds or cfg.angle is not None
+               or cfg.dihedral is not None)
+    if cfg.per_atom_mol is not None:
+        has_mol = has_mol or cfg.per_atom_mol
+    has_charge = isinstance(cfg.pair, LJCutRFParams) or mol_mode
+    if cfg.per_atom_charge is not None:
+        has_charge = has_charge or cfg.per_atom_charge
+    return dict(has_bonds=has_bonds, has_mol=has_mol,
+                has_charge=has_charge, has_types=cfg.ntypes > 1)
+
+
 def _make_kernel(cfg: SceneConfig, geom: PadGeometry):
     return make_pair_kernel(geom, params=cfg.pair, dt=cfg.dt,
                             exclude_bonded=cfg.bond is not None)
@@ -526,9 +549,7 @@ def _obmd_stage(cfg, geom, state: State, with_rebuild: bool = True) -> State:
     if with_rebuild:
         with jax.named_scope("neigh_decide"):
             state = maybe_rebuild(geom, box, cfg.skin, state,
-                              has_bonds=cfg.bond is not None or
-                              (cfg.obmd is not None
-                               and cfg.obmd.mol is not None))
+                                  **relayout_flags(cfg))
 
     nins_l = feedback_count(region_count(state, obmd.region1,
                                          obmd.group_types),
@@ -642,9 +663,7 @@ def make_step_cellpad(cfg: SceneConfig):
                                      lambda s: s, state)
         else:
             state = maybe_rebuild(geom, cfg.box, cfg.skin, state,
-                                  has_bonds=cfg.bond is not None or
-                                  (cfg.obmd is not None
-                                   and cfg.obmd.mol is not None))
+                                  **relayout_flags(cfg))
 
         f = _forces(cfg, geom, kern, state)
 
@@ -753,8 +772,7 @@ def make_run_cellpad(cfg: SceneConfig, nsteps: int):
     geom = make_geometry(cfg)
     kern = _make_kernel(cfg, geom)
     r_every = auto_rebuild_every(cfg)
-    has_bonds = (cfg.bond is not None
-                 or (cfg.obmd is not None and cfg.obmd.mol is not None))
+    flags = relayout_flags(cfg)
     if cfg.obmd is not None and cfg.obmd.nfreq > 1:
         # keep OBMD cadence and rebuild cadence aligned (the OBMD stage
         # must see a current layout for its slab subsets)
@@ -791,8 +809,7 @@ def make_run_cellpad(cfg: SceneConfig, nsteps: int):
 
     def chunk(state: State, length: int) -> State:
         state = note_skin_check(cfg.box, skin, state) if skin > 0 else state
-        state = relayout_incremental(geom, cfg.box, state,
-                                     has_bonds=has_bonds)
+        state = relayout_incremental(geom, cfg.box, state, **flags)
         return steps(state, length)
 
     n_chunks, rem = divmod(nsteps, r_every)
