@@ -685,9 +685,15 @@ def make_step_cellpad(cfg: SceneConfig):
     return step
 
 
-def _plain_step(cfg, geom, kern, state: State, with_stage: bool = True) -> State:
-    """One step with NO rebuild logic (the runner owns the half-skin budget
-    via its static relayout schedule)."""
+def _plain_step(cfg, geom, kern, state: State, with_stage: bool = True,
+                relayout: bool = False) -> State:
+    """One step with NO data-dependent rebuild logic (the runner owns the
+    half-skin budget via its static relayout schedule).  relayout=True runs
+    the epoch relayout HERE, between the drift and the force pass: at that
+    point the force array is dead (consumed by the first half-kick, fully
+    recomputed below before its next read), so its rows skip the move —
+    and the epoch reference positions align exactly with the layout the
+    force kernel reads."""
     dt = float(cfg.dt)
     dtype = state.x.dtype.type
     m = per_atom_mass(cfg, state)[:, None]
@@ -705,6 +711,12 @@ def _plain_step(cfg, geom, kern, state: State, with_stage: bool = True) -> State
         x, v = shake_positions(cfg, state.x, x, v, state.type, state.bond1,
                                state.bond2, state.alive, 1.0 / m[:, 0])
     state = state.replace(x=x, v=v)
+    if relayout:
+        skin = float(cfg.skin)
+        if skin > 0:
+            state = note_skin_check(cfg.box, skin, state)
+        state = relayout_incremental(geom, cfg.box, state, move_f=False,
+                                     **relayout_flags(cfg))
     if cfg.obmd is not None and with_stage:
         state = _obmd_stage(cfg, geom, state, with_rebuild=False)
     f = _forces(cfg, geom, kern, state)
@@ -772,12 +784,10 @@ def make_run_cellpad(cfg: SceneConfig, nsteps: int):
     geom = make_geometry(cfg)
     kern = _make_kernel(cfg, geom)
     r_every = auto_rebuild_every(cfg)
-    flags = relayout_flags(cfg)
     if cfg.obmd is not None and cfg.obmd.nfreq > 1:
         # keep OBMD cadence and rebuild cadence aligned (the OBMD stage
         # must see a current layout for its slab subsets)
         r_every = max(1, (r_every // cfg.obmd.nfreq)) * cfg.obmd.nfreq
-    skin = float(cfg.skin)
 
     nfreq = cfg.obmd.nfreq if cfg.obmd is not None else 1
 
@@ -788,8 +798,14 @@ def make_run_cellpad(cfg: SceneConfig, nsteps: int):
         return _plain_step(cfg, geom, kern, s, with_stage=False), None
 
     def steps(state: State, length: int) -> State:
+        """`length` steps; the FIRST runs the epoch relayout mid-step
+        (between drift and force pass — f is dead there and skips the
+        move, and the epoch reference aligns with what the kernel reads)."""
         if nfreq <= 1:
-            state, _ = jax.lax.scan(plain, state, None, length=length)
+            state = _plain_step(cfg, geom, kern, state, relayout=True)
+            if length > 1:
+                state, _ = jax.lax.scan(plain, state, None,
+                                        length=length - 1)
             return state
         # OBMD cadence nfreq > 1: stage on the first step of each group
         # (chunk lengths are nfreq-aligned by construction except a final
@@ -800,16 +816,20 @@ def make_run_cellpad(cfg: SceneConfig, nsteps: int):
             s = _plain_step(cfg, geom, kern, s)
             s, _ = jax.lax.scan(nostage, s, None, length=nfreq - 1)
             return s, None
+        first = True
         if groups:
-            state, _ = jax.lax.scan(group, state, None, length=groups)
+            state = _plain_step(cfg, geom, kern, state, relayout=True)
+            state, _ = jax.lax.scan(nostage, state, None, length=nfreq - 1)
+            first = False
+            if groups > 1:
+                state, _ = jax.lax.scan(group, state, None,
+                                        length=groups - 1)
         if rem:
-            state = _plain_step(cfg, geom, kern, state)
+            state = _plain_step(cfg, geom, kern, state, relayout=first)
             state, _ = jax.lax.scan(nostage, state, None, length=rem - 1)
         return state
 
     def chunk(state: State, length: int) -> State:
-        state = note_skin_check(cfg.box, skin, state) if skin > 0 else state
-        state = relayout_incremental(geom, cfg.box, state, **flags)
         return steps(state, length)
 
     n_chunks, rem = divmod(nsteps, r_every)

@@ -104,7 +104,9 @@ def obmd_dpd_scene(scale: float = 1.0, seed: int = 12345,
 
 
 def lj_melt_scene(nx: int = 20, dtype: str = "float32",
-                  force_path: str = "cellpad") -> Scene:
+                  force_path: str = "cellpad", skin: float = 0.55,
+                  cell_capacity: int = 40,
+                  rebuild_every: int = 0) -> Scene:
     """The reference's headline benchmark: LJ melt (code/bench/in.lj) —
     fcc lattice at rho* = 0.8442, 4*nx^3 atoms (nx=20 -> 32,000 like the
     published logs), T0 = 1.44, rc = 2.5, dt = 0.005, NVE."""
@@ -124,9 +126,15 @@ def lj_melt_scene(nx: int = 20, dtype: str = "float32",
     v = rng.normal(0.0, np.sqrt(1.44), (n, 3))
     v -= v.mean(axis=0)
     pair = LJCutParams.create(cutoff=2.5, epsilon=1.0, sigma=1.0)
+    # skin 0.55 keeps the SAME 11^3 cell grid as the reference's
+    # `neighbor 0.3 bin` (cells are floor(L/rlist) wide either way) while
+    # doubling the half-skin drift budget -> half the relayout epochs;
+    # skin only affects validity/perf, never the physics.
     cfg = SceneConfig(box=box, masses=(1.0,), pair=pair, dt=0.005,
-                      capacity=Capacity(n_max=n, cell_capacity=40),
-                      obmd=None, skin=0.3, dtype=dtype,
+                      capacity=Capacity(n_max=n,
+                                        cell_capacity=cell_capacity),
+                      obmd=None, skin=skin, dtype=dtype,
+                      rebuild_every=rebuild_every,
                       force_path=force_path)
     return Scene(cfg=cfg, state=init_state(cfg, x, v=v))
 
