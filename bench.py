@@ -75,31 +75,37 @@ def main():
     }))
 
 
-def preflight(timeout_s=45):
+def preflight(timeout_s=75, attempts=2):
     """Fail fast when the accelerator backend is unreachable.
 
     The tunnel TPU has outage windows lasting hours; without this probe the
     retry loop below spins into the driver's timeout (rc=124) and the round
     records nothing.  Probe with a trivial program in a subprocess under a
-    short timeout; on failure print one parseable JSON line and exit nonzero
-    immediately so the artifact is diagnosable.
+    short timeout (two tries — a single probe can hang on a transient
+    tunnel cold-start even when the chip is healthy); on failure print one
+    parseable JSON line and exit nonzero immediately so the artifact is
+    diagnosable.
     """
     import subprocess
     probe = ("import jax, jax.numpy as jnp; "
              "print(int(jnp.arange(8).sum()), jax.devices()[0].platform)")
-    try:
-        p = subprocess.run([sys.executable, "-c", probe],
-                           capture_output=True, text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        print(json.dumps({"error": "backend-unavailable",
-                          "detail": "probe hang >%ds" % timeout_s}))
-        raise SystemExit(2)
-    if p.returncode != 0:
+    last = ""
+    for i in range(attempts):
+        try:
+            p = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            last = "probe hang >%ds" % timeout_s
+            sys.stderr.write("# preflight attempt %d: %s\n" % (i + 1, last))
+            continue
+        if p.returncode == 0:
+            sys.stderr.write("# preflight ok: %s\n" % p.stdout.strip())
+            return
+        last = "probe rc=%d" % p.returncode
         sys.stderr.write(p.stderr[-1500:] + "\n")
-        print(json.dumps({"error": "backend-unavailable",
-                          "detail": "probe rc=%d" % p.returncode}))
-        raise SystemExit(2)
-    sys.stderr.write("# preflight ok: %s\n" % p.stdout.strip())
+    print(json.dumps({"error": "backend-unavailable", "detail": last}))
+    raise SystemExit(2)
 
 
 if __name__ == "__main__":

@@ -120,7 +120,7 @@ def _forces(cfg, geom, kern, state: State):
     f = fpad.transpose(0, 2, 3, 1).reshape(-1, 3).astype(state.x.dtype)
     if cfg.obmd is not None:
         with jax.named_scope("obmd_post_force"):
-            f = apply_boundary_force(cfg, state, f)
+            f = _boundary_force_sliced(cfg, geom, state, f)
     if cfg.bond is not None:
         from .forces.bonded import bond_forces
         with jax.named_scope("bond"):
@@ -145,6 +145,62 @@ def _forces(cfg, geom, kern, state: State):
     return jnp.where(a3, f, 0.0)
 
 
+def _boundary_force_sliced(cfg, geom, state: State, f):
+    """apply_boundary_force restricted to each region's slab slice.  On the
+    cellpad layout every block region's members live in a contiguous slot
+    range (slab_slice_bounds), so the weight/scale math and the force add
+    touch ~30% of the store instead of all of it (stage.apply_boundary_force
+    semantics, ref :1414-1516; in-graph 0.37 -> ~0.1 ms/step at 94k).
+    Keeps the round-3 conservation rule: elementwise scale*F adds only,
+    never a `scales @ forces` matmul (MXU bf16 rounding broke sum(f) ==
+    sum(mf); tests/test_conservation.py)."""
+    from .obmd.stage import smooth_weight
+    obmd = cfg.obmd
+    sc = state.obmd
+    masses = jnp.asarray(cfg.masses, f.dtype)
+
+    for region, F, smooth in (
+            (obmd.region1, sc.momentum_force_left, True),
+            (obmd.region2, sc.momentum_force_right, True),
+            (obmd.region3, sc.shear_force_left, False),
+            (obmd.region4, sc.shear_force_right, False)):
+        if region is None or region.hi[0] <= region.lo[0]:
+            # zero-extent shear sub-region: config guarantees the shear
+            # force is zero too (stage.apply_boundary_force note)
+            continue
+        a, b = slab_slice_bounds(geom, cfg.box, region.lo[0], region.hi[0])
+        xs = jax.lax.slice_in_dim(state.x, a, b, axis=0)
+        al = jax.lax.slice_in_dim(state.alive, a, b, axis=0)
+        ty = jax.lax.slice_in_dim(state.type, a, b, axis=0)
+        m = masses[ty] if cfg.ntypes > 1 else jnp.full(
+            (b - a,), float(cfg.masses[0]), f.dtype)
+        member = al & region.match(xs)
+        g = jnp.where(member,
+                      smooth_weight(cfg, xs[:, 0], m) if smooth else m, 0.0)
+        gsum = jnp.sum(g)
+        scale = jnp.where(gsum > 0.0, g / jnp.maximum(gsum, 1e-30), 0.0)
+        fs = jax.lax.slice_in_dim(f, a, b, axis=0)
+        f = jax.lax.dynamic_update_slice_in_dim(
+            f, fs + scale[:, None] * F, a, axis=0)
+    return f
+
+
+def _region_count_sliced(cfg, geom, state: State, region) -> jnp.ndarray:
+    """stage.region_count over the region's contiguous slab slice (the
+    census reduction touches the buffer band, not the whole store)."""
+    a, b = slab_slice_bounds(geom, cfg.box, region.lo[0], region.hi[0])
+    xs = jax.lax.slice_in_dim(state.x, a, b, axis=0)
+    m = jax.lax.slice_in_dim(state.alive, a, b, axis=0) & region.match(xs)
+    gt = cfg.obmd.group_types
+    if gt is not None:
+        ty = jax.lax.slice_in_dim(state.type, a, b, axis=0)
+        gm = jnp.zeros_like(m)
+        for t in gt:
+            gm = gm | (ty == int(t))
+        m = m & gm
+    return jnp.sum(m.astype(jnp.int32))
+
+
 def _subset_slice(cfg, geom, state, region, pad):
     """Buffer subset: a contiguous slot slice COMPACTED to its live rows.
     The slice itself needs no gather, but the cellpad layout is only
@@ -167,13 +223,22 @@ def _subset_slice(cfg, geom, state, region, pad):
     sel = compact_indices(valid, b_max, n)
     ok = sel < n
     safe = jnp.clip(sel, 0, n - 1)
+    flags = relayout_flags(cfg)
+    if flags["has_types"]:
+        ty = jnp.where(ok, jax.lax.slice_in_dim(state.type, a, b,
+                                                axis=0)[safe], 0)
+    else:
+        ty = jnp.zeros((b_max,), jnp.int32)      # single type: no gather
+    if flags["has_charge"]:
+        q = jnp.where(ok, jax.lax.slice_in_dim(state.q, a, b,
+                                               axis=0)[safe], 0.0)
+    else:
+        q = jnp.zeros((b_max,), state.x.dtype)   # neutral scene: no gather
     return Subset(
         idx=sel + jnp.int32(a),
         x=jnp.where(ok[:, None], xs[safe], BIG),
-        type=jnp.where(ok, jax.lax.slice_in_dim(state.type, a, b,
-                                                axis=0)[safe], 0),
-        q=jnp.where(ok, jax.lax.slice_in_dim(state.q, a, b, axis=0)[safe],
-                    0.0),
+        type=ty,
+        q=q,
         valid=ok,
         overflow=jnp.sum(valid.astype(jnp.int32)) > b_max)
 
@@ -486,40 +551,57 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     from .obmd.stage import draw_inserted_velocities
     kv = jax.random.fold_in(key, 7)
     vnew = draw_inserted_velocities(cfg, kv, pos, dtype)
-    if vnew is None:
-        vnew = jnp.zeros((m, 3), dtype)
-        pins_l = pins_r = jnp.zeros((3,), dtype)
-    else:
+    if vnew is not None:
         mass_ins = jnp.asarray(cfg.masses, dtype)[obmd.ntype]
         mv = mass_ins * jnp.where(landed[:, None], vnew, 0.0)
         pins_l = jnp.sum(mv[:M], axis=0)
         pins_r = jnp.sum(mv[M:], axis=0)
-    x = state.x.at[slot].set(pos, mode="drop")
-    v = state.v.at[slot].set(vnew, mode="drop")
-    f = state.f.at[slot].set(jnp.zeros((m, 3), dtype), mode="drop")
-    typ = state.type.at[slot].set(jnp.full((m,), obmd.ntype, jnp.int32),
-                                  mode="drop")
-    tag = state.tag.at[slot].set(new_tag, mode="drop")
-    qn = state.q.at[slot].set(jnp.zeros((m,), dtype), mode="drop")
-    lam = state.lambdaF.at[slot].set(jnp.zeros((m,), dtype), mode="drop")
-    cms = state.cms_mol.at[slot].set(jnp.zeros((m, 3), dtype), mode="drop")
-    vcm = state.vcms_mol.at[slot].set(jnp.zeros((m, 3), dtype), mode="drop")
-    rep = state.rep_atom.at[slot].set(jnp.zeros((m,), jnp.int32),
-                                      mode="drop")
-    nb1 = state.bond1.at[slot].set(jnp.full((m,), -1, jnp.int32), mode="drop")
-    nb2 = state.bond2.at[slot].set(jnp.full((m,), -1, jnp.int32), mode="drop")
-    aliv = state.alive.at[slot].set(True, mode="drop")
+    else:
+        pins_l = pins_r = jnp.zeros((3,), dtype)
+
+    # Per-field scatters have a large fixed per-op cost; fields whose value
+    # at a REUSED slot is already what the inserted atom needs skip their
+    # write entirely:  f is dead at stage time (consumed by the half-kick,
+    # fully recomputed before its next read); v == 0 at every dead slot
+    # (delete_outside/relayout/layout_build maintain the invariant), so
+    # at-rest insertion skips it; q/mol/lambdaF/cms/rep/bonds/type are
+    # globally constant unless the scene says otherwise (relayout_flags).
+    flags = relayout_flags(cfg)
+    upd = {}
+    upd["x"] = state.x.at[slot].set(pos, mode="drop")
+    if vnew is not None:
+        upd["v"] = state.v.at[slot].set(vnew, mode="drop")
+    if flags["has_types"] or obmd.ntype != 0:
+        upd["type"] = state.type.at[slot].set(
+            jnp.full((m,), obmd.ntype, jnp.int32), mode="drop")
+    upd["tag"] = state.tag.at[slot].set(new_tag, mode="drop")
+    if flags["has_charge"]:
+        upd["q"] = state.q.at[slot].set(jnp.zeros((m,), dtype), mode="drop")
+    if flags["has_mol"]:
+        upd["lambdaF"] = state.lambdaF.at[slot].set(
+            jnp.zeros((m,), dtype), mode="drop")
+        upd["cms_mol"] = state.cms_mol.at[slot].set(
+            jnp.zeros((m, 3), dtype), mode="drop")
+        upd["vcms_mol"] = state.vcms_mol.at[slot].set(
+            jnp.zeros((m, 3), dtype), mode="drop")
+        upd["rep_atom"] = state.rep_atom.at[slot].set(
+            jnp.zeros((m,), jnp.int32), mode="drop")
+        upd["mol"] = state.mol.at[slot].set(
+            jnp.zeros((m,), jnp.int32), mode="drop")
+    if flags["has_bonds"]:
+        upd["bond1"] = state.bond1.at[slot].set(
+            jnp.full((m,), -1, jnp.int32), mode="drop")
+        upd["bond2"] = state.bond2.at[slot].set(
+            jnp.full((m,), -1, jnp.int32), mode="drop")
+    upd["alive"] = state.alive.at[slot].set(True, mode="drop")
 
     aux: PadAux = state.nbrs
-    aux = aux.replace(xref=aux.xref.at[slot].set(pos, mode="drop"))
+    upd["nbrs"] = aux.replace(xref=aux.xref.at[slot].set(pos, mode="drop"))
 
     n_landed = jnp.sum(landed.astype(jnp.int32))
     want = jnp.clip(nins_l, 0) + jnp.clip(nins_r, 0)
     return state.replace(
-        x=x, v=v, f=f, type=typ, tag=tag, q=qn, alive=aliv, nbrs=aux,
-        lambdaF=lam, cms_mol=cms, vcms_mol=vcm, rep_atom=rep,
-        bond1=nb1, bond2=nb2,
-        maxtag=base + n_landed, key=knext,
+        maxtag=base + n_landed, key=knext, **upd,
         obmd=state.obmd.replace(
             ninserted=state.obmd.ninserted + n_landed,
             insert_fail=state.obmd.insert_fail +
@@ -551,11 +633,11 @@ def _obmd_stage(cfg, geom, state: State, with_rebuild: bool = True) -> State:
             state = maybe_rebuild(geom, box, cfg.skin, state,
                                   **relayout_flags(cfg))
 
-    nins_l = feedback_count(region_count(state, obmd.region1,
-                                         obmd.group_types),
+    nins_l = feedback_count(_region_count_sliced(cfg, geom, state,
+                                                 obmd.region1),
                             obmd.mol_len, alpha, nbuf, dt, tau)
-    nins_r = feedback_count(region_count(state, obmd.region2,
-                                         obmd.group_types),
+    nins_r = feedback_count(_region_count_sliced(cfg, geom, state,
+                                                 obmd.region2),
                             obmd.mol_len, alpha, nbuf, dt, tau)
 
     pad = cfg.pair.max_cut + cfg.skin

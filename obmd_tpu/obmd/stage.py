@@ -77,6 +77,10 @@ def delete_outside(cfg: SceneConfig, state: State):
     state = state.replace(
         alive=state.alive & ~doomed,
         tag=jnp.where(doomed, -1, state.tag),
+        # dead slots keep v == 0 as an invariant (layout_build/relayout
+        # fill freed slots with 0 too), so at-rest insertion can reuse a
+        # slot without a velocity scatter (engine_cellpad._insert)
+        v=jnp.where(doomed[:, None], 0.0, state.v),
         obmd=state.obmd.replace(ndeleted=state.obmd.ndeleted + ndel),
     )
     return state, vnewl, vnewr
