@@ -19,3 +19,24 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_threefry_partitionable", True)
+
+import pytest  # noqa: E402
+
+# `pytest -m quick`: a core-coverage tier sized for a 1-CPU box in a few
+# minutes (the full suite exceeds 25 min there).  Covers every layer once:
+# geometry/cells, the cellpad engine + invariants, forces, the OBMD stage,
+# the deck front end, IO round-trips, and the C ABI.
+QUICK_MODULES = {
+    "test_geometry", "test_cells", "test_integrate", "test_forces",
+    "test_cellpad", "test_obmd_stage", "test_invariants", "test_observe",
+    "test_io", "test_script", "test_charged", "test_c_api",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+        else:
+            item.add_marker(pytest.mark.slow)

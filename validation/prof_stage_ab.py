@@ -91,14 +91,20 @@ def main():
           flush=True)
     ec._insert = real
 
-    real = st_mod.apply_boundary_force
-    import obmd_tpu.engine_cellpad as ecc
-    real2 = ecc.apply_boundary_force
-    ecc.apply_boundary_force = lambda cfg, s, f: f
+    real = ec._boundary_force_sliced
+    ec._boundary_force_sliced = lambda cfg, geom, s, f: f
     ms, mps = rate(cfg, state)
     print("F no boundary force   %.3f ms/step  %.2f Mps/s" % (ms, mps),
           flush=True)
-    ecc.apply_boundary_force = real2
+    ec._boundary_force_sliced = real
+
+    real = ec._region_count_sliced
+    ec._region_count_sliced = lambda cfg, geom, s, r: jnp.int32(
+        int(0.7 * cfg.obmd.nbuf))
+    ms, mps = rate(cfg, state)
+    print("G census=setpoint     %.3f ms/step  %.2f Mps/s" % (ms, mps),
+          flush=True)
+    ec._region_count_sliced = real
 
 
 if __name__ == "__main__":
