@@ -31,6 +31,10 @@ def main():
     wall = time.perf_counter() - t0
     steps_done = int(state.step) - start
 
+    # Loud validity gate (same as bench.py): overflow/stale layout voids it.
+    from obmd_tpu.observe import check_invariants
+    check_invariants(sc.cfg, state)
+
     natoms = int(state.natoms)
     steps_s = steps_done / wall
     print(json.dumps({

@@ -105,7 +105,7 @@ def obmd_dpd_scene(scale: float = 1.0, seed: int = 12345,
 
 def lj_melt_scene(nx: int = 20, dtype: str = "float32",
                   force_path: str = "cellpad", skin: float = 0.55,
-                  cell_capacity: int = 40,
+                  cell_capacity: int = 36,
                   rebuild_every: int = 0) -> Scene:
     """The reference's headline benchmark: LJ melt (code/bench/in.lj) —
     fcc lattice at rho* = 0.8442, 4*nx^3 atoms (nx=20 -> 32,000 like the
@@ -141,11 +141,16 @@ def lj_melt_scene(nx: int = 20, dtype: str = "float32",
 
 def chain_scene(data_path: str = "/root/reference/code/bench/data.chain",
                 force_path: str = "cellpad", skin: float = 0.98,
-                cell_capacity: int = 34) -> Scene:
+                cell_capacity: int = 18) -> Scene:
     """The reference's chain headline benchmark (bench/in.chain): FENE
     bead-spring melt — 32k beads, WCA pair (lj/cut 1.12 shifted, 1-2 pairs
     excluded per `special_bonds fene`), bond fene 30.0 1.5 1.0 1.0,
-    Langevin thermostat T=1 damp=10, dt=0.012."""
+    Langevin thermostat T=1 damp=10, dt=0.012.
+
+    cell_capacity 18 is occupancy-tight for this melt (measured max cell
+    occupancy 18 over 2k steps at skin 0.98; cap 17 overflows).  Overflow
+    is loud — observe.check_invariants raises — so raise the cap if a
+    longer run ever trips it."""
     from .config import BondFENEParams, LangevinParams
     from .io.lammps_data import read_data
     df = read_data(data_path, atom_style="bond")

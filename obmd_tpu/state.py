@@ -182,6 +182,12 @@ def masses_array(cfg: SceneConfig, dtype=None) -> jnp.ndarray:
 
 
 def per_atom_mass(cfg: SceneConfig, state: State) -> jnp.ndarray:
+    if cfg.ntypes == 1:
+        # single type: a broadcast constant — the [N] type gather costs a
+        # full pass at production sizes and the hot loop takes this twice
+        # per step
+        return jnp.full((state.capacity,), float(cfg.masses[0]),
+                        state.dtype)
     return masses_array(cfg, state.dtype)[state.type]
 
 
