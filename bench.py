@@ -75,7 +75,7 @@ def main():
     }))
 
 
-def preflight(timeout_s=75, attempts=2):
+def preflight(timeout_s=150, attempts=2):
     """Fail fast when the accelerator backend is unreachable.
 
     The tunnel TPU has outage windows lasting hours; without this probe the

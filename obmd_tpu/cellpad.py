@@ -43,6 +43,23 @@ class PadAux:
     # any nonzero value means rebuild_every is set too high for the scene.
 
 
+def scatter_rows(arr, idx, vals, mode="drop"):
+    """Row scatter decomposed per component.
+
+    XLA lowers a row scatter into an [N, C] operand by forcing the operand
+    to row-major {1,0:T(8,128)} layout, whose tiling pads C=3 up to 128
+    lanes — a 42x memory blowup.  Inside a scanned step that layout
+    propagates to the whole [N, C] loop carry, so EVERY elementwise pass
+    reads/writes ~100 MB instead of ~3 MB (measured ~0.6 ms/step at 94k
+    atoms).  C independent 1-D scatters plus a restack keep every [N, C]
+    array in the sane {0,1:T(4,128)} layout."""
+    if arr.ndim == 1:
+        return arr.at[idx].set(vals, mode=mode)
+    cols = [arr[:, k].at[idx].set(vals[..., k], mode=mode)
+            for k in range(arr.shape[1])]
+    return jnp.stack(cols, axis=1)
+
+
 def slot_index(geom: PadGeometry, cell, rank):
     """Flat slot id of (cell, rank)."""
     block, lane = geom.slot_of_cell(cell)
@@ -71,7 +88,7 @@ def layout_build(geom: PadGeometry, box: Box, state: State) -> State:
 
     def scat(src, fill):
         out = jnp.full((n_slots,) + src.shape[1:], fill, src.dtype)
-        return out.at[dest].set(src[order], mode="drop")
+        return scatter_rows(out, dest, src[order])
 
     # bond partner SLOT references follow the permutation: old -> new
     n_cap = state.capacity
@@ -83,7 +100,7 @@ def layout_build(geom: PadGeometry, box: Box, state: State) -> State:
                          -1)
 
     x = jnp.broadcast_to(center, (n_slots, 3)).astype(state.x.dtype)
-    x = x.at[dest].set(state.x[order], mode="drop")
+    x = scatter_rows(x, dest, state.x[order])
     new = State(
         x=x,
         v=scat(state.v, 0), f=scat(state.f, 0),
@@ -267,8 +284,7 @@ def relayout_incremental(geom: PadGeometry, box: Box, state: State,
         rows = arr[safe]
         fill_rows = jnp.broadcast_to(jnp.asarray(fill, arr.dtype),
                                      rows.shape)
-        return arr.at[dst].set(jnp.concatenate([rows, fill_rows]),
-                               mode="drop")
+        return scatter_rows(arr, dst, jnp.concatenate([rows, fill_rows]))
 
     x = move(state.x, center)
     alive = state.alive.at[dst].set(

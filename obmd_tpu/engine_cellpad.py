@@ -10,7 +10,7 @@ import numpy as np
 
 from . import rng
 from .cellpad import (PadAux, layout_build, maybe_rebuild, note_skin_check,
-                      place_insertions, relayout_incremental,
+                      place_insertions, relayout_incremental, scatter_rows,
                       slab_slice_bounds)
 from .cells import BIG
 from .config import DPDParams, LJCutParams, SceneConfig, eval_param
@@ -414,9 +414,9 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
         mv = mol_mass[:, None] * jnp.where(landed_mol[:, None], vnew, 0.0)
         pins_l = jnp.sum(mv[:M], axis=0)
         pins_r = jnp.sum(mv[M:], axis=0)
-    x = state.x.at[slot].set(apos, mode="drop")
-    v = state.v.at[slot].set(av, mode="drop")
-    f = state.f.at[slot].set(jnp.zeros((km * m, 3), dtype), mode="drop")
+    x = scatter_rows(state.x, slot, apos)
+    v = scatter_rows(state.v, slot, av)
+    f = scatter_rows(state.f, slot, jnp.zeros((km * m, 3), dtype))
     typ = state.type.at[slot].set(types_flat, mode="drop")
     tag = state.tag.at[slot].set(new_tag, mode="drop")
     qn = state.q.at[slot].set(q_flat, mode="drop")
@@ -427,16 +427,14 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
         rep_s[tsel].reshape(km * m), mode="drop")
     lam = state.lambdaF.at[slot].set(jnp.zeros((km * m,), dtype),
                                      mode="drop")
-    cms0 = state.cms_mol.at[slot].set(jnp.zeros((km * m, 3), dtype),
-                                      mode="drop")
-    vcm0 = state.vcms_mol.at[slot].set(jnp.zeros((km * m, 3), dtype),
-                                       mode="drop")
+    cms0 = scatter_rows(state.cms_mol, slot, jnp.zeros((km * m, 3), dtype))
+    vcm0 = scatter_rows(state.vcms_mol, slot, jnp.zeros((km * m, 3), dtype))
     nb1 = state.bond1.at[slot].set(p1_slot, mode="drop")
     nb2 = state.bond2.at[slot].set(p2_slot, mode="drop")
     aliv = state.alive.at[slot].set(True, mode="drop")
 
     aux: PadAux = state.nbrs
-    aux = aux.replace(xref=aux.xref.at[slot].set(apos, mode="drop"))
+    aux = aux.replace(xref=scatter_rows(aux.xref, slot, apos))
 
     n_mols = jnp.sum(landed_mol.astype(jnp.int32))
     n_atoms_placed = jnp.sum(placed)
@@ -568,9 +566,9 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     # globally constant unless the scene says otherwise (relayout_flags).
     flags = relayout_flags(cfg)
     upd = {}
-    upd["x"] = state.x.at[slot].set(pos, mode="drop")
+    upd["x"] = scatter_rows(state.x, slot, pos)
     if vnew is not None:
-        upd["v"] = state.v.at[slot].set(vnew, mode="drop")
+        upd["v"] = scatter_rows(state.v, slot, vnew)
     if flags["has_types"] or obmd.ntype != 0:
         upd["type"] = state.type.at[slot].set(
             jnp.full((m,), obmd.ntype, jnp.int32), mode="drop")
@@ -580,10 +578,10 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     if flags["has_mol"]:
         upd["lambdaF"] = state.lambdaF.at[slot].set(
             jnp.zeros((m,), dtype), mode="drop")
-        upd["cms_mol"] = state.cms_mol.at[slot].set(
-            jnp.zeros((m, 3), dtype), mode="drop")
-        upd["vcms_mol"] = state.vcms_mol.at[slot].set(
-            jnp.zeros((m, 3), dtype), mode="drop")
+        upd["cms_mol"] = scatter_rows(state.cms_mol, slot,
+                                      jnp.zeros((m, 3), dtype))
+        upd["vcms_mol"] = scatter_rows(state.vcms_mol, slot,
+                                       jnp.zeros((m, 3), dtype))
         upd["rep_atom"] = state.rep_atom.at[slot].set(
             jnp.zeros((m,), jnp.int32), mode="drop")
         upd["mol"] = state.mol.at[slot].set(
@@ -596,7 +594,7 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     upd["alive"] = state.alive.at[slot].set(True, mode="drop")
 
     aux: PadAux = state.nbrs
-    upd["nbrs"] = aux.replace(xref=aux.xref.at[slot].set(pos, mode="drop"))
+    upd["nbrs"] = aux.replace(xref=scatter_rows(aux.xref, slot, pos))
 
     n_landed = jnp.sum(landed.astype(jnp.int32))
     want = jnp.clip(nins_l, 0) + jnp.clip(nins_r, 0)

@@ -23,6 +23,17 @@ def main():
     state = equilibrate(cfg, state, int(os.environ.get("PROF_EQUIL", "300")))
     np.asarray(state.x)
 
+    # mirror bench.py's production repack (occupancy-tight cell capacity)
+    cap = int(os.environ.get("PROF_CAP", "16"))
+    if cap != cfg.capacity.cell_capacity:
+        import dataclasses
+        from obmd_tpu.cellpad import layout_build
+        cfg = dataclasses.replace(
+            cfg, capacity=dataclasses.replace(
+                cfg.capacity, cell_capacity=cap)).finalize()
+        geom = ec.make_geometry(cfg)
+        state = jax.jit(lambda s: layout_build(geom, cfg.box, s))(state)
+
     nsteps = int(os.environ.get("PROF_STEPS", "39"))
     run = ec.make_run_cellpad(cfg, nsteps)
     state = run(state)
@@ -35,7 +46,10 @@ def main():
         np.asarray(state.x)
 
     # parse the xplane and aggregate device-op durations
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    try:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
+    except ImportError:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
     paths = glob.glob(tdir + "/**/*.xplane.pb", recursive=True)
     print("xplanes:", paths)
     agg = {}
