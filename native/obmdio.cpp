@@ -31,6 +31,8 @@ struct DataFile {
   std::vector<int64_t> bonds;      // [nbonds*2] atom-tag pairs
   std::vector<int64_t> angles;     // [nangles*4] (type, a1, a2, a3)
   std::vector<int64_t> dihedrals;  // [ndihedrals*5] (type, a1..a4)
+  std::vector<int64_t> impropers;  // [nimpropers*5] (type, i1..i4), i2 =
+                                   // center (improper_harmonic.cpp order)
   bool has_v = false, has_q = false, has_mol = false;
   std::string error;
 };
@@ -165,6 +167,14 @@ DataFile* parse_data(const char* path, int style) {
           df->dihedrals.push_back(atoll(t[c].c_str()));
         i++;
       }
+    } else if (header == "Impropers") {
+      while (i < lines.size()) {
+        auto t = tokens(clean(lines[i]));
+        if (t.size() < 6) break;
+        for (int c = 1; c <= 5; c++)
+          df->impropers.push_back(atoll(t[c].c_str()));
+        i++;
+      }
     } else if (header == "Velocities") {
       df->has_v = true;
       for (int64_t k = 0; k < df->natoms && i < lines.size(); k++, i++) {
@@ -237,6 +247,9 @@ int64_t obmdio_nangles(void* h) {
 int64_t obmdio_ndihedrals(void* h) {
   return static_cast<DataFile*>(h)->dihedrals.size() / 5;
 }
+int64_t obmdio_nimpropers(void* h) {
+  return static_cast<DataFile*>(h)->impropers.size() / 5;
+}
 
 void obmdio_fill_topology(void* h, int64_t* bonds, int64_t* angles,
                           int64_t* dihedrals) {
@@ -248,6 +261,13 @@ void obmdio_fill_topology(void* h, int64_t* bonds, int64_t* angles,
   if (dihedrals && !df->dihedrals.empty())
     memcpy(dihedrals, df->dihedrals.data(),
            df->dihedrals.size() * sizeof(int64_t));
+}
+
+void obmdio_fill_impropers(void* h, int64_t* impropers) {
+  auto* df = static_cast<DataFile*>(h);
+  if (impropers && !df->impropers.empty())
+    memcpy(impropers, df->impropers.data(),
+           df->impropers.size() * sizeof(int64_t));
 }
 
 void obmdio_free(void* h) { delete static_cast<DataFile*>(h); }

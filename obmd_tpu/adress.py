@@ -43,27 +43,31 @@ def update_mol_com(cfg: SceneConfig, state: State,
     A = jnp.concatenate([w[:, None] * state.x, w[:, None] * state.v,
                          w[:, None]], axis=1)                    # [N,7]
 
-    p1 = jnp.where(member, state.bond1, -1)
-    p2 = jnp.where(member, state.bond2, -1)
+    cols = state.bond_partners
+    K = len(cols)
+    ps_all = tuple(jnp.where(member, c, -1) for c in cols)
     me = jnp.arange(n, dtype=jnp.int32)
 
-    def incoming(msg1, msg2, p):
+    def incoming(msgs, p):
         """The partner's message directed at me: partner p stores its
-        message toward its bond1 in msg1 — pick by which of p's partner
-        slots points back to me."""
+        message toward its k-th partner column in msgs[k] — pick by which
+        of p's partner slots points back to me (exactly one on a simple
+        bond graph)."""
         ps = jnp.clip(p, 0, n - 1)
-        toward_me_is_1 = (state.bond1[ps] == me)[:, None]
-        from_p = jnp.where(toward_me_is_1, msg1[ps], msg2[ps])
+        from_p = jnp.zeros_like(A)
+        for k in range(K):
+            toward_me = (cols[k][ps] == me)[:, None]
+            from_p = jnp.where(toward_me, msgs[k][ps], from_p)
         return jnp.where((p >= 0)[:, None], from_p, 0.0)
 
-    msg1 = jnp.zeros_like(A)      # my message toward partner bond1
-    msg2 = jnp.zeros_like(A)      # my message toward partner bond2
+    msgs = [jnp.zeros_like(A) for _ in range(K)]
     for _ in range(rounds):
-        in1 = incoming(msg1, msg2, p1)
-        in2 = incoming(msg1, msg2, p2)
-        msg1 = A + in2            # toward p1: me + everything behind p2
-        msg2 = A + in1
-    total = A + incoming(msg1, msg2, p1) + incoming(msg1, msg2, p2)
+        ins = [incoming(msgs, p) for p in ps_all]
+        # toward p_k: me + everything behind every OTHER partner
+        msgs = [A + sum(ins[j] for j in range(K) if j != k)
+                if K > 1 else A
+                for k in range(K)]
+    total = A + sum(incoming(msgs, p) for p in ps_all)
 
     W = jnp.maximum(total[:, 6:7], 1e-30)
     cms = jnp.where(member[:, None], total[:, 0:3] / W, 0.0)

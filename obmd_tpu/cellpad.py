@@ -111,6 +111,12 @@ def layout_build(geom: PadGeometry, box: Box, state: State) -> State:
         lambdaF=scat(state.lambdaF, 0), cms_mol=scat(state.cms_mol, 0),
         vcms_mol=scat(state.vcms_mol, 0), rep_atom=scat(state.rep_atom, 0),
         bond1=scat(remap(state.bond1), -1), bond2=scat(remap(state.bond2), -1),
+        bond3=(scat(remap(state.bond3), -1)
+               if state.bond3 is not None else None),
+        bond4=(scat(remap(state.bond4), -1)
+               if state.bond4 is not None else None),
+        impr=(scat(remap(state.impr), -1)
+              if state.impr is not None else None),
         step=state.step, sim_time=state.sim_time, maxtag=state.maxtag,
         key=state.key, obmd=state.obmd,
         cell_overflow=state.cell_overflow + overflow,
@@ -309,6 +315,12 @@ def relayout_incremental(geom: PadGeometry, box: Box, state: State,
 
         upd["bond1"] = remap(move(state.bond1, -1))
         upd["bond2"] = remap(move(state.bond2, -1))
+        if state.bond3 is not None:
+            upd["bond3"] = remap(move(state.bond3, -1))
+        if state.bond4 is not None:
+            upd["bond4"] = remap(move(state.bond4, -1))
+        if state.impr is not None:
+            upd["impr"] = remap(move(state.impr, -1))
     if has_charge:
         upd["q"] = move(state.q, 0.0)
     if has_mol:

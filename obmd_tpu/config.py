@@ -292,6 +292,50 @@ class AngleHarmonicParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class ImproperHarmonicParams:
+    """`improper_style harmonic` (improper_harmonic.cpp): E = K (chi -
+    chi0)^2 per declared improper quadruple (i1, i2, i3, i4), chi0 in
+    degrees, chi from the reference's dihedral-like construction over
+    (x1-x2, x3-x2, x4-x3).
+
+    Storage is center-atom based like angles: the quadruple's partner
+    slots (i1, i3, i4) live in State.impr on the CENTER atom i2, and the
+    coefficients are keyed by the center's atom TYPE (0 = no improper).
+    The out-of-plane convention (center bonded to all three ends) is
+    validated at load; each center carries at most one improper."""
+
+    k: Tuple[float, ...]      # per CENTER atom type
+    chi0: Tuple[float, ...]   # degrees, per center atom type
+
+
+def derive_center_improper_table(ntypes: int, impropers, atom_types,
+                                 coeffs) -> "ImproperHarmonicParams":
+    """Per-CENTER-TYPE improper table from an explicit improper list
+    (data file / molecule template `Impropers` section).
+
+    impropers: [(improper_type, i1, i2, i3, i4)] (i2 = center); atom_types:
+    {id: 0-based type}; coeffs: {improper_type: (K, chi0_deg)}.  Distinct
+    coefficient sets on one center type are refused loudly (same storage
+    rule as the angle table)."""
+    k = [0.0] * ntypes
+    x0 = [0.0] * ntypes
+    for itype, _i1, i2, _i3, _i4 in impropers:
+        ct = int(atom_types[int(i2)])
+        if int(itype) not in coeffs:
+            raise ValueError(f"no improper_coeff for improper type {itype}")
+        kk, chi = coeffs[int(itype)]
+        if k[ct] not in (0.0, float(kk)) or (k[ct] != 0.0
+                                             and x0[ct] != float(chi)):
+            raise ValueError(
+                f"center atom type {ct + 1} would carry two different "
+                "improper coefficient sets — unsupported by the "
+                "center-atom improper storage")
+        k[ct] = float(kk)
+        x0[ct] = float(chi)
+    return ImproperHarmonicParams(k=tuple(k), chi0=tuple(x0))
+
+
+@dataclasses.dataclass(frozen=True)
 class TemplateStacks:
     """Static numpy stacks of all insertion templates, padded to the
     largest natoms (multi-template molfrac machinery; pad rows are masked
@@ -303,8 +347,19 @@ class TemplateStacks:
     q: "np.ndarray"        # [T, m]
     rep: "np.ndarray"      # [T, m] rep_atom flags
     natoms: "np.ndarray"   # [T]
-    pidx: "np.ndarray"     # [T, m, 2] intra-template partner indices (-1)
+    pidx: "np.ndarray"     # [T, m, 4] intra-template partner indices (-1)
+    iidx: "np.ndarray"     # [T, m, 3] intra-template improper end indices
+                           #   (i1, i3, i4) stored on the center atom (-1)
     frac: "np.ndarray"     # [T] selection probabilities
+
+    @property
+    def branched(self) -> bool:
+        """Any template atom with >2 bond partners (bond3/4 columns live)."""
+        return bool((self.pidx[:, :, 2] >= 0).any())
+
+    @property
+    def has_impropers(self) -> bool:
+        return bool((self.iidx >= 0).any())
 
 
 def template_stacks(obmd) -> TemplateStacks:
@@ -317,7 +372,8 @@ def template_stacks(obmd) -> TemplateStacks:
     q = np.zeros((T, m))
     rep = np.zeros((T, m), np.int64)
     nat = np.zeros((T,), np.int64)
-    pidx = np.full((T, m, 2), -1, np.int64)
+    pidx = np.full((T, m, 4), -1, np.int64)
+    iidx = np.full((T, m, 3), -1, np.int64)
     for t, tpl in enumerate(tpls):
         mt = tpl.natoms
         nat[t] = mt
@@ -330,17 +386,29 @@ def template_stacks(obmd) -> TemplateStacks:
             rep[t, int(tpl.rep_atom) - 1] = 1
         for a, b in tpl.bonds:
             for me_, other in ((a, b), (b, a)):
-                if pidx[t, me_, 0] < 0:
-                    pidx[t, me_, 0] = other
-                elif pidx[t, me_, 1] < 0:
-                    pidx[t, me_, 1] = other
+                for s in range(4):
+                    if pidx[t, me_, s] < 0:
+                        pidx[t, me_, s] = other
+                        break
                 else:
-                    raise ValueError("template atom in >2 bonds")
+                    raise ValueError("template atom in >4 bonds")
+        for _it, i1, i2, i3, i4 in getattr(tpl, "impropers", ()):
+            prt = {int(p) for p in pidx[t, i2] if p >= 0}
+            for e in (i1, i3, i4):
+                if int(e) not in prt:
+                    raise ValueError(
+                        f"template improper ({i1},{i2},{i3},{i4}): center "
+                        f"{i2} is not bonded to {e} — only the "
+                        "out-of-plane convention is stored per-center")
+            if iidx[t, i2, 0] >= 0:
+                raise ValueError(
+                    f"template atom {i2} is the center of two impropers")
+            iidx[t, i2] = (i1, i3, i4)
     frac = (np.asarray(obmd.molfrac, np.float32)
             if obmd.molfrac is not None
             else np.full((T,), 1.0 / T, np.float32))
     return TemplateStacks(dx=dx, amask=am, types=ty, q=q, rep=rep,
-                          natoms=nat, pidx=pidx, frac=frac)
+                          natoms=nat, pidx=pidx, iidx=iidx, frac=frac)
 
 
 def derive_center_angle_table(ntypes: int, angles, atom_types, bonds,
@@ -354,8 +422,10 @@ def derive_center_angle_table(ntypes: int, angles, atom_types, bonds,
 
     Validates the storage scheme's assumptions loudly: each angle's arms
     must be bonds, a center type cannot carry two different coefficient
-    sets, and every 2-bond atom of a covered type must be a declared
-    center (otherwise it would spuriously bend)."""
+    sets, and every multi-bond atom of a covered type must declare ALL
+    partner-pair angles (the runtime bends every pair of a covered
+    center's partners — the star-polymer convention; a partial angle set
+    on one center would spuriously bend the undeclared pairs)."""
     bond_set = set()
     deg: dict = {}
     for i, j in bonds:
@@ -365,7 +435,7 @@ def derive_center_angle_table(ntypes: int, angles, atom_types, bonds,
         deg[int(j)] = deg.get(int(j), 0) + 1
     k = [0.0] * ntypes
     t0 = [0.0] * ntypes
-    centers = set()
+    centers: dict = {}
     for atype, a1, a2, a3 in angles:
         a1, a2, a3 = int(a1), int(a2), int(a3)
         if (a1, a2) not in bond_set or (a2, a3) not in bond_set:
@@ -384,14 +454,19 @@ def derive_center_angle_table(ntypes: int, angles, atom_types, bonds,
                 "center-atom angle storage")
         k[ct] = float(kk)
         t0[ct] = float(th)
-        centers.add(a2)
+        centers.setdefault(a2, set()).add(frozenset((a1, a3)))
     for a, d in deg.items():
-        if d == 2 and k[int(atom_types[a])] > 0 and a not in centers:
-            raise ValueError(
-                f"atom {a} has two bonds and a covered center type but "
-                "declares no angle — the center-atom storage would bend it")
-        if d > 2:
-            raise ValueError("chain topology required (<= 2 bonds/atom)")
+        if d > 4:
+            raise ValueError("topology limit: <= 4 bonds/atom")
+        if d >= 2 and k[int(atom_types[a])] > 0:
+            want = d * (d - 1) // 2
+            got = len(centers.get(a, ()))
+            if got != want:
+                raise ValueError(
+                    f"atom {a} has {d} bonds and a covered center type but "
+                    f"declares {got} of its {want} partner-pair angles — "
+                    "the center-atom storage bends EVERY pair of a covered "
+                    "center's partners, so all (or none) must be declared")
     return AngleHarmonicParams(k=tuple(k), theta0=tuple(t0))
 
 
@@ -498,6 +573,9 @@ class MolTemplate:
     angles: Tuple[Tuple[int, int, int, int], ...] = ()
     # declared dihedrals, (type, a1..a4) 0-based (molecule.cpp Dihedrals)
     dihedrals: Tuple[Tuple[int, int, int, int, int], ...] = ()
+    # declared impropers, (type, i1..i4) 0-based, i2 = center
+    # (molecule.cpp Impropers section)
+    impropers: Tuple[Tuple[int, int, int, int, int], ...] = ()
 
     @property
     def natoms(self) -> int:
@@ -521,7 +599,12 @@ class MolTemplate:
             dihedrals=tuple(
                 (int(t), int(a) - 1, int(b) - 1, int(c) - 1, int(e) - 1)
                 for t, a, b, c, e in (m.dihedrals
-                                      if m.dihedrals is not None else [])))
+                                      if m.dihedrals is not None else [])),
+            impropers=tuple(
+                (int(t), int(a) - 1, int(b) - 1, int(c) - 1, int(e) - 1)
+                for t, a, b, c, e in (getattr(m, "impropers", None)
+                                      if getattr(m, "impropers", None)
+                                      is not None else [])))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -733,6 +816,7 @@ class SceneConfig:
     bond: Optional["BondParams"] = None     # bond style (topology in State)
     angle: Optional[AngleHarmonicParams] = None
     dihedral: Optional[DihedralHarmonicParams] = None
+    improper: Optional[ImproperHarmonicParams] = None
     # fix rigid analogue: integrate every mol != 0 atom as a rigid body
     # (obmd_tpu.rigid; implied by fix obmd's `rigid` keyword)
     rigid: bool = False
@@ -758,6 +842,13 @@ class SceneConfig:
     # row-moves entirely (engine_cellpad.relayout_flags).
     per_atom_charge: Optional[bool] = None
     per_atom_mol: Optional[bool] = None
+    # Branched topology (>2 bonds/atom somewhere in the scene): sizes the
+    # pair kernel's bonded-exclusion channels and makes init_state allocate
+    # the bond3/bond4 (and impr, with `improper`) columns even when the
+    # initial atoms are chain-only (insertion templates may be branched).
+    # finalize() turns this on automatically from the OBMD templates; set
+    # it explicitly for branched data files.
+    branched_topology: bool = False
 
     @property
     def ntypes(self) -> int:
@@ -774,6 +865,11 @@ class SceneConfig:
             out = dataclasses.replace(out, obmd=obmd)
         if out.obmd is not None and out.obmd.rigid and not out.rigid:
             out = dataclasses.replace(out, rigid=True)
+        if (out.obmd is not None and out.obmd.mol is not None
+                and not out.branched_topology):
+            ts = template_stacks(out.obmd)
+            if ts.branched:
+                out = dataclasses.replace(out, branched_topology=True)
         if (out.obmd is not None and out.obmd.shake
                 and out.shake is None):
             out = dataclasses.replace(out, shake=shake_table_from_templates(

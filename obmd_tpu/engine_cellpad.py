@@ -74,7 +74,8 @@ def relayout_flags(cfg: SceneConfig) -> dict:
 
 def _make_kernel(cfg: SceneConfig, geom: PadGeometry):
     return make_pair_kernel(geom, params=cfg.pair, dt=cfg.dt,
-                            exclude_bonded=cfg.bond is not None)
+                            exclude_bonded=cfg.bond is not None,
+                            n_excl=4 if cfg.branched_topology else 2)
 
 
 def _n_channels(cfg: SceneConfig) -> int:
@@ -108,37 +109,52 @@ def _forces(cfg, geom, kern, state: State):
     pbond = None
     if cfg.bond is not None:
         # the kernel excludes 1-2 pairs by comparing j TAGS; partner slots
-        # resolve to tags with one gather each
+        # resolve to tags with one gather each (2 channels for chains, 4
+        # for branched topologies — matches _make_kernel's n_excl)
         n = state.capacity
         def ptag(bond):
             t = state.tag[jnp.clip(bond, 0, n - 1)]
             return jnp.where(bond >= 0, t, -2)
-        pbond = jnp.stack([ptag(state.bond1).reshape(nb, cap, lanes),
-                           ptag(state.bond2).reshape(nb, cap, lanes)], axis=1)
+        pbond = jnp.stack([ptag(b).reshape(nb, cap, lanes)
+                           for b in state.bond_partners], axis=1)
     with jax.named_scope("pair"):
         fpad = kern(fld, tag, salt, occ, pbond)      # [nb, 3, cap, lanes]
     f = fpad.transpose(0, 2, 3, 1).reshape(-1, 3).astype(state.x.dtype)
     if cfg.obmd is not None:
         with jax.named_scope("obmd_post_force"):
             f = _boundary_force_sliced(cfg, geom, state, f)
+    more = state.bond_partners[2:]
     if cfg.bond is not None:
         from .forces.bonded import bond_forces
         with jax.named_scope("bond"):
             fb, _ = bond_forces(cfg.bond, cfg.box, state.x, state.bond1,
-                                state.bond2, state.alive)
+                                state.bond2, state.alive,
+                                more_partners=more)
             f = f + fb
     if cfg.angle is not None:
         from .forces.bonded import angle_forces
         with jax.named_scope("angle"):
             fa, _ = angle_forces(cfg.angle, cfg.box, state.x, state.bond1,
-                                 state.bond2, state.type, state.alive)
+                                 state.bond2, state.type, state.alive,
+                                 more_partners=more)
             f = f + fa
     if cfg.dihedral is not None:
         from .forces.bonded import dihedral_forces
+        if more:
+            raise NotImplementedError(
+                "dihedrals on branched topologies (>2 bonds/atom) are not "
+                "supported by the center-bond dihedral storage")
         with jax.named_scope("dihedral"):
             fd, _ = dihedral_forces(cfg.dihedral, cfg.box, state.x,
                                     state.bond1, state.bond2, state.alive)
             f = f + fd
+    if cfg.improper is not None and state.impr is not None:
+        from .forces.bonded import improper_forces
+        with jax.named_scope("improper"):
+            fi, _ = improper_forces(cfg.improper, cfg.box, state.x,
+                                    state.bond_partners, state.impr,
+                                    state.type, state.alive)
+            f = f + fi
     if cfg.langevin is not None:
         from .forces.bonded import langevin_force
         f = f + langevin_force(cfg.langevin, cfg, state)
@@ -277,6 +293,7 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     rep_s = jnp.asarray(ts.rep, jnp.int32)
     nat_s = jnp.asarray(ts.natoms, jnp.int32)
     pidx_s = jnp.asarray(ts.pidx, jnp.int32)
+    iidx_s = jnp.asarray(ts.iidx, jnp.int32)
 
     key = rng.fold_key(state.key, state.step)
     kl, kr_, knext = jax.random.split(key, 3)
@@ -394,6 +411,13 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
 
     p1_slot = pslot(p1_idx)
     p2_slot = pslot(p2_idx)
+    if state.bond3 is not None:
+        p3_slot = pslot(pidx_s[tsel][:, :, 2].reshape(km * m))
+        p4_slot = pslot(pidx_s[tsel][:, :, 3].reshape(km * m))
+    if state.impr is not None:
+        impr_slots = jnp.stack(
+            [pslot(iidx_s[tsel][:, :, c].reshape(km * m))
+             for c in range(3)], axis=1)                    # [km*m, 3]
 
     types_flat = ty_s[tsel].reshape(km * m)
     q_flat = q_s[tsel].reshape(km * m)
@@ -431,6 +455,12 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     vcm0 = scatter_rows(state.vcms_mol, slot, jnp.zeros((km * m, 3), dtype))
     nb1 = state.bond1.at[slot].set(p1_slot, mode="drop")
     nb2 = state.bond2.at[slot].set(p2_slot, mode="drop")
+    extra_cols = {}
+    if state.bond3 is not None:
+        extra_cols["bond3"] = state.bond3.at[slot].set(p3_slot, mode="drop")
+        extra_cols["bond4"] = state.bond4.at[slot].set(p4_slot, mode="drop")
+    if state.impr is not None:
+        extra_cols["impr"] = scatter_rows(state.impr, slot, impr_slots)
     aliv = state.alive.at[slot].set(True, mode="drop")
 
     aux: PadAux = state.nbrs
@@ -442,7 +472,7 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     return state.replace(
         x=x, v=v, f=f, type=typ, tag=tag, q=qn, mol=moln, alive=aliv,
         lambdaF=lam, cms_mol=cms0, vcms_mol=vcm0, rep_atom=rep,
-        bond1=nb1, bond2=nb2, nbrs=aux,
+        bond1=nb1, bond2=nb2, **extra_cols, nbrs=aux,
         maxtag=base + n_atoms_placed, key=knext,
         obmd=state.obmd.replace(
             ninserted=state.obmd.ninserted + n_atoms_placed,
@@ -591,6 +621,14 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
             jnp.full((m,), -1, jnp.int32), mode="drop")
         upd["bond2"] = state.bond2.at[slot].set(
             jnp.full((m,), -1, jnp.int32), mode="drop")
+        if state.bond3 is not None:
+            upd["bond3"] = state.bond3.at[slot].set(
+                jnp.full((m,), -1, jnp.int32), mode="drop")
+            upd["bond4"] = state.bond4.at[slot].set(
+                jnp.full((m,), -1, jnp.int32), mode="drop")
+        if state.impr is not None:
+            upd["impr"] = state.impr.at[slot].set(
+                jnp.full((m, 3), -1, jnp.int32), mode="drop")
     upd["alive"] = state.alive.at[slot].set(True, mode="drop")
 
     aux: PadAux = state.nbrs
@@ -730,7 +768,8 @@ def make_step_cellpad(cfg: SceneConfig):
             from .shake import shake_positions
             x, v = shake_positions(cfg, state.x, x, v, state.type,
                                    state.bond1, state.bond2, state.alive,
-                                   1.0 / m[:, 0])
+                                   1.0 / m[:, 0],
+                                   more_partners=state.bond_partners[2:])
         state = state.replace(x=x, v=v)
 
         if cfg.obmd is not None:
@@ -755,7 +794,8 @@ def make_step_cellpad(cfg: SceneConfig):
         if cfg.shake is not None:
             from .shake import rattle_velocities
             v = rattle_velocities(cfg, state.x, v, state.type, state.bond1,
-                                  state.bond2, state.alive, 1.0 / m[:, 0])
+                                  state.bond2, state.alive, 1.0 / m[:, 0],
+                                  more_partners=state.bond_partners[2:])
         state = state.replace(v=v, f=f, step=state.step + 1)
         if cfg.obmd is not None and cfg.obmd.mol is not None:
             from .adress import update_mol_com
@@ -789,7 +829,8 @@ def _plain_step(cfg, geom, kern, state: State, with_stage: bool = True,
     if cfg.shake is not None:
         from .shake import shake_positions
         x, v = shake_positions(cfg, state.x, x, v, state.type, state.bond1,
-                               state.bond2, state.alive, 1.0 / m[:, 0])
+                               state.bond2, state.alive, 1.0 / m[:, 0],
+                               more_partners=state.bond_partners[2:])
     state = state.replace(x=x, v=v)
     if relayout:
         skin = float(cfg.skin)
@@ -808,7 +849,8 @@ def _plain_step(cfg, geom, kern, state: State, with_stage: bool = True,
     if cfg.shake is not None:
         from .shake import rattle_velocities
         v = rattle_velocities(cfg, state.x, v, state.type, state.bond1,
-                              state.bond2, state.alive, 1.0 / m[:, 0])
+                              state.bond2, state.alive, 1.0 / m[:, 0],
+                              more_partners=state.bond_partners[2:])
     state = state.replace(v=v, f=f, step=state.step + 1)
     if cfg.obmd is not None and cfg.obmd.mol is not None:
         from .adress import update_mol_com

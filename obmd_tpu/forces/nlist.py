@@ -21,7 +21,7 @@ from .pairs import PairFields, make_pair_law
 
 def nlist_sweep(params: PairParams, box: Box, nlist, x, v, types, tag, q,
                 alive, salt, *, dt: float,
-                bond1=None, bond2=None,
+                bond1=None, bond2=None, more_bonds=(),
                 compute_energy: bool = False,
                 compute_virial: bool = False,
                 compute_virial_atom: bool = False) -> PairFields:
@@ -76,6 +76,8 @@ def nlist_sweep(params: PairParams, box: Box, nlist, x, v, types, tag, q,
         # bond1/bond2 hold partner SLOTS; list entries are slots too, so
         # the comparison needs no tag resolution.
         valid = valid & (idx != bond1[:, None]) & (idx != bond2[:, None])
+        for mb in more_bonds:
+            valid = valid & (idx != mb[:, None])
 
     kwargs = {}
     if charged:

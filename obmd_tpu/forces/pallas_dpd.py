@@ -129,7 +129,8 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                      gamma: float = 0.0, sigma: float = 0.0, cut: float = 1.0,
                      dt: float = 0.01, law: str = "dpd",
                      lj_eps: float = 1.0, lj_sig: float = 1.0,
-                     exclude_bonded: bool = False, params=None):
+                     exclude_bonded: bool = False, n_excl: int = 2,
+                     params=None):
     """Newton half-stencil pair kernel — each unordered pair computed ONCE
     (the counterpart of the reference's newton-on half list,
     npair_half_bin_newton.cpp + reverse_comm, comm_brick.cpp:598).
@@ -151,7 +152,9 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
       fld f32 [nb, NF, cap, lanes] with channels x,y,z,vx,vy,vz[,q][,type]
       (q present for lj/cut/rf, a float type channel for ntypes > 1),
       tag i32 [nb, cap, lanes], salt u32[1], occ i32 [nb],
-      optional pbond i32 [nb, 2, cap, lanes] -> f [nb, 3, cap, lanes].
+      optional pbond i32 [nb, n_excl, cap, lanes] -> f [nb, 3, cap, lanes]
+      (n_excl = 2 partner-tag exclusion channels for chains, 4 for
+      branched topologies).
 
     When `params` (a config PairParams) is given, the law, per-type-pair
     coefficient tables, charge handling, and channel count derive from it
@@ -323,9 +326,8 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
             rsq = dx * dx + dyy * dyy + dzz * dzz
             ok = ok & (rsq > eps * eps)
             if exclude_bonded:
-                p1 = pb_ref[0, 0, si][None, :]
-                p2 = pb_ref[0, 1, si][None, :]
-                ok = ok & (tj != p1) & (tj != p2)
+                for pch in range(n_excl):
+                    ok = ok & (tj != pb_ref[0, pch, si][None, :])
             if multi:
                 tif = jnp.broadcast_to(mid_f[0, CH_T, si][None, :],
                                        (cap, lanes))
@@ -524,7 +526,7 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
     if exclude_bonded:
         def imb(i, *_):
             return (i, 0, 0, 0)
-        in_specs.append(pl.BlockSpec((1, 2, cap, lanes), imb))
+        in_specs.append(pl.BlockSpec((1, n_excl, cap, lanes), imb))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),

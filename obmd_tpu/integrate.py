@@ -58,21 +58,33 @@ def _extra_forces(cfg: SceneConfig, state: State, f):
     hooks, mirroring the reference's Modify::post_force ordering)."""
     if cfg.obmd is not None:
         f = apply_boundary_force(cfg, state, f)
+    more = state.bond_partners[2:]
     if cfg.bond is not None:
         from .forces.bonded import bond_forces
         fb, _ = bond_forces(cfg.bond, cfg.box, state.x, state.bond1,
-                            state.bond2, state.alive)
+                            state.bond2, state.alive, more_partners=more)
         f = f + fb
     if cfg.angle is not None:
         from .forces.bonded import angle_forces
         fa, _ = angle_forces(cfg.angle, cfg.box, state.x, state.bond1,
-                             state.bond2, state.type, state.alive)
+                             state.bond2, state.type, state.alive,
+                             more_partners=more)
         f = f + fa
     if cfg.dihedral is not None:
         from .forces.bonded import dihedral_forces
+        if more:
+            raise NotImplementedError(
+                "dihedrals on branched topologies (>2 bonds/atom) are not "
+                "supported by the center-bond dihedral storage")
         fd, _ = dihedral_forces(cfg.dihedral, cfg.box, state.x,
                                 state.bond1, state.bond2, state.alive)
         f = f + fd
+    if cfg.improper is not None and state.impr is not None:
+        from .forces.bonded import improper_forces
+        fi, _ = improper_forces(cfg.improper, cfg.box, state.x,
+                                state.bond_partners, state.impr,
+                                state.type, state.alive)
+        f = f + fi
     if cfg.langevin is not None:
         from .forces.bonded import langevin_force
         f = f + langevin_force(cfg.langevin, cfg, state)
@@ -120,7 +132,9 @@ def setup(cfg: SceneConfig, state: State) -> State:
                              state.type, state.tag, state.q, state.alive,
                              _salt(cfg, state.step), dt=cfg.dt,
                              bond1=state.bond1 if cfg.bond else None,
-                             bond2=state.bond2 if cfg.bond else None)
+                             bond2=state.bond2 if cfg.bond else None,
+                             more_bonds=(state.bond_partners[2:]
+                                         if cfg.bond else ()))
             f = pf.f
             f = _extra_forces(cfg, state, f)
         else:
@@ -288,7 +302,8 @@ def make_step(cfg: SceneConfig):
             from .shake import shake_positions
             x, v = shake_positions(cfg, state.x, x, v, state.type,
                                    state.bond1, state.bond2, state.alive,
-                                   1.0 / m[:, 0])
+                                   1.0 / m[:, 0],
+                                   more_partners=state.bond_partners[2:])
         state = state.replace(x=x, v=v)
 
         # OBMD stage every nfreq steps (ref fix_obmd_merged.cpp:279-281,632)
@@ -314,7 +329,9 @@ def make_step(cfg: SceneConfig):
                              state.v, state.type, state.tag, state.q,
                              state.alive, _salt(cfg, state.step), dt=dt,
                              bond1=state.bond1 if cfg.bond else None,
-                             bond2=state.bond2 if cfg.bond else None)
+                             bond2=state.bond2 if cfg.bond else None,
+                             more_bonds=(state.bond_partners[2:]
+                                         if cfg.bond else ()))
             f = pf.f
             f = _extra_forces(cfg, state, f)
         else:
@@ -334,7 +351,8 @@ def make_step(cfg: SceneConfig):
         if cfg.shake is not None:
             from .shake import rattle_velocities
             v = rattle_velocities(cfg, state.x, v, state.type, state.bond1,
-                                  state.bond2, state.alive, 1.0 / m[:, 0])
+                                  state.bond2, state.alive, 1.0 / m[:, 0],
+                                  more_partners=state.bond_partners[2:])
 
         return state.replace(v=v, f=f, step=state.step + 1)
 

@@ -35,6 +35,8 @@ class DataFile:
     bonds: Optional[np.ndarray] = None  # [nb, 2] atom-tag pairs
     angles: Optional[np.ndarray] = None  # [na, 4] (type, a1, a2, a3) tags
     dihedrals: Optional[np.ndarray] = None  # [nd, 5] (type, a1..a4) tags
+    impropers: Optional[np.ndarray] = None  # [ni, 5] (type, i1..i4) tags,
+    #   i2 = center (improper_harmonic.cpp quadruple order)
 
     def box(self, periodic=(False, True, True)) -> Box:
         return Box(tuple(float(v) for v in self.box_lo),
@@ -108,6 +110,7 @@ def _read_data_py(path: str, atom_style: str = "atomic") -> DataFile:
     bonds = None
     angles = None
     dihedrals = None
+    impropers = None
     types = np.zeros(natoms, np.int32)
     tags = np.zeros(natoms, np.int32)
 
@@ -188,6 +191,14 @@ def _read_data_py(path: str, atom_style: str = "atomic") -> DataFile:
                 dlist.append(tuple(int(v) for v in t[1:6]))
                 i += 1
             dihedrals = np.asarray(dlist, dtype=np.int64)
+        elif header == "Impropers":
+            i = _skip_blank(lines, i)
+            ilist = []
+            while i < n and _tokens(lines[i]):
+                t = _tokens(lines[i])
+                ilist.append(tuple(int(v) for v in t[1:6]))
+                i += 1
+            impropers = np.asarray(ilist, dtype=np.int64)
         elif header == "Velocities":
             i = _skip_blank(lines, i)
             v = np.zeros((natoms, 3))
@@ -205,7 +216,7 @@ def _read_data_py(path: str, atom_style: str = "atomic") -> DataFile:
     return DataFile(natoms=natoms, ntypes=ntypes, box_lo=lo, box_hi=hi,
                     masses=masses, x=x, types=types, tags=tags, v=v, q=q,
                     mol=mol, bonds=bonds, angles=angles,
-                    dihedrals=dihedrals)
+                    dihedrals=dihedrals, impropers=impropers)
 
 
 def _skip_blank(lines, i):
@@ -226,6 +237,9 @@ def write_data(path: str, df: DataFile, atom_style: str = "atomic"):
         if df.dihedrals is not None and len(df.dihedrals):
             ndt = int(max(int(r[0]) for r in df.dihedrals))
             fh.write(f"{len(df.dihedrals)} dihedrals\n{ndt} dihedral types\n")
+        if df.impropers is not None and len(df.impropers):
+            nit = int(max(int(r[0]) for r in df.impropers))
+            fh.write(f"{len(df.impropers)} impropers\n{nit} improper types\n")
         fh.write("\n")
         fh.write(f"{df.box_lo[0]} {df.box_hi[0]} xlo xhi\n")
         fh.write(f"{df.box_lo[1]} {df.box_hi[1]} ylo yhi\n")
@@ -263,4 +277,8 @@ def write_data(path: str, df: DataFile, atom_style: str = "atomic"):
         if df.dihedrals is not None and len(df.dihedrals):
             fh.write("\nDihedrals\n\n")
             for i, r in enumerate(df.dihedrals):
+                fh.write(f"{i + 1} {int(r[0])} {int(r[1])} {int(r[2])} {int(r[3])} {int(r[4])}\n")
+        if df.impropers is not None and len(df.impropers):
+            fh.write("\nImpropers\n\n")
+            for i, r in enumerate(df.impropers):
                 fh.write(f"{i + 1} {int(r[0])} {int(r[1])} {int(r[2])} {int(r[3])} {int(r[4])}\n")

@@ -26,6 +26,8 @@ class MoleculeTemplate:
     bonds: Optional[np.ndarray] = None    # [nb, 3] (type, a1, a2) 1-based ids
     angles: Optional[np.ndarray] = None   # [na, 4]
     dihedrals: Optional[np.ndarray] = None  # [nd, 5] (type, a1..a4)
+    impropers: Optional[np.ndarray] = None  # [ni, 5] (type, i1..i4), i2 =
+    #   center (improper_harmonic.cpp quadruple order)
     rep_atom: Optional[int] = None        # fork's representative atom (1-based)
 
     @property
@@ -47,7 +49,7 @@ def _clean(line: str) -> str:
 def read_molecule(path: str) -> MoleculeTemplate:
     lines = open(path).read().splitlines()
     natoms = 0
-    nbonds = nangles = ndihedrals = 0
+    nbonds = nangles = ndihedrals = nimpropers = 0
     i = 1  # skip title
     n = len(lines)
     # header
@@ -65,8 +67,10 @@ def read_molecule(path: str) -> MoleculeTemplate:
             nangles = int(t[0])
         elif s.endswith("dihedrals"):
             ndihedrals = int(t[0])
+        elif s.endswith("impropers"):
+            nimpropers = int(t[0])
         elif t[0] in ("Coords", "Types", "Charges", "Masses", "Bonds",
-                      "Angles", "Dihedrals", "Special"):
+                      "Angles", "Dihedrals", "Impropers", "Special"):
             break
         i += 1
 
@@ -77,6 +81,7 @@ def read_molecule(path: str) -> MoleculeTemplate:
     bonds = None
     angles = None
     dihedrals = None
+    impropers = None
 
     def read_rows(count, width):
         nonlocal i
@@ -117,10 +122,13 @@ def read_molecule(path: str) -> MoleculeTemplate:
         elif header == "Dihedrals":
             r = read_rows(ndihedrals, 6)
             dihedrals = r[:, 1:6].astype(np.int32)
+        elif header == "Impropers":
+            r = read_rows(nimpropers, 6)
+            impropers = r[:, 1:6].astype(np.int32)
         else:
             while i < n and _clean(lines[i]):
                 i += 1
 
     return MoleculeTemplate(natoms=natoms, x=x, types=types, q=q,
                             masses=masses, bonds=bonds, angles=angles,
-                            dihedrals=dihedrals)
+                            dihedrals=dihedrals, impropers=impropers)

@@ -50,12 +50,14 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.obmdio_box.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                ctypes.c_void_p]
     lib.obmdio_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 7
-    for name in ("obmdio_nbonds", "obmdio_nangles", "obmdio_ndihedrals"):
+    for name in ("obmdio_nbonds", "obmdio_nangles", "obmdio_ndihedrals",
+                 "obmdio_nimpropers"):
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int64
         fn.argtypes = [ctypes.c_void_p]
     lib.obmdio_fill_topology.argtypes = [ctypes.c_void_p] \
         + [ctypes.c_void_p] * 3
+    lib.obmdio_fill_impropers.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.obmdio_free.argtypes = [ctypes.c_void_p]
     lib.obmdio_write_dump_custom.restype = ctypes.c_int
     lib.obmdio_write_dump_custom.argtypes = [
@@ -105,21 +107,26 @@ def read_data_native(path: str, atom_style: str = "atomic"):
         nb = int(lib.obmdio_nbonds(h))
         na = int(lib.obmdio_nangles(h))
         nd = int(lib.obmdio_ndihedrals(h))
+        ni = int(lib.obmdio_nimpropers(h))
         bonds = np.zeros((nb, 2), np.int64) if nb else None
         angles = np.zeros((na, 4), np.int64) if na else None
         dihedrals = np.zeros((nd, 5), np.int64) if nd else None
+        impropers = np.zeros((ni, 5), np.int64) if ni else None
         if nb or na or nd:
             lib.obmdio_fill_topology(
                 h, bonds.ctypes.data if nb else None,
                 angles.ctypes.data if na else None,
                 dihedrals.ctypes.data if nd else None)
+        if ni:
+            lib.obmdio_fill_impropers(h, impropers.ctypes.data)
         return lammps_data.DataFile(
             natoms=int(n), ntypes=int(ntypes), box_lo=lo, box_hi=hi,
             masses=masses, x=x, types=typ, tags=tag,
             v=v if lib.obmdio_has_v(h) else None,
             q=q if lib.obmdio_has_q(h) else None,
             mol=mol if lib.obmdio_has_mol(h) else None,
-            bonds=bonds, angles=angles, dihedrals=dihedrals)
+            bonds=bonds, angles=angles, dihedrals=dihedrals,
+            impropers=impropers)
     finally:
         lib.obmdio_free(h)
 

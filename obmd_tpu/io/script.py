@@ -84,6 +84,8 @@ class Interpreter:
         self.angle_coeffs: Dict[int, tuple] = {}
         self.dihedral_style: Optional[str] = None
         self.dihedral_coeffs: Dict[int, tuple] = {}
+        self.improper_style: Optional[str] = None
+        self.improper_coeffs: Dict[int, tuple] = {}
         self.thermo_every = 0
         self.thermo_cols = ["step", "temp"]
         self.dumps: List[tuple] = []
@@ -557,6 +559,18 @@ class Interpreter:
         t = 1 if a[0] == "*" else int(a[0])
         self.dihedral_coeffs[t] = (float(a[1]), int(a[2]), int(a[3]))
 
+    def cmd_improper_style(self, a):
+        if a[0] != "harmonic":
+            raise ScriptError(
+                f"improper style {a[0]} unsupported (harmonic)")
+        self.improper_style = a[0]
+
+    def cmd_improper_coeff(self, a):
+        if self.improper_style is None:
+            raise ScriptError("improper_coeff before improper_style")
+        t = 1 if a[0] == "*" else int(a[0])
+        self.improper_coeffs[t] = (float(a[1]), float(a[2]))
+
     def cmd_special_bonds(self, a):
         # the engines implement `special_bonds 0 1 1` semantics (1-2
         # excluded in-kernel); accept the matching spellings only
@@ -716,12 +730,12 @@ class Interpreter:
         alive = np.asarray(st.alive)
         # bond topology: slot partner columns -> unordered tag pairs
         bonds = None
-        b1 = np.asarray(st.bond1)
-        b2 = np.asarray(st.bond2)
+        bcols = [np.asarray(c) for c in st.bond_partners]
         tags_full = np.asarray(st.tag)
         pairs = set()
         for i in np.nonzero(alive)[0]:
-            for p in (b1[i], b2[i]):
+            for col in bcols:
+                p = col[i]
                 if p >= 0 and alive[p]:
                     t1, t2 = int(tags_full[i]), int(tags_full[p])
                     pairs.add((min(t1, t2), max(t1, t2)))
@@ -997,6 +1011,44 @@ class Interpreter:
                 t0[t] = tab.theta0[t]
         return AngleHarmonicParams(k=tuple(k), theta0=tuple(t0))
 
+    def _build_improper(self, ntypes: int, obmd=None):
+        if self.improper_style is None:
+            return None
+        if not self.improper_coeffs:
+            raise ScriptError("improper_style given but no improper_coeff")
+        from ..config import (ImproperHarmonicParams,
+                              derive_center_improper_table)
+        tables = []
+        d = self.data
+        if d is not None and getattr(d, "impropers", None) is not None:
+            atom_types = {int(t): int(ty)
+                          for t, ty in zip(d.tags, d.types)}
+            tables.append(derive_center_improper_table(
+                ntypes, [tuple(r) for r in d.impropers], atom_types,
+                dict(self.improper_coeffs)))
+        mol = getattr(obmd, "mol", None)
+        if mol is not None and getattr(mol, "impropers", ()):
+            atom_types = {i: int(t) for i, t in enumerate(mol.types)}
+            tables.append(derive_center_improper_table(
+                ntypes, list(mol.impropers), atom_types,
+                dict(self.improper_coeffs)))
+        if not tables:
+            return None
+        k = [0.0] * ntypes
+        x0 = [0.0] * ntypes
+        for tab in tables:
+            for t in range(ntypes):
+                if tab.k[t] == 0.0:
+                    continue
+                if k[t] not in (0.0, tab.k[t]) or (k[t] != 0.0
+                                                   and x0[t] != tab.chi0[t]):
+                    raise ScriptError(
+                        f"conflicting improper coefficients for center "
+                        f"atom type {t + 1} between data file and template")
+                k[t] = tab.k[t]
+                x0[t] = tab.chi0[t]
+        return ImproperHarmonicParams(k=tuple(k), chi0=tuple(x0))
+
     def _build_dihedral(self, obmd=None):
         if self.dihedral_style is None:
             return None
@@ -1267,6 +1319,10 @@ class Interpreter:
         bond = self._build_bond()
         angle = self._build_angle(ntypes, obmd)
         dihedral = self._build_dihedral(obmd)
+        improper = self._build_improper(ntypes, obmd)
+        branched = bool(
+            self.data.bonds is not None and len(self.data.bonds)
+            and np.bincount(np.asarray(self.data.bonds).ravel()).max() > 2)
         n = self.data.natoms
         n_max = self.n_max or (int(n * 1.3) if obmd is not None else n)
         # Verlet row capacity from the density (the default 48 silently
@@ -1293,6 +1349,7 @@ class Interpreter:
             capacity=Capacity(n_max=n_max, cell_capacity=cell_cap,
                               max_neighbors=max_neigh),
             obmd=obmd, bond=bond, angle=angle, dihedral=dihedral,
+            improper=improper, branched_topology=branched,
             langevin=self.langevin,
             skin=max(self.skin, 0.0)).finalize()
         # pick the fastest engine this scene supports
@@ -1329,7 +1386,9 @@ class Interpreter:
                                 types=self.data.types, tags=self.data.tags,
                                 q=self.data.q, mol=self.data.mol,
                                 bonds=self.data.bonds
-                                if self.bond_style is not None else None)
+                                if self.bond_style is not None else None,
+                                impropers=getattr(self.data, "impropers",
+                                                  None))
         from ..integrate import setup
         self.state = setup(self.cfg, self.state)
 
@@ -1428,7 +1487,9 @@ class Interpreter:
             "ebond": lambda: float(th.ebond),
             "eangle": lambda: float(th.eangle),
             "edihed": lambda: float(th.edihed),
-            "emol": lambda: float(th.ebond + th.eangle + th.edihed),
+            "eimp": lambda: float(th.eimp),
+            "emol": lambda: float(th.ebond + th.eangle + th.edihed
+                                  + th.eimp),
             "press": lambda: float(th.pressure),
             "pxx": lambda: float(th.press_tensor[0]),
             "pyy": lambda: float(th.press_tensor[1]),

@@ -60,7 +60,7 @@ def delete_outside(cfg: SceneConfig, state: State):
         n = state.capacity
         rounds = max(cfg.obmd.mol_natoms_max - 1, 1)
         for _ in range(rounds):
-            for partner in (state.bond1, state.bond2):
+            for partner in state.bond_partners:
                 ps = jnp.clip(partner, 0, n - 1)
                 pd = (partner >= 0) & doomed[ps]
                 doomed = doomed | (state.alive & pd)

@@ -38,6 +38,7 @@ class Thermo(NamedTuple):
     ebond: jnp.ndarray = jnp.zeros(())
     eangle: jnp.ndarray = jnp.zeros(())
     edihed: jnp.ndarray = jnp.zeros(())
+    eimp: jnp.ndarray = jnp.zeros(())
     fmax: jnp.ndarray = jnp.zeros(())
     fnorm: jnp.ndarray = jnp.zeros(())
 
@@ -81,17 +82,19 @@ def make_thermo_fn(cfg: SceneConfig):
         press_tensor = (mvv + w) / vol
         epair = jnp.sum(jnp.where(alive, pf.pe, 0.0))
         zero = jnp.zeros((), state.dtype)
-        ebond = eangle = edihed = zero
+        ebond = eangle = edihed = eimp = zero
+        more = state.bond_partners[2:]
         if cfg.bond is not None:
             from .forces.bonded import bond_forces
             _, eb = bond_forces(cfg.bond, cfg.box, state.x, state.bond1,
-                                state.bond2, alive, compute_energy=True)
+                                state.bond2, alive, compute_energy=True,
+                                more_partners=more)
             ebond = jnp.sum(jnp.where(alive, eb, 0.0))
         if cfg.angle is not None:
             from .forces.bonded import angle_forces
             _, ea = angle_forces(cfg.angle, cfg.box, state.x, state.bond1,
                                  state.bond2, state.type, alive,
-                                 compute_energy=True)
+                                 compute_energy=True, more_partners=more)
             eangle = jnp.sum(jnp.where(alive, ea, 0.0))
         if cfg.dihedral is not None:
             from .forces.bonded import dihedral_forces
@@ -99,13 +102,19 @@ def make_thermo_fn(cfg: SceneConfig):
                                     state.bond1, state.bond2, alive,
                                     compute_energy=True)
             edihed = jnp.sum(jnp.where(alive, ed, 0.0))
+        if cfg.improper is not None and state.impr is not None:
+            from .forces.bonded import improper_forces
+            _, ei = improper_forces(cfg.improper, cfg.box, state.x,
+                                    state.bond_partners, state.impr,
+                                    state.type, alive, compute_energy=True)
+            eimp = jnp.sum(jnp.where(alive, ei, 0.0))
         fa = jnp.where(alive[:, None], state.f, 0.0)
         return Thermo(step=state.step, natoms=state.natoms,
                       temp=temperature(cfg, state),
-                      pe=epair + ebond + eangle + edihed,
+                      pe=epair + ebond + eangle + edihed + eimp,
                       ke=0.5 * jnp.sum(mv2), pressure=pressure, pxx=pxx,
                       press_tensor=press_tensor, epair=epair, ebond=ebond,
-                      eangle=eangle, edihed=edihed,
+                      eangle=eangle, edihed=edihed, eimp=eimp,
                       fmax=jnp.max(jnp.abs(fa)),
                       fnorm=jnp.sqrt(jnp.sum(fa * fa)))
 

@@ -260,11 +260,19 @@ def _pre_exchange_spmd(cfg: SceneConfig, spec: GridSpec, state: State,
     nb2 = state.bond2.at[slot].set(jnp.full((2 * K,), -1, jnp.int32),
                                    mode="drop")
     alive = state.alive.at[slot].set(True, mode="drop")
+    extra_cols = {}
+    if state.bond3 is not None:
+        none_col = jnp.full((2 * K,), -1, jnp.int32)
+        extra_cols["bond3"] = state.bond3.at[slot].set(none_col, mode="drop")
+        extra_cols["bond4"] = state.bond4.at[slot].set(none_col, mode="drop")
+    if state.impr is not None:
+        extra_cols["impr"] = state.impr.at[slot].set(
+            jnp.full((2 * K, 3), -1, jnp.int32), mode="drop")
 
     want = jnp.clip(nins_l, 0) + jnp.clip(nins_r, 0)
     state = state.replace(
         x=x, v=v, f=f, type=typ, tag=tag, q=qn, alive=alive,
-        bond1=nb1, bond2=nb2,
+        bond1=nb1, bond2=nb2, **extra_cols,
         maxtag=state.maxtag + n_acc_total, key=knext,
         obmd=state.obmd.replace(
             ninserted=state.obmd.ninserted + n_acc_total,

@@ -119,6 +119,11 @@ def make_slab_geom(cfg: SceneConfig, ndev: int, *, n_loc: int = 0,
         raise NotImplementedError(
             "slab path: SHAKE constraints not wired (the position solve "
             "needs a pre- AND post-drift halo; use rigid or bond_style)")
+    if cfg.branched_topology or cfg.improper is not None:
+        raise NotImplementedError(
+            "slab path: branched topologies / impropers not wired (the "
+            "tag-resolved local bond columns and the in-sweep bonded "
+            "evaluation assume chain storage); run single-chip")
     # Bonded interactions widen the halo beyond the pair cutoff: every
     # atom computes its OWN share of each bonded term from gathered
     # positions (no reverse-comm analogue), so an angle's end role reaches

@@ -63,10 +63,12 @@ def _shift(msg, s):
     return jnp.concatenate([W, S2, P, J2, Q22, T2], axis=1)
 
 
-def body_moments(box, x, v, mass, bond1, bond2, member, rounds: int):
+def body_moments(box, x, v, mass, bond1, bond2, member, rounds: int,
+                 more_partners=()):
     """Per-atom body moments in each atom's own frame, from raw arrays
-    (bond1/bond2 are partner ROW indices, -1 = none — the slab path
-    resolves its tag-keyed columns to local rows first).  Returns
+    (bond1/bond2 [+ more_partners for branched topologies] are partner ROW
+    indices, -1 = none — the slab path resolves its tag-keyed columns to
+    local rows first).  Returns
     (M [N,1], rbar [N,3] = COM - x_me, V [N,3], L [N,3] about the COM,
     I [N,6] about the COM)."""
     n = x.shape[0]
@@ -76,26 +78,27 @@ def body_moments(box, x, v, mass, bond1, bond2, member, rounds: int):
     A = jnp.concatenate([m[:, None], zeros3, mv, zeros3,
                          jnp.zeros((n, 7), x.dtype)], axis=1)   # [N,17]
 
-    p1 = jnp.where(member, bond1, -1)
-    p2 = jnp.where(member, bond2, -1)
+    cols = (bond1, bond2) + tuple(more_partners)
+    K = len(cols)
+    ps_all = tuple(jnp.where(member, c, -1) for c in cols)
     me = jnp.arange(n, dtype=jnp.int32)
 
-    def incoming(msg1, msg2, p):
+    def incoming(msgs, p):
         ps = jnp.clip(p, 0, n - 1)
-        toward_me_is_1 = (bond1[ps] == me)[:, None]
-        from_p = jnp.where(toward_me_is_1, msg1[ps], msg2[ps])
+        from_p = jnp.zeros_like(A)
+        for k in range(K):
+            toward_me = (cols[k][ps] == me)[:, None]
+            from_p = jnp.where(toward_me, msgs[k][ps], from_p)
         s = box.min_image(jnp.where((p >= 0)[:, None], x[ps] - x, 0.0))
         out = _shift(from_p, s)
         return jnp.where((p >= 0)[:, None], out, 0.0)
 
-    msg1 = jnp.zeros_like(A)
-    msg2 = jnp.zeros_like(A)
+    msgs = [jnp.zeros_like(A) for _ in range(K)]
     for _ in range(rounds):
-        in1 = incoming(msg1, msg2, p1)
-        in2 = incoming(msg1, msg2, p2)
-        msg1 = A + in2
-        msg2 = A + in1
-    tot = A + incoming(msg1, msg2, p1) + incoming(msg1, msg2, p2)
+        ins = [incoming(msgs, p) for p in ps_all]
+        msgs = [A + sum(ins[j] for j in range(K) if j != k)
+                for k in range(K)]
+    tot = A + sum(incoming(msgs, p) for p in ps_all)
     return _moments_from_total(tot)
 
 
@@ -124,15 +127,18 @@ def _moments_from_total(tot):
 def _body_sums(cfg: SceneConfig, state: State, v, member, rounds: int):
     """State-level wrapper over body_moments (partner SLOT columns)."""
     return body_moments(cfg.box, state.x, v, per_atom_mass(cfg, state),
-                        state.bond1, state.bond2, member, rounds)
+                        state.bond1, state.bond2, member, rounds,
+                        more_partners=state.bond_partners[2:])
 
 
-def rigid_kinematics(box, x, v, mass, bond1, bond2, member, rounds, dt):
+def rigid_kinematics(box, x, v, mass, bond1, bond2, member, rounds, dt,
+                     more_partners=()):
     """One rigid drift's kinematics from raw arrays: returns
     (x_rigid, v_rigid) for member rows (garbage elsewhere — mask with
     `member`).  Shared by the single-chip drift and the slab path."""
     M, rbar, V, L, I6 = body_moments(box, x, v, mass, bond1, bond2,
-                                     member, rounds)
+                                     member, rounds,
+                                     more_partners=more_partners)
     omega = _solve_omega(I6, L)
     r_new = _rotate(-rbar, omega, dt)            # my offset from the COM
     x_rigid = x + rbar + dt * V + r_new          # X' + R r
@@ -233,7 +239,8 @@ def rigid_drift(cfg: SceneConfig, state: State, v):
     member = _member(cfg, state)
     x_rigid, v_rigid = rigid_kinematics(
         cfg.box, state.x, v, per_atom_mass(cfg, state), state.bond1,
-        state.bond2, member, _rounds(cfg), dt)
+        state.bond2, member, _rounds(cfg), dt,
+        more_partners=state.bond_partners[2:])
     a3 = state.alive[:, None]
     mem3 = member[:, None]
     x = jnp.where(mem3, x_rigid, jnp.where(a3, state.x + dt * v, state.x))

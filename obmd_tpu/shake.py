@@ -49,7 +49,7 @@ def _pair_view(box: Box, x, j, has):
 
 
 def shake_positions(cfg: SceneConfig, x_ref, x, v, type_, bond1, bond2,
-                    alive, invm):
+                    alive, invm, more_partners=()):
     """Constrain post-drift positions; returns (x, v) with the constraint
     displacement also applied to v (dx/dt), the velocity-Verlet SHAKE
     splitting.  x_ref = pre-drift positions (the constraint gradient is
@@ -65,7 +65,7 @@ def shake_positions(cfg: SceneConfig, x_ref, x, v, type_, bond1, bond2,
     eps = dtype.type(1e-12)
 
     cols = []
-    for partner in (bond1, bond2):
+    for partner in (bond1, bond2) + tuple(more_partners):
         j = jnp.clip(partner, 0, n - 1)
         tj = jnp.clip(type_[j], 0, nt - 1)
         ti = jnp.clip(type_, 0, nt - 1)
@@ -103,7 +103,7 @@ def shake_positions(cfg: SceneConfig, x_ref, x, v, type_, bond1, bond2,
 
 
 def rattle_velocities(cfg: SceneConfig, x, v, type_, bond1, bond2, alive,
-                      invm):
+                      invm, more_partners=()):
     """Project constrained pairs' relative velocity out of the bond
     direction (RATTLE's velocity stage): after convergence
     <v_i - v_j, r_ij> = 0 for every constraint."""
@@ -116,7 +116,7 @@ def rattle_velocities(cfg: SceneConfig, x, v, type_, bond1, bond2, alive,
     eps = dtype.type(1e-12)
 
     cols = []
-    for partner in (bond1, bond2):
+    for partner in (bond1, bond2) + tuple(more_partners):
         j = jnp.clip(partner, 0, n - 1)
         tj = jnp.clip(type_[j], 0, nt - 1)
         ti = jnp.clip(type_, 0, nt - 1)
@@ -153,7 +153,7 @@ def constraint_error(cfg: SceneConfig, state) -> jnp.ndarray:
     d0t = _d0_table(shake, dtype)
     nt = d0t.shape[0]
     err = jnp.zeros((), dtype)
-    for partner in (state.bond1, state.bond2):
+    for partner in state.bond_partners:
         j = jnp.clip(partner, 0, n - 1)
         ti = jnp.clip(state.type, 0, nt - 1)
         tj = jnp.clip(state.type[j], 0, nt - 1)

@@ -83,10 +83,29 @@ class State:
     obmd: ObmdScalars
     cell_overflow: jnp.ndarray  # i32: atoms dropped from overfull cells (diagnostic)
     nbrs: Optional[object] = None  # NeighborState (nlist path); built by setup()
+    # Branched topology (absent = None for chain scenes, so they compile to
+    # exactly the 2-partner graphs; fix_obmd_merged.cpp:709-821 keeps
+    # bond/angle/dihedral/improper bookkeeping for arbitrary molecules):
+    bond3: Optional[jnp.ndarray] = None  # [N] i32 SLOT of 3rd bond partner
+    bond4: Optional[jnp.ndarray] = None  # [N] i32 SLOT of 4th bond partner
+    impr: Optional[jnp.ndarray] = None   # [N,3] i32 SLOTS of (i1, i3, i4) of
+    #   the harmonic improper centered on this atom (improper_harmonic.cpp
+    #   quadruple order i1-i2-i3-i4 with i2 = this atom); -1 rows = none.
 
     @property
     def capacity(self) -> int:
         return self.x.shape[0]
+
+    @property
+    def bond_partners(self) -> tuple:
+        """All present bond-partner SLOT columns (2 for chains, 4 for
+        branched topologies) — the iteration unit of every bonded pass."""
+        cols = [self.bond1, self.bond2]
+        if self.bond3 is not None:
+            cols.append(self.bond3)
+        if self.bond4 is not None:
+            cols.append(self.bond4)
+        return tuple(cols)
 
     @property
     def natoms(self) -> jnp.ndarray:
@@ -99,14 +118,21 @@ class State:
 
 def init_state(cfg: SceneConfig, x, v=None, types=None, seed: int = 0,
                tags=None, q=None, mol=None, bonds=None, lambdaF=None,
-               rep_atom=None) -> State:
+               rep_atom=None, impropers=None) -> State:
     """Build a State from host arrays of n <= n_max real atoms.
 
-    bonds: optional [nb, 2] 1-based atom-tag pairs (chain topology: each
-    atom appears in at most two bonds; stored as per-atom partner SLOTS,
-    remapped on every relayout)."""
+    bonds: optional [nb, 2] 1-based atom-tag pairs, each atom in at most
+    FOUR bonds (stored as per-atom partner SLOTS, remapped on every
+    relayout; the bond3/bond4 columns exist only when some atom actually
+    has >2 partners, so chain scenes keep their 2-column graphs).
+
+    impropers: optional [ni, 4] 1-based atom-tag quadruples (i1, i2, i3,
+    i4) in improper_harmonic.cpp order — i2 is the center and must be
+    bonded to i1, i3 AND i4 (the out-of-plane convention); stored as a
+    per-CENTER [N,3] slot triplet."""
     import numpy as np
 
+    cfg = cfg.finalize()
     dtype = jnp.dtype(cfg.dtype)
     n_max = cfg.capacity.n_max
     x = np.asarray(x, dtype=dtype)
@@ -142,22 +168,51 @@ def init_state(cfg: SceneConfig, x, v=None, types=None, seed: int = 0,
     repp = np.zeros((n_max,), dtype=np.int32)
     if rep_atom is not None:
         repp[:n] = np.asarray(rep_atom, dtype=np.int32)
-    b1 = np.full((n_max,), -1, dtype=np.int32)
-    b2 = np.full((n_max,), -1, dtype=np.int32)
+    bcols = [np.full((n_max,), -1, dtype=np.int32) for _ in range(4)]
+    tag2row = {int(t): i for i, t in enumerate(tagp[:n])}
     if bonds is not None:
-        tag2row = {int(t): i for i, t in enumerate(tagp[:n])}
         for a, b in np.asarray(bonds, dtype=np.int64):
             for me, other in ((int(a), int(b)), (int(b), int(a))):
                 row = tag2row[me]
                 orow = tag2row[other]
-                if b1[row] < 0:
-                    b1[row] = orow
-                elif b2[row] < 0:
-                    b2[row] = orow
+                for col in bcols:
+                    if col[row] < 0:
+                        col[row] = orow
+                        break
                 else:
                     raise ValueError(
-                        f"atom tag {me} has more than two bonds; chain "
-                        "topology only in this round")
+                        f"atom tag {me} has more than four bonds; the "
+                        "per-atom partner-slot storage holds <= 4")
+    branched = bool((bcols[2] >= 0).any()) or cfg.branched_topology
+    imprp = None
+    if cfg.improper is not None and cfg.branched_topology:
+        # insertion templates may carry impropers even when the initial
+        # atoms do not — the column must exist for inserted rows to land in
+        imprp = np.full((n_max, 3), -1, dtype=np.int32)
+    if impropers is not None and len(impropers):
+        if not branched:
+            raise ValueError(
+                "impropers require the center to carry >= 3 bonds")
+        if imprp is None:
+            imprp = np.full((n_max, 3), -1, dtype=np.int32)
+        for quad in np.asarray(impropers, dtype=np.int64):
+            i1, i2, i3, i4 = (int(v_) for v_ in quad[-4:])
+            c = tag2row[i2]
+            ends = [tag2row[i1], tag2row[i3], tag2row[i4]]
+            prt = {int(p) for p in (bcols[0][c], bcols[1][c],
+                                    bcols[2][c], bcols[3][c]) if p >= 0}
+            for e, t_ in zip(ends, (i1, i3, i4)):
+                if e not in prt:
+                    raise ValueError(
+                        f"improper ({i1},{i2},{i3},{i4}): center {i2} is "
+                        f"not bonded to {t_} — only the out-of-plane "
+                        "convention (center bonded to all three ends) is "
+                        "stored per-center")
+            if imprp[c, 0] >= 0:
+                raise ValueError(
+                    f"atom tag {i2} is the center of two impropers; the "
+                    "per-center storage holds one")
+            imprp[c] = ends
 
     return State(
         x=jnp.asarray(xp), v=jnp.asarray(vp), f=jnp.zeros((n_max, 3), dtype),
@@ -167,7 +222,10 @@ def init_state(cfg: SceneConfig, x, v=None, types=None, seed: int = 0,
         cms_mol=jnp.zeros((n_max, 3), dtype),
         vcms_mol=jnp.zeros((n_max, 3), dtype),
         rep_atom=jnp.asarray(repp),
-        bond1=jnp.asarray(b1), bond2=jnp.asarray(b2),
+        bond1=jnp.asarray(bcols[0]), bond2=jnp.asarray(bcols[1]),
+        bond3=jnp.asarray(bcols[2]) if branched else None,
+        bond4=jnp.asarray(bcols[3]) if branched else None,
+        impr=jnp.asarray(imprp) if imprp is not None else None,
         step=jnp.zeros((), jnp.int32), sim_time=jnp.zeros((), dtype),
         maxtag=jnp.asarray(int(tagp.max(initial=0)), jnp.int32),
         key=jax.random.PRNGKey(seed),

@@ -83,7 +83,8 @@ def test_center_table_validation():
             2, [(1, 0, 1, 2)], {0: 1, 1: 0, 2: 1}, [(0, 1)],
             {1: (5.0, 100.0)})
     # a covered 2-bond atom that declares no angle would bend spuriously
-    with pytest.raises(ValueError, match="declares no angle"):
+    # (generalized wording: every partner pair must be declared)
+    with pytest.raises(ValueError, match="partner-pair"):
         derive_center_angle_table(
             1, [(1, 0, 1, 2)], {i: 0 for i in range(5)},
             [(0, 1), (1, 2), (2, 3), (3, 4)], {1: (5.0, 100.0)})

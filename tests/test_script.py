@@ -463,3 +463,61 @@ run             10
     # no bonds in this deck: emol = 0, epair = pe part of etotal
     assert float(cols["emol"]) == 0.0
     assert float(cols["fnorm"]) > 0.0 and float(cols["fmax"]) > 0.0
+
+
+def test_improper_deck(tmp_path):
+    """improper_style harmonic through the deck front end: branched data
+    file (trivalent stars) + Impropers section -> eimp in thermo, finite
+    forces, branched bond columns live (improper_harmonic.cpp surface)."""
+    import numpy as np
+    from obmd_tpu.io import lammps_data
+    r = np.random.default_rng(5)
+    xs, bonds, imps, mols, types = [], [], [], [], []
+    L = 8.0
+    for c in range(12):
+        center = r.uniform(1.0, L - 1.0, 3)
+        b = 4 * c
+        xs.append(center); types.append(1); mols.append(c + 1)
+        for k in range(3):
+            d = r.normal(size=3); d /= np.linalg.norm(d)
+            xs.append(center + 0.8 * d)
+            types.append(0); mols.append(c + 1)
+            bonds.append((b + 1, b + 2 + k))
+        imps.append((1, b + 2, b + 1, b + 3, b + 4))
+    n = len(xs)
+    df = lammps_data.DataFile(
+        natoms=n, ntypes=2, box_lo=np.zeros(3), box_hi=np.full(3, L),
+        masses=np.ones(2), x=np.asarray(xs), types=np.asarray(types),
+        tags=np.arange(1, n + 1), v=np.zeros((n, 3)), q=np.zeros(n),
+        mol=np.asarray(mols, np.int64), bonds=np.asarray(bonds),
+        impropers=np.asarray(imps))
+    data = str(tmp_path / "stars.data")
+    lammps_data.write_data(data, df, atom_style="molecular")
+    deck = f"""
+units           lj
+boundary        p p p
+atom_style      molecular
+pair_style      dpd 1.0 1.0 777
+read_data       {data}
+pair_coeff      * * 25.0 4.5 1.0
+bond_style      harmonic
+bond_coeff      1 40.0 0.8
+improper_style  harmonic
+improper_coeff  1 9.0 25.0
+timestep        0.005
+fix             1 all nve
+thermo          5
+thermo_style    custom step atoms temp eimp emol etotal
+run             10
+"""
+    out = []
+    it = Interpreter(log_fn=out.append)
+    it.run_lines(deck.splitlines())
+    last = out[-1].split()
+    assert "NA" not in last, out[-1]
+    step, atoms, temp, eimp, emol, etot = last
+    assert step == "10" and atoms == str(n)
+    assert float(eimp) != 0.0           # impropers produce energy
+    assert float(emol) >= float(eimp)   # emol includes eimp + ebond
+    assert it.state.bond3 is not None and it.state.impr is not None
+    assert np.isfinite(np.asarray(it.state.x)).all()
