@@ -89,10 +89,13 @@ class DPDTstatParams:
     conservative term, used to thermostat some other conservative field.
     Coeffs per type pair: gamma [cut] (pair_dpd_tstat.cpp:174-201).
 
-    The reference ramps T linearly from t_start to t_stop over the run
-    (:52-60); a ramp needs the run window inside the jitted step, so only
-    constant T (t_start == t_stop) is supported — `create` rejects a ramp
-    loudly instead of freezing it silently.
+    The reference ramps T linearly from t_start to t_stop over each run
+    (:52-60, t_target from update->beginstep/endstep).  Here the ramp
+    window is the static `ramp` = (begin_step, end_step) pair — the deck
+    front end sets it per `run` command exactly like the reference; library
+    users set it explicitly.  The noise amplitude scales as
+    sqrt(T(step)/t_start) inside the jitted step (sigma = sqrt(2 kB T
+    gamma), pair_dpd_tstat.cpp:96-101 recomputes sigma per step).
     """
 
     temp: float
@@ -102,19 +105,27 @@ class DPDTstatParams:
     gamma: Tuple[Tuple[float, ...], ...] = ()
     cut: Tuple[Tuple[float, ...], ...] = ()
     gaussian_noise: bool = False
+    t_stop: Optional[float] = None        # None or == temp: constant T
+    ramp: Optional[Tuple[int, int]] = None  # (begin_step, end_step)
 
     @staticmethod
     def create(t_start, cutoff, seed, gamma, t_stop=None, cut=None,
-               ntypes=1, gaussian_noise=False):
-        if t_stop is not None and float(t_stop) != float(t_start):
-            raise NotImplementedError(
-                "dpd/tstat temperature ramp (t_start != t_stop) is not "
-                "supported; run segments with constant T instead")
+               ntypes=1, gaussian_noise=False, ramp=None):
+        if (t_stop is not None and float(t_stop) != float(t_start)
+                and float(t_start) <= 0.0):
+            raise ValueError("dpd/tstat ramp needs t_start > 0 (the noise "
+                             "scale is relative to t_start)")
         cut = cutoff if cut is None else cut
         return DPDTstatParams(
             temp=float(t_start), cutoff=float(cutoff), seed=int(seed),
             ntypes=ntypes, gamma=_sym(gamma, ntypes, "gamma"),
-            cut=_sym(cut, ntypes, "cut"), gaussian_noise=gaussian_noise)
+            cut=_sym(cut, ntypes, "cut"), gaussian_noise=gaussian_noise,
+            t_stop=None if t_stop is None else float(t_stop),
+            ramp=None if ramp is None else (int(ramp[0]), int(ramp[1])))
+
+    @property
+    def is_ramp(self) -> bool:
+        return self.t_stop is not None and self.t_stop != self.temp
 
     @property
     def sigma(self) -> Tuple[Tuple[float, ...], ...]:

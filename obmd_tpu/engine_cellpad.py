@@ -259,6 +259,24 @@ def _subset_slice(cfg, geom, state, region, pad):
         overflow=jnp.sum(valid.astype(jnp.int32)) > b_max)
 
 
+def _empty_subset_slice(cfg, geom, state, region, pad):
+    """Shape-matched empty Subset for the demand-gated skip branch of
+    _obmd_stage: valid=False, positions parked at BIG (the padding
+    convention every subset consumer already masks on)."""
+    a, b = slab_slice_bounds(geom, cfg.box, region.lo[0] - pad,
+                             region.hi[0] + pad)
+    n = b - a
+    b_max = min(n, int(0.45 * n) + 256)
+    dtype = state.x.dtype
+    return Subset(
+        idx=jnp.full((b_max,), n + a, jnp.int32),
+        x=jnp.full((b_max, 3), BIG, dtype),
+        type=jnp.zeros((b_max,), jnp.int32),
+        q=jnp.zeros((b_max,), dtype),
+        valid=jnp.zeros((b_max,), bool),
+        overflow=jnp.zeros((), bool))
+
+
 def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     """Molecule-mode insertion (ref try_inserting MOLECULE branch): K
     template candidates per buffer with random rotations (ref :1012-1024),
@@ -678,8 +696,25 @@ def _obmd_stage(cfg, geom, state: State, with_rebuild: bool = True) -> State:
 
     pad = cfg.pair.max_cut + cfg.skin
     with jax.named_scope("obmd_insert"):
-        sub_l = _subset_slice(cfg, geom, state, obmd.region5, pad)
-        sub_r = _subset_slice(cfg, geom, state, obmd.region6, pad)
+        # Demand gate on the subset compactions too (the USHER search is
+        # already gated inside _insert): at this workload's steady state
+        # the feedback budget is zero on almost every step, and the two
+        # cumsum-rank compactions cost ~0.3 ms/step at 94k atoms.  Subset
+        # shapes are static per region, so the skip branch returns empty
+        # subsets (valid=False, x=BIG) of identical shape — any masked
+        # consumer math sees "no atoms", and acceptance is budget-clipped
+        # to zero anyway.
+        need = (nins_l > 0) | (nins_r > 0)
+
+        def _build_subs(st):
+            return (_subset_slice(cfg, geom, st, obmd.region5, pad),
+                    _subset_slice(cfg, geom, st, obmd.region6, pad))
+
+        def _skip_subs(st):
+            return (_empty_subset_slice(cfg, geom, st, obmd.region5, pad),
+                    _empty_subset_slice(cfg, geom, st, obmd.region6, pad))
+
+        sub_l, sub_r = jax.lax.cond(need, _build_subs, _skip_subs, state)
         state = state.replace(
             cell_overflow=state.cell_overflow
             + sub_l.overflow.astype(jnp.int32)

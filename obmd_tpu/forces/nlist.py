@@ -21,7 +21,7 @@ from .pairs import PairFields, make_pair_law
 
 def nlist_sweep(params: PairParams, box: Box, nlist, x, v, types, tag, q,
                 alive, salt, *, dt: float,
-                bond1=None, bond2=None, more_bonds=(),
+                bond1=None, bond2=None, more_bonds=(), sig_scale=None,
                 compute_energy: bool = False,
                 compute_virial: bool = False,
                 compute_virial_atom: bool = False) -> PairFields:
@@ -83,6 +83,8 @@ def nlist_sweep(params: PairParams, box: Box, nlist, x, v, types, tag, q,
     if charged:
         qj = gather_padded(q, idx, 0.0)
         kwargs = dict(qi=q[:, None], qj=qj)
+    if sig_scale is not None:
+        kwargs["sig_scale"] = sig_scale
     from .pairs import apply_pair_law
     fvec, e = apply_pair_law(params, pair_fn, rsq, d, dv, types[:, None],
                              tj, tag[:, None], gj, salt, **kwargs)

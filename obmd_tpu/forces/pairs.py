@@ -58,6 +58,20 @@ def _table_names(params: PairParams):
     raise TypeError(type(params))
 
 
+def sig_scale_of(params: PairParams, step, dtype):
+    """Traced per-step noise-amplitude scale for a dpd/tstat temperature
+    ramp (pair_dpd_tstat.cpp:52-60 t_target), or None when constant-T —
+    None keeps every existing graph bit-identical."""
+    if not isinstance(params, DPDTstatParams) or not params.is_ramp:
+        return None
+    b, e = params.ramp if params.ramp is not None else (0, 1)
+    dtype = jnp.dtype(dtype).type
+    frac = jnp.clip((step - b).astype(dtype) / dtype(max(e - b, 1)),
+                    0.0, 1.0)
+    t = dtype(params.temp) + frac * dtype(params.t_stop - params.temp)
+    return jnp.sqrt(t / dtype(params.temp))
+
+
 def is_vector_law(params: PairParams) -> bool:
     """True for pair styles whose force is not parallel to the separation
     (dpd/ext's transverse friction): their law returns a force VECTOR."""
@@ -125,14 +139,19 @@ def make_pair_law(params: PairParams, dt: float, dtype):
         return pair_fn
 
     if isinstance(params, DPDTstatParams):
-        # pair_dpd_tstat.cpp:96-136: drag + random only, zero energy
+        # pair_dpd_tstat.cpp:96-136: drag + random only, zero energy.
+        # A T ramp (:52-60 recomputes sigma from the per-step target T)
+        # enters as sig_scale = sqrt(T(step)/t_start), threaded from the
+        # step function (sig tables are baked at t_start).
         dtinvsqrt = dtype(1.0 / np.sqrt(dt))
         gaussian = params.gaussian_noise
 
-        def pair_fn(rsq, d, dv, ti, tj, tag_i, tag_j, salt):
+        def pair_fn(rsq, d, dv, ti, tj, tag_i, tag_j, salt, sig_scale=None):
             cut = _lookup(tabs["cut"], ti, tj)
             gam = _lookup(tabs["gamma"], ti, tj)
             sig = _lookup(tabs["sigma"], ti, tj)
+            if sig_scale is not None:
+                sig = sig * sig_scale
             r = jnp.sqrt(rsq)
             rinv = jnp.where(r > EPS_R, 1.0 / jnp.maximum(r, EPS_R), 0.0)
             wd = 1.0 - r * (1.0 / cut)
@@ -269,6 +288,7 @@ def make_pair_law(params: PairParams, dt: float, dtype):
 
 def pair_sweep(params: PairParams, box: Box, spec: GridSpec, ctab: CellTable,
                x, v, types, tag, q, salt, *, dt: float,
+               sig_scale=None,
                compute_energy: bool = False,
                compute_virial: bool = False,
                compute_virial_atom: bool = False) -> PairFields:
@@ -322,6 +342,8 @@ def pair_sweep(params: PairParams, box: Box, spec: GridSpec, ctab: CellTable,
         kwargs = {}
         if charged:
             kwargs = dict(qi=qi[:, :, None], qj=qj[:, None, :])
+        if sig_scale is not None:
+            kwargs["sig_scale"] = sig_scale
         fvec, e = apply_pair_law(params, pair_fn, rsq, d, dv,
                                  ti[:, :, None], tj[:, None, :],
                                  gi[:, :, None], gj[:, None, :], salt,

@@ -107,6 +107,93 @@ class RegionBlock:
         return lo + key_bits * (hi - lo)
 
 
+@dataclasses.dataclass(frozen=True)
+class RegionSphere:
+    """`region ID sphere x y z R` (region_sphere.cpp::inside — a point
+    matches iff its distance from the center is <= R, inclusive like every
+    LAMMPS region).  Used for group/census membership and create_atoms
+    fills; fix obmd's six regions remain blocks by construction."""
+
+    center: Tuple[float, float, float]
+    radius: float
+
+    def match(self, x):
+        c = jnp.asarray(self.center, dtype=x.dtype)
+        d = x - c
+        return jnp.sum(d * d, axis=-1) <= jnp.asarray(
+            self.radius * self.radius, dtype=x.dtype)
+
+    @property
+    def lo(self) -> Tuple[float, float, float]:
+        return tuple(c - self.radius for c in self.center)
+
+    @property
+    def hi(self) -> Tuple[float, float, float]:
+        return tuple(c + self.radius for c in self.center)
+
+    @property
+    def volume(self) -> float:
+        return 4.0 / 3.0 * np.pi * self.radius ** 3
+
+
+@dataclasses.dataclass(frozen=True)
+class RegionCylinder:
+    """`region ID cylinder dim c1 c2 radius lo hi`
+    (region_cylinder.cpp::inside): axis-aligned cylinder along `axis`
+    ('x'|'y'|'z'); (c1, c2) are the center coordinates in the other two
+    dimensions IN x,y,z ORDER with the axis removed, exactly the LAMMPS
+    argument convention.  Inclusive bounds."""
+
+    axis: str
+    c1: float
+    c2: float
+    radius: float
+    lo_axis: float
+    hi_axis: float
+
+    def __post_init__(self):
+        if self.axis not in ("x", "y", "z"):
+            raise ValueError("cylinder axis must be x, y or z")
+
+    def _dims(self):
+        ax = "xyz".index(self.axis)
+        other = [d for d in range(3) if d != ax]
+        return ax, other
+
+    def match(self, x):
+        ax, (d1, d2) = self._dims()
+        e1 = x[..., d1] - jnp.asarray(self.c1, x.dtype)
+        e2 = x[..., d2] - jnp.asarray(self.c2, x.dtype)
+        in_r = e1 * e1 + e2 * e2 <= jnp.asarray(
+            self.radius * self.radius, x.dtype)
+        a = x[..., ax]
+        return in_r & (a >= jnp.asarray(self.lo_axis, x.dtype)) \
+            & (a <= jnp.asarray(self.hi_axis, x.dtype))
+
+    @property
+    def lo(self) -> Tuple[float, float, float]:
+        ax, (d1, d2) = self._dims()
+        out = [0.0, 0.0, 0.0]
+        out[ax] = self.lo_axis
+        out[d1] = self.c1 - self.radius
+        out[d2] = self.c2 - self.radius
+        return tuple(out)
+
+    @property
+    def hi(self) -> Tuple[float, float, float]:
+        ax, (d1, d2) = self._dims()
+        out = [0.0, 0.0, 0.0]
+        out[ax] = self.hi_axis
+        out[d1] = self.c1 + self.radius
+        out[d2] = self.c2 + self.radius
+        return tuple(out)
+
+    @property
+    def volume(self) -> float:
+        return np.pi * self.radius ** 2 * max(self.hi_axis - self.lo_axis,
+                                              0.0)
+
+
 def box_from_array(lo, hi, periodic=(False, True, True)) -> Box:
     return Box(tuple(float(v) for v in np.asarray(lo)),
                tuple(float(v) for v in np.asarray(hi)),

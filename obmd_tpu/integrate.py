@@ -48,6 +48,11 @@ def make_neighbor_params(cfg: SceneConfig) -> NeighborParams:
                           cutoff=cfg.pair.max_cut, skin=cfg.skin)
 
 
+def _sig_scale(cfg: SceneConfig, state):
+    from .forces.pairs import sig_scale_of
+    return sig_scale_of(cfg.pair, state.step, state.dtype)
+
+
 def _salt(cfg: SceneConfig, step):
     seed = getattr(cfg.pair, "seed", 0)
     return rng.step_salt(seed, step, PURPOSE_PAIR_NOISE)
@@ -98,10 +103,13 @@ def compute_forces(cfg: SceneConfig, spec: GridSpec, state: State,
     """Stateless force evaluation (sweep path): cell rebuild + pair sweep +
     OBMD boundary forces.  The observables layer and the sweep step use
     this; the nlist step has its own inline force stage."""
+    from .forces.pairs import sig_scale_of
     ctab = build_cells(spec, state.x, state.alive)
     pf = pair_sweep(cfg.pair, cfg.box, spec, ctab,
                     state.x, state.v, state.type, state.tag, state.q,
                     _salt(cfg, state.step), dt=cfg.dt,
+                    sig_scale=sig_scale_of(cfg.pair, state.step,
+                                           state.dtype),
                     compute_energy=compute_energy,
                     compute_virial=compute_virial,
                     compute_virial_atom=compute_virial_atom)
@@ -134,7 +142,8 @@ def setup(cfg: SceneConfig, state: State) -> State:
                              bond1=state.bond1 if cfg.bond else None,
                              bond2=state.bond2 if cfg.bond else None,
                              more_bonds=(state.bond_partners[2:]
-                                         if cfg.bond else ()))
+                                         if cfg.bond else ()),
+                             sig_scale=_sig_scale(cfg, state))
             f = pf.f
             f = _extra_forces(cfg, state, f)
         else:
@@ -331,7 +340,8 @@ def make_step(cfg: SceneConfig):
                              bond1=state.bond1 if cfg.bond else None,
                              bond2=state.bond2 if cfg.bond else None,
                              more_bonds=(state.bond_partners[2:]
-                                         if cfg.bond else ()))
+                                         if cfg.bond else ()),
+                             sig_scale=_sig_scale(cfg, state))
             f = pf.f
             f = _extra_forces(cfg, state, f)
         else:

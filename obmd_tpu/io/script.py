@@ -455,6 +455,9 @@ class Interpreter:
         # create_box N region-ID
         if a[1] not in self.regions:
             raise ScriptError(f"create_box: unknown region {a[1]}")
+        if not isinstance(self.regions[a[1]], RegionBlock):
+            raise ScriptError("create_box needs a block region "
+                              "(domain.cpp: the box is an AABB)")
         self._create_box = (int(a[0]), self.regions[a[1]])
 
     def cmd_create_atoms(self, a):
@@ -468,26 +471,46 @@ class Interpreter:
         self._create_atoms.append((int(a[0]), region))
 
     def cmd_region(self, a):
-        # region ID block xlo xhi ylo yhi zlo zhi [units box|lattice];
-        # with a lattice defined, coordinates default to LATTICE units
-        # (region.cpp scale handling)
+        # region ID block xlo xhi ylo yhi zlo zhi [units box|lattice]
+        # region ID sphere x y z R [units ...]       (region_sphere.cpp)
+        # region ID cylinder dim c1 c2 R lo hi [...] (region_cylinder.cpp)
+        # With a lattice defined, coordinates default to LATTICE units
+        # (region.cpp scale handling).
         rid, style = a[0], a[1]
-        if style != "block":
-            raise ScriptError("only block regions supported")
+        nvals = {"block": 6, "sphere": 4, "cylinder": 5}.get(style)
+        if nvals is None:
+            raise ScriptError(
+                f"region style {style} unsupported (block/sphere/cylinder)")
+        args = a[2:]
+        axis = None
+        if style == "cylinder":
+            axis = args[0]
+            args = args[1:]
         vals = []
-        for tok in a[2:8]:
+        for tok in args[:nvals]:
             if tok in ("EDGE", "INF"):
                 raise ScriptError("EDGE/INF region bounds unsupported")
             vals.append(float(tok))
+        rest = args[nvals:]
         units = "lattice" if self.lattice is not None else "box"
-        if len(a) > 9 and a[8] == "units":
-            units = a[9]
+        if len(rest) >= 2 and rest[0] == "units":
+            units = rest[1]
         if units == "lattice":
             if self.lattice is None:
                 raise ScriptError("region units lattice without a lattice")
             vals = [v * self.lattice[1] for v in vals]
-        self.regions[rid] = RegionBlock((vals[0], vals[2], vals[4]),
-                                        (vals[1], vals[3], vals[5]))
+        if style == "block":
+            self.regions[rid] = RegionBlock((vals[0], vals[2], vals[4]),
+                                            (vals[1], vals[3], vals[5]))
+        elif style == "sphere":
+            from ..geometry import RegionSphere
+            self.regions[rid] = RegionSphere(
+                center=(vals[0], vals[1], vals[2]), radius=vals[3])
+        else:
+            from ..geometry import RegionCylinder
+            self.regions[rid] = RegionCylinder(
+                axis=axis, c1=vals[0], c2=vals[1], radius=vals[2],
+                lo_axis=vals[3], hi_axis=vals[4])
 
     def cmd_pair_style(self, a):
         self.pair = _PairStyle(name=a[0], args=a[1:], coeffs=[])
@@ -721,6 +744,20 @@ class Interpreter:
     def cmd_run(self, a):
         n = int(a[0])
         self._build()
+        # dpd/tstat T ramp covers each run's window like the reference
+        # (pair_dpd_tstat.cpp:52-60 uses update->beginstep/endstep): pin
+        # the static (begin, end) pair; the step recompiles per run, which
+        # is the reference's own per-run semantic
+        from ..config import DPDTstatParams
+        if (isinstance(self.cfg.pair, DPDTstatParams)
+                and self.cfg.pair.is_ramp):
+            import dataclasses as _dc
+            begin = int(self.state.step)
+            self.cfg = _dc.replace(
+                self.cfg, pair=_dc.replace(self.cfg.pair,
+                                           ramp=(begin, begin + n)))
+            self._thermo_fn = None
+            self._runner_chunk = None   # cfg changed: rebuild the runner
         self._run(n)
 
     def cmd_write_data(self, a):
@@ -1105,7 +1142,13 @@ class Interpreter:
         while i < len(kw):
             k = kw[i]
             if k.startswith("region"):
-                params[k] = self.regions[kw[i + 1]]
+                reg = self.regions[kw[i + 1]]
+                if not isinstance(reg, RegionBlock):
+                    raise ScriptError(
+                        f"fix obmd {k}: buffer regions must be blocks "
+                        "(the slab-sliced stage math is axis-aligned); "
+                        f"{kw[i + 1]} is {type(reg).__name__}")
+                params[k] = reg
                 i += 2
             elif k == "buffersize":
                 params["buffer_size"] = float(kw[i + 1]); i += 2
@@ -1287,7 +1330,12 @@ class Interpreter:
                 axis=-1).reshape(-1, 1, 3)
             pts = (lo + (cells + basis[None, :, :]) * a).reshape(-1, 3)
             eps = 1e-9
-            keep = np.all((pts >= rlo - eps) & (pts < rhi - eps), axis=1)
+            if isinstance(region, RegionBlock):
+                keep = np.all((pts >= rlo - eps) & (pts < rhi - eps),
+                              axis=1)
+            else:
+                # curved regions (sphere/cylinder): Region::match semantics
+                keep = np.asarray(region.match(pts.astype(np.float64)))
             pts = pts[keep]
             xs.append(pts)
             types.append(np.full(len(pts), atype - 1, np.int32))

@@ -124,6 +124,11 @@ def make_slab_geom(cfg: SceneConfig, ndev: int, *, n_loc: int = 0,
             "slab path: branched topologies / impropers not wired (the "
             "tag-resolved local bond columns and the in-sweep bonded "
             "evaluation assume chain storage); run single-chip")
+    from ..config import DPDTstatParams
+    if isinstance(cfg.pair, DPDTstatParams) and cfg.pair.is_ramp:
+        raise NotImplementedError(
+            "slab path: dpd/tstat temperature ramp not wired (sig_scale "
+            "threading); run single-chip or constant-T segments")
     # Bonded interactions widen the halo beyond the pair cutoff: every
     # atom computes its OWN share of each bonded term from gathered
     # positions (no reverse-comm analogue), so an angle's end role reaches

@@ -115,10 +115,15 @@ def test_tstat_drag_matches_brute():
     assert float(jnp.sum(jnp.abs(pf.pe))) == 0.0
 
 
-def test_tstat_ramp_rejected():
+def test_tstat_ramp_validation():
+    # ramps are supported now (see test_tstat_temperature_ramp); the one
+    # invalid configuration is t_start <= 0 (the noise scale is relative)
     import pytest
-    with pytest.raises(NotImplementedError):
-        DPDTstatParams.create(t_start=1.0, t_stop=2.0, cutoff=1.0, seed=1,
+    p = DPDTstatParams.create(t_start=1.0, t_stop=2.0, cutoff=1.0, seed=1,
+                              gamma=4.5)
+    assert p.is_ramp
+    with pytest.raises(ValueError, match="t_start > 0"):
+        DPDTstatParams.create(t_start=0.0, t_stop=2.0, cutoff=1.0, seed=1,
                               gamma=4.5)
 
 
@@ -202,3 +207,47 @@ run 2
     it2.run_lines(deck2.splitlines())
     assert isinstance(it2.cfg.pair, DPDTstatParams)
     assert int(it2.state.step) == 2
+
+
+def test_tstat_temperature_ramp():
+    """pair_dpd_tstat.cpp:52-60 T ramp: noise amplitude follows
+    T(step) = t_start + elapsed/total * (t_stop - t_start) over the ramp
+    window.  An ideal DPD-tstat gas starting cold must thermalize toward
+    t_stop by the end of the ramp (fluctuation-dissipation at T(t))."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from obmd_tpu.config import Capacity, DPDTstatParams, SceneConfig
+    from obmd_tpu.geometry import Box
+    from obmd_tpu.integrate import make_run, setup
+    from obmd_tpu.state import init_state, temperature
+
+    n, L = 1200, 8.0
+    t0, t1, nsteps = 0.4, 2.0, 3000
+    cfg = SceneConfig(
+        box=Box((0, 0, 0), (L, L, L), (True, True, True)),
+        masses=(1.0,), dt=0.02,
+        pair=DPDTstatParams.create(t_start=t0, t_stop=t1, cutoff=1.0,
+                                   seed=5, gamma=4.5,
+                                   ramp=(0, nsteps)),
+        capacity=Capacity(n_max=n, cell_capacity=40),
+        skin=0.3, force_path="nlist").finalize()
+    assert cfg.pair.is_ramp
+    r = np.random.default_rng(1)
+    x = r.uniform(0, L, (n, 3))
+    v = r.normal(0, np.sqrt(t0), (n, 3))
+    v -= v.mean(axis=0)
+    st = setup(cfg, init_state(cfg, x, v=v))
+    run = jax.jit(make_run(cfg, 500))
+    temps = []
+    for _ in range(nsteps // 500):
+        st = run(st)
+        temps.append(float(temperature(cfg, st)))
+    # monotone heating toward t_stop; final T within 15% of t_stop
+    assert temps[0] < temps[-1]
+    assert abs(temps[-1] - t1) < 0.15 * t1, temps
+    # and the constant-T config still refuses nothing / stays at t_start
+    cfg0 = dataclasses.replace(
+        cfg, pair=DPDTstatParams.create(t_start=t0, t_stop=t0, cutoff=1.0,
+                                        seed=5, gamma=4.5)).finalize()
+    assert not cfg0.pair.is_ramp

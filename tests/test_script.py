@@ -521,3 +521,31 @@ run             10
     assert float(emol) >= float(eimp)   # emol includes eimp + ebond
     assert it.state.bond3 is not None and it.state.impr is not None
     assert np.isfinite(np.asarray(it.state.x)).all()
+
+
+def test_tstat_ramp_deck(tmp_path):
+    """pair_style dpd/tstat with T_start != T_stop ramps over each run's
+    window (pair_dpd_tstat.cpp:52-60 via update->beginstep/endstep)."""
+    import numpy as np
+    data = _write_data(tmp_path, n=600, box=(7.0, 7.0, 7.0), seed=3)
+    deck = f"""
+units           lj
+boundary        p p p
+atom_style      atomic
+pair_style      dpd/tstat 0.4 2.0 1.0 99
+read_data       {data}
+pair_coeff      * * 4.5
+velocity        all create 0.4 12345
+timestep        0.02
+fix             1 all nve
+thermo          500
+thermo_style    custom step temp
+run             2000
+"""
+    out = []
+    it = Interpreter(log_fn=out.append)
+    it.run_lines(deck.splitlines())
+    temps = [float(line.split()[1]) for line in out]
+    assert temps[0] < 0.7                      # starts cold
+    assert temps[-1] > 1.4, temps              # heated toward t_stop
+    assert it.cfg.pair.ramp == (0, 2000)       # window pinned by cmd_run
