@@ -17,6 +17,8 @@ which the cutoff+skin cell size absorbs — the standard Verlet-skin argument.
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,6 +43,15 @@ class PadAux:
     # the static-schedule runner this is the post-hoc validity telemetry
     # (neighbor.cpp:2342's check as an assertion instead of a trigger);
     # any nonzero value means rebuild_every is set too high for the scene.
+    #
+    # Kernel-layout caches (HOT-PATH: the per-step [N] -> (nb, cap, lanes)
+    # retile is a pathological minor-dim shuffle on TPU, ~0.5 ms EACH at
+    # 94k atoms — measured round 4).  Rebuilt at every relayout (amortized
+    # over the epoch), patched in place by insertions; deletions may leave
+    # stale values (dead atoms are excluded by x = BIG / alive masking, so
+    # a stale tag or a stale-high occ bound is harmless by construction).
+    tag3d: Optional[jnp.ndarray] = None   # [nb, cap, lanes] i32 tags
+    occ: Optional[jnp.ndarray] = None     # [nb] i32 max occupied rank + 1
 
 
 def scatter_rows(arr, idx, vals, mode="drop"):
@@ -58,6 +69,39 @@ def scatter_rows(arr, idx, vals, mode="drop"):
     cols = [arr[:, k].at[idx].set(vals[..., k], mode=mode)
             for k in range(arr.shape[1])]
     return jnp.stack(cols, axis=1)
+
+
+def kernel_caches(geom: PadGeometry, tag, alive) -> dict:
+    """The per-epoch kernel-layout caches: tag3d (pair-noise keys + bonded
+    exclusion j-tags) and occ (the i-rank loop bound, max occupied rank + 1
+    per block).  Computed ONLY at relayout — the [N] -> (nb, cap, lanes)
+    retile costs ~0.5 ms/step at 94k atoms if done per step."""
+    nb, cap, lanes = geom.n_blocks, geom.cap, geom.lanes
+    tag3d = tag.reshape(nb, cap, lanes)
+    rank = jnp.arange(cap, dtype=jnp.int32)[None, :, None]
+    occ = jnp.max(jnp.where(alive.reshape(nb, cap, lanes), rank, -1),
+                  axis=(1, 2)) + 1
+    return dict(tag3d=tag3d, occ=occ)
+
+
+def patch_kernel_caches(geom: PadGeometry, aux: "PadAux", slot, tags,
+                        n_slots: int) -> "PadAux":
+    """Insertion-time cache patch: write the inserted atoms' tags into
+    tag3d and raise the occ bound for their ranks (slot == n_slots rows are
+    dropped).  Deletion needs no patch — stale tags/occ are masked/safe."""
+    if aux.tag3d is None:
+        return aux
+    cap, lanes = geom.cap, geom.lanes
+    b = slot // (cap * lanes)
+    rem = slot % (cap * lanes)
+    r = rem // lanes
+    l_ = rem % lanes
+    ok = slot < n_slots
+    nb = geom.n_blocks
+    bc = jnp.where(ok, b, nb)
+    tag3d = aux.tag3d.at[bc, r, l_].set(tags, mode="drop")
+    occ = aux.occ.at[bc].max(r + 1, mode="drop")
+    return aux.replace(tag3d=tag3d, occ=occ)
 
 
 def slot_index(geom: PadGeometry, cell, rank):
@@ -131,7 +175,8 @@ def layout_build(geom: PadGeometry, box: Box, state: State) -> State:
                            else overflow),
                  skin_trips=(state.nbrs.skin_trips
                              if isinstance(state.nbrs, PadAux)
-                             else jnp.zeros((), jnp.int32)))
+                             else jnp.zeros((), jnp.int32)),
+                 **kernel_caches(geom, new.tag, new.alive))
     return new.replace(nbrs=aux)
 
 
@@ -336,7 +381,8 @@ def relayout_incremental(geom: PadGeometry, box: Box, state: State,
     return new.replace(nbrs=aux.replace(
         xref=new.x, force_rebuild=jnp.zeros((), bool),
         rebuilds=aux.rebuilds + 1,
-        overflow=aux.overflow + missed + unplaced))
+        overflow=aux.overflow + missed + unplaced,
+        **kernel_caches(geom, new.tag, new.alive)))
 
 
 def maybe_rebuild(geom: PadGeometry, box: Box, skin: float,

@@ -100,12 +100,20 @@ def _forces(cfg, geom, kern, state: State):
     nf = _n_channels(cfg)
     fld = jnp.concatenate(chans, axis=1)                     # [N, NF]
     fld = fld.reshape(nb, cap, lanes, nf).transpose(0, 3, 1, 2)
-    tag = state.tag.reshape(nb, cap, lanes)
     salt = rng.step_salt(getattr(cfg.pair, "seed", 0), state.step, PURPOSE_PAIR_NOISE)
-    # per-block highest occupied rank + 1 (i-side loop bound in the kernel)
-    rank = jnp.arange(cap, dtype=jnp.int32)[None, :, None]
-    occ = jnp.max(jnp.where(state.alive.reshape(nb, cap, lanes), rank, -1),
-                  axis=(1, 2)) + 1
+    aux = state.nbrs
+    if isinstance(aux, PadAux) and aux.tag3d is not None:
+        # epoch caches: the per-step [N] -> (nb, cap, lanes) retile is a
+        # pathological minor-dim shuffle (~0.5 ms EACH at 94k atoms);
+        # relayout rebuilds these, insertions patch them in place
+        tag = aux.tag3d
+        occ = aux.occ
+    else:
+        tag = state.tag.reshape(nb, cap, lanes)
+        # per-block highest occupied rank + 1 (i-side kernel loop bound)
+        rank = jnp.arange(cap, dtype=jnp.int32)[None, :, None]
+        occ = jnp.max(jnp.where(state.alive.reshape(nb, cap, lanes),
+                                rank, -1), axis=(1, 2)) + 1
     pbond = None
     if cfg.bond is not None:
         # the kernel excludes 1-2 pairs by comparing j TAGS; partner slots
@@ -483,6 +491,8 @@ def _insert_mol(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
 
     aux: PadAux = state.nbrs
     aux = aux.replace(xref=scatter_rows(aux.xref, slot, apos))
+    from .cellpad import patch_kernel_caches
+    aux = patch_kernel_caches(geom, aux, slot, new_tag, n_slots)
 
     n_mols = jnp.sum(landed_mol.astype(jnp.int32))
     n_atoms_placed = jnp.sum(placed)
@@ -650,7 +660,9 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
     upd["alive"] = state.alive.at[slot].set(True, mode="drop")
 
     aux: PadAux = state.nbrs
-    upd["nbrs"] = aux.replace(xref=scatter_rows(aux.xref, slot, pos))
+    aux = aux.replace(xref=scatter_rows(aux.xref, slot, pos))
+    from .cellpad import patch_kernel_caches
+    upd["nbrs"] = patch_kernel_caches(geom, aux, slot, new_tag, n_slots)
 
     n_landed = jnp.sum(landed.astype(jnp.int32))
     want = jnp.clip(nins_l, 0) + jnp.clip(nins_r, 0)
