@@ -125,6 +125,14 @@ def _avalanche_u32(h):
     return h
 
 
+# A/B experiment knobs (measurement only; production uses the defaults).
+# Read at kernel BUILD time so one process can time several variants.
+import os as _os
+AB = {"hash": _os.environ.get("OBMD_AB_HASH", ""),   # "lite" -> 1 avalanche
+      "noise": _os.environ.get("OBMD_AB_NOISE", ""),  # "off" -> no noise term
+      "mi": _os.environ.get("OBMD_AB_MI", "")}        # "off" -> no y/z rounds
+
+
 def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                      gamma: float = 0.0, sigma: float = 0.0, cut: float = 1.0,
                      dt: float = 0.01, law: str = "dpd",
@@ -563,9 +571,9 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
             dzz = xi[2] - jch[2]
             if per_x:
                 dx = dx - lx * jnp.round(dx * (1.0 / lx))
-            if per_y:
+            if per_y and AB["mi"] != "off":
                 dyy = dyy - ly * jnp.round(dyy * (1.0 / ly))
-            if per_z:
+            if per_z and AB["mi"] != "off":
                 dzz = dzz - lz * jnp.round(dzz * (1.0 / lz))
             rsq = dx * dx + dyy * dyy + dzz * dzz
             ok = ok & (rsq > eps * eps)
@@ -608,9 +616,13 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                        + dzz * (xi[5] - jch[5]))
                 lo = pltpu.bitcast(jnp.minimum(ti_tag, tj), _U32)
                 hi = pltpu.bitcast(jnp.maximum(ti_tag, tj), _U32)
-                h = _avalanche_u32(lo ^ _U32(0x9E3779B9))
-                h = _avalanche_u32(h ^ hi * _U32(0x85EBCA77))
-                h = _avalanche_u32(h ^ salt * _U32(0xC2B2AE3D))
+                if AB["hash"] == "lite":
+                    h = _avalanche_u32((lo * _U32(0x9E3779B9))
+                                       ^ (hi * _U32(0x85EBCA77)) ^ salt)
+                else:
+                    h = _avalanche_u32(lo ^ _U32(0x9E3779B9))
+                    h = _avalanche_u32(h ^ hi * _U32(0x85EBCA77))
+                    h = _avalanche_u32(h ^ salt * _U32(0xC2B2AE3D))
                 u24 = pltpu.bitcast(h >> 8, jnp.int32)
                 u01 = u24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
                 if gaussian_noise:
@@ -626,7 +638,8 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                     noise = sqrt3 * (2.0 * u01 - 1.0)
                 fpair = c_a0(tif, tjf) * wd
                 fpair = fpair - c_gam(tif, tjf) * wd * wd * dot * rinv
-                fpair = fpair + c_sig(tif, tjf) * wd * noise * dtinvsqrt
+                if AB["noise"] != "off":
+                    fpair = fpair + c_sig(tif, tjf) * wd * noise * dtinvsqrt
                 fpair = fpair * rinv
                 fpair = jnp.where(okc, fpair, 0.0)
             return fpair * dx, fpair * dyy, fpair * dzz
