@@ -125,20 +125,12 @@ def _avalanche_u32(h):
     return h
 
 
-# A/B experiment knobs (measurement only; production uses the defaults).
-# Read at kernel BUILD time so one process can time several variants.
-import os as _os
-AB = {"hash": _os.environ.get("OBMD_AB_HASH", ""),   # "lite" -> 1 avalanche
-      "noise": _os.environ.get("OBMD_AB_NOISE", ""),  # "off" -> no noise term
-      "mi": _os.environ.get("OBMD_AB_MI", "")}        # "off" -> no y/z rounds
-
-
 def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                      gamma: float = 0.0, sigma: float = 0.0, cut: float = 1.0,
                      dt: float = 0.01, law: str = "dpd",
                      lj_eps: float = 1.0, lj_sig: float = 1.0,
                      exclude_bonded: bool = False, n_excl: int = 2,
-                     params=None, bigtile=None):
+                     params=None, bigtile=None, variant=None):
     """Newton half-stencil pair kernel — each unordered pair computed ONCE
     (the counterpart of the reference's newton-on half list,
     npair_half_bin_newton.cpp + reverse_comm, comm_brick.cpp:598).
@@ -172,6 +164,17 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
     """
     from ..config import (DPDParams, DPDTstatParams, LJCutParams,
                           LJCutRFParams)
+    # `variant` is a MEASUREMENT-ONLY knob for the validation/prof_* A/B
+    # drivers ({"hash": "lite", "noise": "off", "mi": "off"}).  It is an
+    # explicit build argument — never read from the environment — so a
+    # polluted shell cannot alter production physics (tests/test_ab_knobs.py
+    # locks this in).  Snapshotted into locals here (true build-time read).
+    variant = dict(variant or {})
+    ab_hash_lite = variant.pop("hash", "") == "lite"
+    ab_noise_off = variant.pop("noise", "") == "off"
+    ab_mi_off = variant.pop("mi", "") == "off"
+    if variant:
+        raise ValueError(f"unknown A/B variant keys: {sorted(variant)}")
     nx, ny, nz = geom.dims
     s, p, lanes, cap = geom.s, geom.p, geom.lanes, geom.cap
     nb = geom.n_blocks
@@ -327,9 +330,9 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
             dzz = mid_f[0, 2, si][None, :] - zj
             if per_x:
                 dx = dx - lx * jnp.round(dx * (1.0 / lx))
-            if per_y:
+            if per_y and not ab_mi_off:
                 dyy = dyy - ly * jnp.round(dyy * (1.0 / ly))
-            if per_z:
+            if per_z and not ab_mi_off:
                 dzz = dzz - lz * jnp.round(dzz * (1.0 / lz))
             rsq = dx * dx + dyy * dyy + dzz * dzz
             ok = ok & (rsq > eps * eps)
@@ -375,9 +378,13 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                 ti = jnp.broadcast_to(mid_t[0, si][None, :], (cap, lanes))
                 lo = pltpu.bitcast(jnp.minimum(ti, tj), _U32)
                 hi = pltpu.bitcast(jnp.maximum(ti, tj), _U32)
-                h = _avalanche_u32(lo ^ _U32(0x9E3779B9))
-                h = _avalanche_u32(h ^ hi * _U32(0x85EBCA77))
-                h = _avalanche_u32(h ^ salt * _U32(0xC2B2AE3D))
+                if ab_hash_lite:
+                    h = _avalanche_u32((lo * _U32(0x9E3779B9))
+                                       ^ (hi * _U32(0x85EBCA77)) ^ salt)
+                else:
+                    h = _avalanche_u32(lo ^ _U32(0x9E3779B9))
+                    h = _avalanche_u32(h ^ hi * _U32(0x85EBCA77))
+                    h = _avalanche_u32(h ^ salt * _U32(0xC2B2AE3D))
                 u24 = pltpu.bitcast(h >> 8, jnp.int32)
                 u01 = u24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
                 if gaussian_noise:
@@ -397,7 +404,9 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                     noise = sqrt3 * (2.0 * u01 - 1.0)
                 fpair = c_a0(tif, tjf) * wd
                 fpair = fpair - c_gam(tif, tjf) * wd * wd * dot * rinv
-                fpair = fpair + c_sig(tif, tjf) * wd * noise * dtinvsqrt
+                if not ab_noise_off:
+                    fpair = (fpair
+                             + c_sig(tif, tjf) * wd * noise * dtinvsqrt)
                 fpair = fpair * rinv
                 fpair = jnp.where(okc, fpair, 0.0)
             return fpair, dx, dyy, dzz
@@ -571,9 +580,9 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
             dzz = xi[2] - jch[2]
             if per_x:
                 dx = dx - lx * jnp.round(dx * (1.0 / lx))
-            if per_y and AB["mi"] != "off":
+            if per_y and not ab_mi_off:
                 dyy = dyy - ly * jnp.round(dyy * (1.0 / ly))
-            if per_z and AB["mi"] != "off":
+            if per_z and not ab_mi_off:
                 dzz = dzz - lz * jnp.round(dzz * (1.0 / lz))
             rsq = dx * dx + dyy * dyy + dzz * dzz
             ok = ok & (rsq > eps * eps)
@@ -616,7 +625,7 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                        + dzz * (xi[5] - jch[5]))
                 lo = pltpu.bitcast(jnp.minimum(ti_tag, tj), _U32)
                 hi = pltpu.bitcast(jnp.maximum(ti_tag, tj), _U32)
-                if AB["hash"] == "lite":
+                if ab_hash_lite:
                     h = _avalanche_u32((lo * _U32(0x9E3779B9))
                                        ^ (hi * _U32(0x85EBCA77)) ^ salt)
                 else:
@@ -638,7 +647,7 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                     noise = sqrt3 * (2.0 * u01 - 1.0)
                 fpair = c_a0(tif, tjf) * wd
                 fpair = fpair - c_gam(tif, tjf) * wd * wd * dot * rinv
-                if AB["noise"] != "off":
+                if not ab_noise_off:
                     fpair = fpair + c_sig(tif, tjf) * wd * noise * dtinvsqrt
                 fpair = fpair * rinv
                 fpair = jnp.where(okc, fpair, 0.0)

@@ -1,6 +1,9 @@
 """Kernel-only A/B at the production layout (cap 16), all variants timed in
 ONE process (tunnel variance across processes swamps the deltas otherwise).
-Variants poke pallas_dpd.AB between kernel builds."""
+Variants are passed as explicit make_pair_kernel(variant=...) build args —
+the env-knob mechanism this driver used before round 5 compiled every
+variant with identical flags (the kernel body reads them at trace time,
+which happened after the knobs were restored)."""
 import dataclasses
 import os
 import sys
@@ -41,11 +44,10 @@ def main():
     ]
 
     def build_scan(ab):
-        saved = dict(pallas_dpd.AB)
-        pallas_dpd.AB.update({"hash": "", "noise": "", "mi": ""})
-        pallas_dpd.AB.update(ab)
-        kern = ec._make_kernel(cfg, geom)
-        pallas_dpd.AB.update(saved)
+        kern = pallas_dpd.make_pair_kernel(
+            geom, params=cfg.pair, dt=cfg.dt,
+            exclude_bonded=cfg.bond is not None,
+            n_excl=4 if cfg.branched_topology else 2, variant=ab)
 
         @jax.jit
         def scan(s):

@@ -1,5 +1,6 @@
 """Bare pallas_call timing (no field pack, no boundary force): one process,
-variants poke pallas_dpd.AB.  Separates in-kernel cost from wrapper cost."""
+variants passed as explicit make_pair_kernel(variant=...) build args.
+Separates in-kernel cost from wrapper cost."""
 import dataclasses
 import os
 import sys
@@ -36,7 +37,7 @@ def main():
 
     # prebuilt kernel inputs (computed once, outside the timed region)
     a3 = state.alive[:, None]
-    xm = jnp.where(a3, state.x, 1e9).astype(jnp.float32)
+    xm = jnp.where(a3, state.x, ec.BIG).astype(jnp.float32)
     fld = jnp.concatenate([xm, state.v.astype(jnp.float32)], axis=1)
     fld = fld.reshape(nb, capg, lanes, 6).transpose(0, 3, 1, 2)
     tag = state.tag.reshape(nb, capg, lanes)
@@ -56,22 +57,20 @@ def main():
     ]
 
     def build(ab):
-        saved = dict(pallas_dpd.AB)
-        pallas_dpd.AB.update({"hash": "", "noise": "", "mi": ""})
         bigtile = ab.pop("bigtile", None)
-        pallas_dpd.AB.update(ab)
         kern = make_pair_kernel(geom, params=cfg.pair, dt=cfg.dt,
-                                bigtile=bigtile)
-        pallas_dpd.AB.update(saved)
+                                bigtile=bigtile, variant=ab)
 
         @jax.jit
         def scan(fld, tag, occ):
-            def body(c, _):
-                f = kern(c, tag, jnp.uint32(123), occ)
+            def body(c, i):
+                # per-iteration salt so each step computes fresh noise,
+                # matching the production _forces cadence
+                f = kern(c, tag, jnp.uint32(123) + i.astype(jnp.uint32), occ)
                 # feed a hair of output back to serialize iterations
                 c = c.at[:, 3:6].add(1e-30 * f)
                 return c, None
-            c, _ = jax.lax.scan(body, fld, None, length=100)
+            c, _ = jax.lax.scan(body, fld, jnp.arange(100, dtype=jnp.int32))
             return c
         return scan
 
