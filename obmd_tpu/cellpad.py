@@ -123,8 +123,9 @@ def layout_build(geom: PadGeometry, box: Box, state: State) -> State:
     start = jnp.searchsorted(sc, sc, side="left")
     rank = (jnp.arange(state.capacity, dtype=jnp.int32)
             - start.astype(jnp.int32))
-    ok = (sc < n_cells) & (rank < cap)
-    overflow = jnp.sum(((sc < n_cells) & (rank >= cap)).astype(jnp.int32))
+    ok = (sc < n_cells) & (rank < geom.fcap)
+    overflow = jnp.sum(((sc < n_cells)
+                        & (rank >= geom.fcap)).astype(jnp.int32))
     dest = jnp.where(ok, slot_index(geom, sc, rank), n_slots)
 
     center = jnp.asarray([(l + h) * 0.5 for l, h in zip(box.lo, box.hi)],
@@ -311,8 +312,11 @@ def relayout_incremental(geom: PadGeometry, box: Box, state: State,
         axis=1).reshape(-1)
     block, lane = geom.slot_of_cell(jnp.clip(cell, 0, n_cells - 1))
     col0 = (block * cap) * lanes + lane
-    col_slots = col0[:, None] + (jnp.arange(cap, dtype=jnp.int32) * lanes)[None, :]
-    cf = cumfree[col_slots]                               # [M, cap]
+    # placement considers only the FILING ranks (rows fcap..cap-1 are
+    # dead storage padding, never filed)
+    col_slots = col0[:, None] + (jnp.arange(geom.fcap, dtype=jnp.int32)
+                                 * lanes)[None, :]
+    cf = cumfree[col_slots]                               # [M, fcap]
     cf_prev = jnp.concatenate(
         [jnp.zeros((m_max, 1), jnp.int32), cf[:, :-1]], axis=1)
     hit = (cf > cf_prev) & (cf == (ordinal + 1)[:, None])
@@ -435,7 +439,7 @@ def place_insertions(geom: PadGeometry, state: State, pos, accepted):
         axis=1).reshape(-1)
     block, lane = geom.slot_of_cell(jnp.clip(cell, 0, n_cells - 1))
     col0 = (block * cap) * lanes + lane          # rank-0 slot of the cell
-    col_slots = col0[:, None] + (jnp.arange(cap, dtype=jnp.int32)
+    col_slots = col0[:, None] + (jnp.arange(geom.fcap, dtype=jnp.int32)
                                  * lanes)[None, :]
     hit = free[col_slots] & (cumfree[col_slots] == (ordinal + 1)[:, None])
     landed = accepted & jnp.any(hit, axis=1)

@@ -529,90 +529,111 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
 
     ctype = jnp.full((K,), obmd.ntype, jnp.int32)
     zq = jnp.zeros((K,), dtype)
-    rem_l = jnp.clip(nins_l, 0, M)
-    rem_r = jnp.clip(nins_r, 0, M)
-    poss_l, accs_l, poss_r, accs_r = [], [], [], []
-    it_l = it_r = jnp.zeros((), jnp.int32)
-    for r in range(rounds):
-        cand_l, ok0_l = draw_candidates(cfg, keys_l[r], obmd.region5, K,
-                                        dtype, state=state)
-        cand_r, ok0_r = draw_candidates(cfg, keys_r[r], obmd.region6, K,
-                                        dtype, state=state)
-        if obmd.usher is not None:
-            # both buffers in ONE search: the per-iteration launch
-            # overhead dominates the [K,B] math at production sizes.
-            # Single-type DPD runs the whole loop inside one Pallas
-            # kernel (VMEM-resident, zero per-iteration launches); on
-            # non-TPU backends the XLA path is used instead (interpreted
-            # Pallas is orders of magnitude slower than XLA on CPU).
-            import os
-            if (isinstance(cfg.pair, DPDParams) and cfg.ntypes == 1
-                    and jax.default_backend() in ("tpu", "axon")
-                    and not os.environ.get("OBMD_TPU_XLA_USHER")):
-                from .forces.pallas_usher import usher_search_pallas
-                search = lambda sl, sr, cl, cr: usher_search_pallas(
-                    cfg, sl, sr, cl, cr, obmd.region5, obmd.region6)
-            else:
-                from .obmd.subset import usher_search_subset_batch
-                search = lambda sl, sr, cl, cr: usher_search_subset_batch(
-                    cfg, sl, sr, cl, cr, ctype, obmd.region5, obmd.region6)
-            # Demand gate: at steady state the feedback budget is zero on
-            # almost every step (census >= alpha*nbuf) and acceptance is
-            # budget-clipped to zero anyway — skip the steered search
-            # entirely.  cond outputs are tiny ([2,K] arrays), so no
-            # big-carry penalty (the round-1 lax.cond hazard).
-            pos2, ok2, iters2 = jax.lax.cond(
-                (rem_l > 0) | (rem_r > 0),
-                lambda ops: search(*ops),
-                lambda ops: (jnp.stack([ops[2], ops[3]]),
-                             jnp.zeros((2, K), bool),
-                             jnp.zeros((2, K), jnp.int32)),
-                (sub_l, sub_r, cand_l, cand_r))
-            pos_l_r, pos_r_r = pos2[0], pos2[1]
-            ok_l, ok_r = ok2[0], ok2[1]
-            it_l = it_l + jnp.sum(iters2[0])
-            it_r = it_r + jnp.sum(iters2[1])
-        else:
-            ok_l = near_check_subset(cfg, sub_l, cand_l)
-            ok_r = near_check_subset(cfg, sub_r, cand_r)
-            pos_l_r, pos_r_r = cand_l, cand_r
-        acc_l_r, cnt_l = _sequential_accept(cfg, pos_l_r, ctype,
-                                            ok_l & ok0_l,
-                                            jnp.minimum(rem_l, K))
-        acc_r_r, cnt_r = _sequential_accept(cfg, pos_r_r, ctype,
-                                            ok_r & ok0_r,
-                                            jnp.minimum(rem_r, K))
-        rem_l = rem_l - cnt_l
-        rem_r = rem_r - cnt_r
-        if rounds > 1:
-            sub_l = _append_subset(sub_l, pos_l_r, acc_l_r, ctype, zq,
-                                   n_slots)
-            sub_r = _append_subset(sub_r, pos_r_r, acc_r_r, ctype, zq,
-                                   n_slots)
-        poss_l.append(pos_l_r)
-        accs_l.append(acc_l_r)
-        poss_r.append(pos_r_r)
-        accs_r.append(acc_r_r)
-    pos_l, acc_l = jnp.concatenate(poss_l), jnp.concatenate(accs_l)
-    pos_r, acc_r = jnp.concatenate(poss_r), jnp.concatenate(accs_r)
-    pos = jnp.concatenate([pos_l, pos_r])
-    accepted = jnp.concatenate([acc_l, acc_r])
+    m = 2 * M
+    from .obmd.stage import draw_inserted_velocities
+    # the velocity-keyword surface is a STATIC property of the config
+    has_vkw = draw_inserted_velocities(
+        cfg, jax.random.PRNGKey(0), jnp.zeros((1, 3), dtype),
+        dtype) is not None
 
-    slot, landed = place_insertions(geom, state, pos, accepted)
+    def _rounds_body(ops):
+        """Candidate draws + steered search + sequential acceptance +
+        slot placement + inserted-velocity draws — everything whose
+        output is candidate-sized, so the whole block rides the demand
+        gate below (at steady state the feedback budget is zero on
+        almost every step; round 4 gated only the USHER search and the
+        draws/accept/cumfree placement still cost ~0.1 ms/step)."""
+        sub_l, sub_r = ops
+        rem_l = jnp.clip(nins_l, 0, M)
+        rem_r = jnp.clip(nins_r, 0, M)
+        poss_l, accs_l, poss_r, accs_r = [], [], [], []
+        it_l = it_r = jnp.zeros((), jnp.int32)
+        for r in range(rounds):
+            cand_l, ok0_l = draw_candidates(cfg, keys_l[r], obmd.region5,
+                                            K, dtype, state=state)
+            cand_r, ok0_r = draw_candidates(cfg, keys_r[r], obmd.region6,
+                                            K, dtype, state=state)
+            if obmd.usher is not None:
+                # both buffers in ONE search: the per-iteration launch
+                # overhead dominates the [K,B] math at production sizes.
+                # Kernel-representable pair laws run the whole loop
+                # inside one Pallas kernel (VMEM-resident, zero
+                # per-iteration launches); on non-TPU backends the XLA
+                # path is used (interpreted Pallas is orders of
+                # magnitude slower than XLA on CPU).
+                import os
+                from .forces.pallas_usher import usher_law
+                if (usher_law(cfg.pair) is not None
+                        and jax.default_backend() in ("tpu", "axon")
+                        and not os.environ.get("OBMD_TPU_XLA_USHER")):
+                    from .forces.pallas_usher import usher_search_pallas
+                    search = lambda sl, sr, cl, cr: usher_search_pallas(
+                        cfg, sl, sr, cl, cr, obmd.region5, obmd.region6)
+                else:
+                    from .obmd.subset import usher_search_subset_batch
+                    search = (lambda sl, sr, cl, cr:
+                              usher_search_subset_batch(
+                                  cfg, sl, sr, cl, cr, ctype,
+                                  obmd.region5, obmd.region6))
+                pos2, ok2, iters2 = search(sub_l, sub_r, cand_l, cand_r)
+                pos_l_r, pos_r_r = pos2[0], pos2[1]
+                ok_l, ok_r = ok2[0], ok2[1]
+                it_l = it_l + jnp.sum(iters2[0])
+                it_r = it_r + jnp.sum(iters2[1])
+            else:
+                ok_l = near_check_subset(cfg, sub_l, cand_l)
+                ok_r = near_check_subset(cfg, sub_r, cand_r)
+                pos_l_r, pos_r_r = cand_l, cand_r
+            acc_l_r, cnt_l = _sequential_accept(cfg, pos_l_r, ctype,
+                                                ok_l & ok0_l,
+                                                jnp.minimum(rem_l, K))
+            acc_r_r, cnt_r = _sequential_accept(cfg, pos_r_r, ctype,
+                                                ok_r & ok0_r,
+                                                jnp.minimum(rem_r, K))
+            rem_l = rem_l - cnt_l
+            rem_r = rem_r - cnt_r
+            if rounds > 1:
+                sub_l = _append_subset(sub_l, pos_l_r, acc_l_r, ctype, zq,
+                                       n_slots)
+                sub_r = _append_subset(sub_r, pos_r_r, acc_r_r, ctype, zq,
+                                       n_slots)
+            poss_l.append(pos_l_r)
+            accs_l.append(acc_l_r)
+            poss_r.append(pos_r_r)
+            accs_r.append(acc_r_r)
+        pos = jnp.concatenate([jnp.concatenate(poss_l),
+                               jnp.concatenate(poss_r)])
+        accepted = jnp.concatenate([jnp.concatenate(accs_l),
+                                    jnp.concatenate(accs_r)])
+        slot, landed = place_insertions(geom, state, pos, accepted)
+        if has_vkw:
+            kv = jax.random.fold_in(key, 7)
+            vnew = draw_inserted_velocities(cfg, kv, pos, dtype)
+        else:
+            vnew = jnp.zeros((m, 3), dtype)
+        return pos, accepted, slot, landed, vnew, it_l, it_r
+
+    def _skip_rounds(ops):
+        return (jnp.zeros((m, 3), dtype), jnp.zeros((m,), bool),
+                jnp.full((m,), n_slots, jnp.int32), jnp.zeros((m,), bool),
+                jnp.zeros((m, 3), dtype),
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+
+    pos, accepted, slot, landed, vnew_arr, it_l, it_r = jax.lax.cond(
+        (nins_l > 0) | (nins_r > 0), _rounds_body, _skip_rounds,
+        (sub_l, sub_r))
     order = jnp.cumsum(landed.astype(jnp.int32)) - 1
     base = insertion_tag_base(cfg, state)
     new_tag = base + 1 + order
 
-    m = 2 * M
-    from .obmd.stage import draw_inserted_velocities
-    kv = jax.random.fold_in(key, 7)
-    vnew = draw_inserted_velocities(cfg, kv, pos, dtype)
-    if vnew is not None:
+    if has_vkw:
+        vnew = vnew_arr
         mass_ins = jnp.asarray(cfg.masses, dtype)[obmd.ntype]
         mv = mass_ins * jnp.where(landed[:, None], vnew, 0.0)
         pins_l = jnp.sum(mv[:M], axis=0)
         pins_r = jnp.sum(mv[M:], axis=0)
     else:
+        vnew = None
         pins_l = pins_r = jnp.zeros((3,), dtype)
 
     # Per-field scatters have a large fixed per-op cost; fields whose value
@@ -676,6 +697,56 @@ def _insert(cfg, geom, state: State, nins_l, nins_r, sub_l, sub_r):
         pins_l, pins_r
 
 
+def _delete_outside_sliced(cfg, geom, state: State):
+    """stage.delete_outside restricted to the two box-face cell bands
+    (ATOM mode).  An atom can only be beyond an open x face if it was
+    filed into that face's own cell column (cell_of clips to the box and
+    epoch drift is bounded by the half-skin budget << cell width — a
+    violated budget is counted in skin_trips and voids the run), so the
+    doom test, momentum tallies, and the alive/tag/v clears touch the
+    first and last block instead of the whole store (the full-store pass
+    was ~0.15 ms of the 0.22 ms stage at 97k).  Molecule scenes keep the
+    full-store path: doom propagates along bonds beyond the face band."""
+    box = cfg.box
+    csx = geom.cell_size[0]
+    masses = jnp.asarray(cfg.masses, state.x.dtype)
+    alive, tag, v = state.alive, state.tag, state.v
+    vnew = []
+    ndel = jnp.zeros((), jnp.int32)
+    for lo_face in (True, False):
+        if lo_face:
+            a, b = slab_slice_bounds(geom, box, box.lo[0] - 1.0,
+                                     box.lo[0] + csx)
+        else:
+            a, b = slab_slice_bounds(geom, box, box.hi[0] - csx,
+                                     box.hi[0] + 1.0)
+        xs = jax.lax.slice_in_dim(state.x, a, b, axis=0)
+        al = jax.lax.slice_in_dim(alive, a, b, axis=0)
+        x0 = xs[:, 0]
+        doomed = al & ((x0 < box.lo[0]) if lo_face else (x0 > box.hi[0]))
+        vs = jax.lax.slice_in_dim(v, a, b, axis=0)
+        if cfg.ntypes == 1:
+            m = jnp.full((b - a,), float(cfg.masses[0]), state.x.dtype)
+        else:
+            m = masses[jax.lax.slice_in_dim(state.type, a, b, axis=0)]
+        mv = m[:, None] * vs
+        vnew.append(jnp.sum(jnp.where(doomed[:, None], mv, 0.0), axis=0))
+        ndel = ndel + jnp.sum(doomed.astype(jnp.int32))
+        alive = jax.lax.dynamic_update_slice_in_dim(alive, al & ~doomed,
+                                                    a, axis=0)
+        ts = jax.lax.slice_in_dim(tag, a, b, axis=0)
+        tag = jax.lax.dynamic_update_slice_in_dim(
+            tag, jnp.where(doomed, -1, ts), a, axis=0)
+        # dead slots keep v == 0 (the at-rest reuse invariant,
+        # stage.delete_outside)
+        v = jax.lax.dynamic_update_slice_in_dim(
+            v, jnp.where(doomed[:, None], 0.0, vs), a, axis=0)
+    state = state.replace(
+        alive=alive, tag=tag, v=v,
+        obmd=state.obmd.replace(ndeleted=state.obmd.ndeleted + ndel))
+    return state, vnew[0], vnew[1]
+
+
 def _obmd_stage(cfg, geom, state: State, with_rebuild: bool = True) -> State:
     obmd = cfg.obmd
     box = cfg.box
@@ -693,7 +764,10 @@ def _obmd_stage(cfg, geom, state: State, with_rebuild: bool = True) -> State:
     nbuf = eval_param(obmd.nbuf, t)
 
     with jax.named_scope("obmd_delete"):
-        state, vnewl, vnewr = delete_outside(cfg, state)
+        if obmd.mol is None:
+            state, vnewl, vnewr = _delete_outside_sliced(cfg, geom, state)
+        else:
+            state, vnewl, vnewr = delete_outside(cfg, state)
     if with_rebuild:
         with jax.named_scope("neigh_decide"):
             state = maybe_rebuild(geom, box, cfg.skin, state,

@@ -60,16 +60,21 @@ def neighbor_slots(spec: GridSpec, ctab: CellTable, pos: jnp.ndarray):
 def forces_for_subset(params: PairParams, box: Box, spec: GridSpec,
                       ctab: CellTable, full_x, full_v, full_type, full_tag,
                       full_q, my_slot, my_x, my_v, my_type, my_tag, my_q,
-                      salt, *, dt: float, my_pb=None, bond=None):
+                      salt, *, dt: float, my_pb=None, bond=None,
+                      sig_scale=None):
     """Forces on `my` atoms [K] (their global slot ids given in `my_slot`)
     against the full system.  Self-pairs excluded by slot identity.
 
-    my_pb [K, 2]: partner TAGS of my atoms (-1 = none).  A neighbor whose
-    tag matches a partner tag is a 1-2 pair: it is excluded from the pair
-    law and, when `bond` is given, contributes the bond force instead —
-    the special_bonds + bond-style evaluation fused into the sweep (the
-    slab path's bond mechanism: partners are found positionally among
-    owned + halo atoms, so bonds crossing slab faces need no slot refs)."""
+    my_pb [K, P]: partner TAGS of my atoms (-1 = none; P = 2 for chains,
+    4 for branched topologies).  A neighbor whose tag matches a partner
+    tag is a 1-2 pair: it is excluded from the pair law and, when `bond`
+    is given, contributes the bond force instead — the special_bonds +
+    bond-style evaluation fused into the sweep (the slab path's bond
+    mechanism: partners are found positionally among owned + halo atoms,
+    so bonds crossing slab faces need no slot refs).
+
+    sig_scale: optional per-step noise-amplitude scale (dpd/tstat
+    temperature ramp, pair_dpd_tstat.cpp:52-60)."""
     dtype = full_x.dtype
     n_full = full_x.shape[0]
     pair_fn = make_pair_law(params, dt, dtype)
@@ -106,9 +111,14 @@ def forces_for_subset(params: PairParams, box: Box, spec: GridSpec,
     if charged:
         qj = gather_padded(full_q, jdx, 0.0)
         kwargs = dict(qi=my_q[:, None], qj=qj)
+    if sig_scale is not None:
+        kwargs["sig_scale"] = sig_scale
     from .pairs import apply_pair_law
     if my_pb is not None:
-        isb = valid & ((gj == my_pb[:, 0:1]) | (gj == my_pb[:, 1:2]))
+        isb = jnp.zeros_like(valid)
+        for c in range(my_pb.shape[1]):
+            isb = isb | (gj == my_pb[:, c:c + 1])
+        isb = valid & isb
         valid_pair = valid & ~isb
     else:
         isb = None

@@ -34,7 +34,17 @@ _U32 = jnp.uint32
 
 
 class PadGeometry(NamedTuple):
-    """Static geometry of the padded cell-major layout."""
+    """Static geometry of the padded cell-major layout.
+
+    cap is the STORAGE rank count (tile sublane width); fill_cap <= cap
+    is the FILING capacity — the max atoms per cell before overflow.
+    They differ only when the requested capacity would give the big-tile
+    kernel a (fill_cap * cap) tile that is not a multiple of 8 sublanes
+    (f32 tiling): e.g. capacity 15 stores 16 ranks but files 15, so the
+    i-side of the big tile runs 15 ranks against a 16-rank j side —
+    (240, lanes) tiles, 6.25%% less pair work than a full cap-16 build
+    with zero Mosaic padding waste (a (225, lanes) tile measured 6x
+    slower).  Rows fill_cap..cap-1 are never filed (dead BIG slots)."""
 
     dims: Tuple[int, int, int]       # cells per axis (nx, ny, nz)
     cell_size: Tuple[float, float, float]
@@ -46,6 +56,11 @@ class PadGeometry(NamedTuple):
     cap: int
     periodic_x: bool = False
     periodic_yz: Tuple[bool, bool] = (True, True)
+    fill_cap: int = 0                # 0 -> == cap
+
+    @property
+    def fcap(self) -> int:
+        return self.fill_cap or self.cap
 
     @property
     def n_slots(self) -> int:
@@ -88,12 +103,23 @@ class PadGeometry(NamedTuple):
             if p == 1:
                 lanes = ((s + 127) // 128) * 128
         n_blocks = (nx + p - 1) // p
+        # storage-rank padding for the big-tile kernel (see class doc):
+        # requested cap = filing capacity; pad storage so fill*store is a
+        # multiple of 8 sublanes.  Only for big-tile-eligible capacities —
+        # larger caps run the rank-looped kernel whose tiles Mosaic pads
+        # implicitly anyway.
+        fill = cap
+        store = cap
+        if cap <= 20 and (cap * cap) % 8 != 0:
+            while (fill * store) % 8 != 0:
+                store += 1
         return PadGeometry(dims=tuple(dims), cell_size=tuple(csize),
                            lo=box.lo, s=s, p=p, lanes=lanes,
-                           n_blocks=n_blocks, cap=cap,
+                           n_blocks=n_blocks, cap=store,
                            periodic_x=periodic_x,
                            periodic_yz=(bool(box.periodic[1]),
-                                        bool(box.periodic[2])))
+                                        bool(box.periodic[2])),
+                           fill_cap=fill)
 
     def cell_of(self, x):
         """Linear cell id in (block, lane)-compatible order for [...,3]."""
@@ -204,6 +230,11 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
     cut_coul = 0.0
     eps_rf_tab = None
     gaussian_noise = bool(getattr(params, "gaussian_noise", False))
+    # dpd/tstat temperature ramp (pair_dpd_tstat.cpp:52-60): the per-step
+    # noise-amplitude scale sqrt(T(step)/t_start) enters as a prefetched
+    # runtime scalar; constant-T builds compile the multiply away entirely
+    from ..config import DPDTstatParams as _Tstat
+    ramp = isinstance(params, _Tstat) and params.is_ramp
     if params is not None:
         ntypes = params.ntypes
         if isinstance(params, (DPDParams, DPDTstatParams)):
@@ -287,7 +318,13 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
     if nz >= 3:
         directed += [(0, 0, 1)]
 
-    def kernel(salt_ref, occ_ref, mid_f, next_f, mid_t, next_t, *rest):
+    def kernel(salt_ref, occ_ref, *rest):
+        if ramp:
+            sig_ref, *rest = rest
+            sig_rt = sig_ref[0]
+        else:
+            sig_rt = None
+        mid_f, next_f, mid_t, next_t, *rest = rest
         if exclude_bonded:
             pb_ref, out_ref, out2_ref, acc, acc2, jacc = rest
         else:
@@ -405,8 +442,10 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                 fpair = c_a0(tif, tjf) * wd
                 fpair = fpair - c_gam(tif, tjf) * wd * wd * dot * rinv
                 if not ab_noise_off:
-                    fpair = (fpair
-                             + c_sig(tif, tjf) * wd * noise * dtinvsqrt)
+                    term = c_sig(tif, tjf) * wd * noise * dtinvsqrt
+                    if sig_rt is not None:
+                        term = term * sig_rt
+                    fpair = fpair + term
                 fpair = fpair * rinv
                 fpair = jnp.where(okc, fpair, 0.0)
             return fpair, dx, dyy, dzz
@@ -516,17 +555,26 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
         out2_ref[0] = acc2[...]
 
     # ---- big-tile variant: all (i-rank, j-rank) pairs of a cell column as
-    # ONE (cap^2, lanes) tile per directed offset.  The fori_loop variant
-    # above is bound by per-iteration structure (dynamic acc[c, si] row
-    # updates + (cap, lanes) mini-tiles), not by the pair arithmetic —
-    # measured: full DPD == conservative-only == 2.1 ms at 94k atoms, while
-    # this form runs 1.9 ms and is BITWISE identical (same op order per
-    # pair; the extra dead-rank rows contribute exact zeros).  Work scales
-    # with cap^2 instead of occ*cap, so the caller gates it to small caps.
-    C2 = cap * cap
+    # ONE (IC * cap, lanes) tile per directed offset, IC = filing capacity
+    # (i-rows above it are never filed — dead storage padding trimmed from
+    # the i side; the j side stays storage-wide, its dead rows are
+    # distance-masked).  The fori_loop variant above is bound by
+    # per-iteration structure (dynamic acc[c, si] row updates +
+    # (cap, lanes) mini-tiles), not by the pair arithmetic — measured:
+    # full DPD == conservative-only == 2.1 ms at 94k atoms, while this
+    # form runs 1.9 ms and is BITWISE identical (same op order per pair;
+    # dead-rank rows contribute exact zeros).  Work scales with IC*cap
+    # instead of occ*cap, so the caller gates it to small caps.
+    IC = geom.fcap
+    C2 = IC * cap
 
-    def kernel_bigtile(salt_ref, occ_ref, mid_f, next_f, mid_t, next_t,
-                       *rest):
+    def kernel_bigtile(salt_ref, occ_ref, *rest):
+        if ramp:
+            sig_ref, *rest = rest
+            sig_rt = sig_ref[0]
+        else:
+            sig_rt = None
+        mid_f, next_f, mid_t, next_t, *rest = rest
         if exclude_bonded:
             pb_ref, out_ref, out2_ref, acc, acc2, jacc = rest
         else:
@@ -542,11 +590,11 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
         sj_big = row_big % cap
 
         def expand_i(v):            # (cap, lanes) -> (C2, lanes) by si
-            return jnp.repeat(v, cap, axis=0)
+            return jnp.repeat(v[:IC], cap, axis=0)
 
         def expand_j(v):            # (cap, lanes) -> (C2, lanes) by sj
             return jnp.reshape(
-                jnp.broadcast_to(v[None, :, :], (cap, cap, lanes)),
+                jnp.broadcast_to(v[None, :, :], (IC, cap, lanes)),
                 (C2, lanes))
 
         def nbr(val, dstride: int, group: int, wrap_delta: float = 0.0):
@@ -648,16 +696,23 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                 fpair = c_a0(tif, tjf) * wd
                 fpair = fpair - c_gam(tif, tjf) * wd * wd * dot * rinv
                 if not ab_noise_off:
-                    fpair = fpair + c_sig(tif, tjf) * wd * noise * dtinvsqrt
+                    term = c_sig(tif, tjf) * wd * noise * dtinvsqrt
+                    if sig_rt is not None:
+                        term = term * sig_rt
+                    fpair = fpair + term
                 fpair = fpair * rinv
                 fpair = jnp.where(okc, fpair, 0.0)
             return fpair * dx, fpair * dyy, fpair * dzz
 
         def reduce_i(ft):           # sum over sj -> (cap, lanes)
-            return jnp.sum(jnp.reshape(ft, (cap, cap, lanes)), axis=1)
+            ri = jnp.sum(jnp.reshape(ft, (IC, cap, lanes)), axis=1)
+            if IC == cap:
+                return ri
+            return jnp.concatenate(
+                [ri, jnp.zeros((cap - IC, lanes), jnp.float32)], axis=0)
 
         def reduce_j(ft):           # sum over si -> (cap, lanes)
-            return jnp.sum(jnp.reshape(ft, (cap, cap, lanes)), axis=0)
+            return jnp.sum(jnp.reshape(ft, (IC, cap, lanes)), axis=0)
 
         # ---- self cell: rank-ordered half (sj > si) ----
         xj = [expand_j(mid_f[0, c]) for c in range(NF)]
@@ -737,10 +792,10 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
         out2_ref[0] = acc2[...]
 
     if bigtile is None:
-        # cap^2 work vs occ*cap: the structural win holds for tight caps
-        # (the production OBMD repack runs cap 16/18); at LJ/chain-sized
-        # caps (>= 24) the extra dead-rank arithmetic outweighs it
-        bigtile = cap <= 20
+        # IC*cap work vs occ*cap: the structural win holds for tight caps
+        # (the production OBMD repack runs filing cap 15/16); at LJ/chain-
+        # sized caps (>= 24) the extra dead-rank arithmetic outweighs it
+        bigtile = geom.fcap <= 20
     if bigtile:
         kernel = kernel_bigtile
 
@@ -774,7 +829,7 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
             return (i, 0, 0, 0)
         in_specs.append(pl.BlockSpec((1, n_excl, cap, lanes), imb))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if ramp else 2,
         grid=(nb,),
         in_specs=in_specs,
         out_specs=[pl.BlockSpec((1, 3, cap, lanes), im),
@@ -786,9 +841,13 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
 
     interpret = jax.default_backend() not in ("tpu", "axon")
 
-    def pair_forces(fld, tag, salt, occ, pbond=None):
-        args = [jnp.asarray(salt, _U32).reshape(1), occ.astype(jnp.int32),
-                fld, fld, tag, tag]
+    def pair_forces(fld, tag, salt, occ, pbond=None, sig_scale=None):
+        args = [jnp.asarray(salt, _U32).reshape(1), occ.astype(jnp.int32)]
+        if ramp:
+            ss = (jnp.ones((1,), jnp.float32) if sig_scale is None
+                  else jnp.asarray(sig_scale, jnp.float32).reshape(1))
+            args.append(ss)
+        args += [fld, fld, tag, tag]
         if exclude_bonded:
             args.append(pbond)
         out, out2 = pl.pallas_call(

@@ -15,8 +15,16 @@ the overlap step; stepping outside the insertion region rejects; a
 degenerate force rejects; a post-loop energy check accepts candidates
 that ran out of iterations below target.
 
-Single-type DPD conservative energies only (the flagship OBMD_DPD
-workload); other pair laws use the XLA path.
+Covers every pair law whose candidate-vs-subset conservative energy is a
+per-lane-coefficient radial form: DPD / dpd/ext (any ntypes — the trial
+type is the fix's single insertion type, so a0/cut collapse to per-LANE
+rows a0[ct, type_j] precomputed outside the kernel), lj/cut, and
+lj/cut/rf with NEUTRAL trial particles (ATOM-mode insertion inserts
+q = 0, so the reaction-field term vanishes identically and the law
+reduces to the per-lane LJ rows; fix_obmd_merged.cpp:1244-1344's charged
+weights only matter for MOLECULE-mode template charges, which use the
+XLA search).  The thermostat-only laws (dpd/tstat, dpd/ext/tstat) have
+zero conservative energy; they stay on the trivially-accepting XLA path.
 """
 from __future__ import annotations
 
@@ -28,21 +36,61 @@ from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1.0e8
 EPSILON = 1.0e-6
+N_ROWS = 8   # xyz + up to 4 per-lane coefficient rows, padded to 8
+
+
+def usher_law(pair):
+    """("dpd" | "lj", per-lane coefficient-row builder) for a pair style,
+    or None when the conservative energy is not kernel-representable.
+    The builder maps (type_row [B], q_row [B]) -> list of [B] f32 rows."""
+    from ..config import (DPDExtParams, DPDParams, LJCutParams,
+                          LJCutRFParams)
+    if isinstance(pair, DPDExtParams) and pair.tstat_only:
+        return None
+    if isinstance(pair, (DPDParams, DPDExtParams)):
+        a0 = np.asarray(pair.a0, np.float32)
+        cut = np.asarray(pair.cut, np.float32)
+
+        def rows(ct, tj, qj):
+            return [jnp.asarray(a0)[ct, tj], jnp.asarray(cut)[ct, tj]]
+        return "dpd", rows
+    if isinstance(pair, (LJCutParams, LJCutRFParams)):
+        eps = np.asarray(pair.epsilon, np.float64)
+        sig = np.asarray(pair.sigma, np.float64)
+        cut = np.asarray(pair.cut, np.float64)
+        s6 = sig ** 6
+        lj3 = 4.0 * eps * s6 * s6
+        lj4 = 4.0 * eps * s6
+        if isinstance(pair, LJCutParams) and pair.shift:
+            rc6 = (1.0 / cut ** 2) ** 3
+            eshift = rc6 * (lj3 * rc6 - lj4)
+        else:
+            eshift = np.zeros_like(lj3)
+
+        def rows(ct, tj, qj):
+            return [jnp.asarray(lj3, jnp.float32)[ct, tj],
+                    jnp.asarray(lj4, jnp.float32)[ct, tj],
+                    jnp.asarray(cut, jnp.float32)[ct, tj],
+                    jnp.asarray(eshift, jnp.float32)[ct, tj]]
+        return "lj", rows
+    return None
 
 
 def make_usher_kernel(cfg, B: int, K: int):
-    """Build fn(sub_xyz [2,4,Bp], cand [2,Kp,128], bounds [2,8,128]) ->
-    out [2,Kp,128] with lanes 0-2 = final pos, 3 = accepted, 4 = iters.
+    """Build fn(sub_rows [2,N_ROWS,Bp], cand [2,Kp,128], bounds
+    [2,1,128]) -> out [2,Kp,128] with lanes 0-2 = final pos,
+    3 = accepted, 4 = iters.
 
     B is the per-side subset capacity (padded rows carry BIG positions);
+    sub_rows = x,y,z + the law's per-lane coefficient rows (usher_law);
     bounds lanes 0-2 = region lo, 3-5 = region hi (per side)."""
-    from ..config import DPDParams
     pair = cfg.pair
-    if not isinstance(pair, DPDParams) or pair.ntypes != 1:
-        raise NotImplementedError("pallas USHER: single-type DPD only")
+    law_rows = usher_law(pair)
+    if law_rows is None:
+        raise NotImplementedError(
+            "pallas USHER: no kernel law for this pair style")
+    law, _ = law_rows
     u = cfg.obmd.usher
-    a0 = float(np.asarray(pair.a0)[0][0])
-    cut = float(np.asarray(pair.cut)[0][0])
     etarget = float(u.etarget)
     ds0 = float(u.ds0)
     uovlp = float(u.uovlp)
@@ -65,6 +113,14 @@ def make_usher_kernel(cfg, B: int, K: int):
         sub_x = sub_ref[0, 0, :][None, :]          # [1, Bp]
         sub_y = sub_ref[0, 1, :][None, :]
         sub_z = sub_ref[0, 2, :][None, :]
+        if law == "dpd":
+            a0_row = sub_ref[0, 3, :][None, :]
+            cut_row = sub_ref[0, 4, :][None, :]
+        else:
+            lj3_row = sub_ref[0, 3, :][None, :]
+            lj4_row = sub_ref[0, 4, :][None, :]
+            cut_row = sub_ref[0, 5, :][None, :]
+            esh_row = sub_ref[0, 6, :][None, :]
         pos_s[...] = cand_ref[0]
         lane = jax.lax.broadcasted_iota(jnp.int32, (Kp, 128), 1)
         st_s[...] = jnp.where(lane == 0, 1.0, 0.0)  # all active
@@ -77,7 +133,10 @@ def make_usher_kernel(cfg, B: int, K: int):
         hi_x, hi_y, hi_z = row[:, 3:4], row[:, 4:5], row[:, 5:6]
 
         def energy_force(px, py, pz):
-            """px/py/pz: [Kp,1].  Returns E [Kp,1], F components [Kp,1]."""
+            """px/py/pz: [Kp,1].  Returns E [Kp,1], F components [Kp,1].
+            Per-lane coefficient rows make this law/type-generic: each
+            subset lane j carries its own a0/cut (or lj3/lj4/cut/eshift)
+            against the fix's single trial type."""
             dx = px - sub_x
             dy = py - sub_y
             dz = pz - sub_z
@@ -86,12 +145,25 @@ def make_usher_kernel(cfg, B: int, K: int):
             if lz > 0.0:
                 dz = dz - lz * jnp.round(dz * (1.0 / lz))
             rsq = dx * dx + dy * dy + dz * dz
-            rinv = jax.lax.rsqrt(jnp.maximum(rsq, eps * eps))
-            r = rsq * rinv
-            wd = 1.0 - r * (1.0 / cut)
-            inr = (rsq < cut * cut) & (rsq > eps * eps)
-            e = jnp.where(inr, 0.5 * a0 * cut * wd * wd, 0.0)
-            fp = jnp.where(inr, a0 * wd * rinv, 0.0)
+            if law == "dpd":
+                rinv = jax.lax.rsqrt(jnp.maximum(rsq, eps * eps))
+                r = rsq * rinv
+                wd = 1.0 - r * (1.0 / cut_row)
+                inr = (rsq < cut_row * cut_row) & (rsq > eps * eps)
+                e = jnp.where(inr, 0.5 * a0_row * cut_row * wd * wd, 0.0)
+                fp = jnp.where(inr, a0_row * wd * rinv, 0.0)
+            else:
+                inr = (rsq < cut_row * cut_row) & (rsq > eps * eps)
+                r2inv = jnp.where(inr,
+                                  1.0 / jnp.maximum(rsq, eps * eps), 0.0)
+                r6inv = r2inv * r2inv * r2inv
+                e = jnp.where(
+                    inr,
+                    r6inv * (lj3_row * r6inv - lj4_row) - esh_row, 0.0)
+                fp = jnp.where(
+                    inr,
+                    r6inv * (12.0 * lj3_row * r6inv - 6.0 * lj4_row)
+                    * r2inv, 0.0)
             E = jnp.sum(e, axis=1, keepdims=True)
             Fx = jnp.sum(fp * dx, axis=1, keepdims=True)
             Fy = jnp.sum(fp * dy, axis=1, keepdims=True)
@@ -160,7 +232,7 @@ def make_usher_kernel(cfg, B: int, K: int):
         num_scalar_prefetch=0,
         grid=(2,),
         in_specs=[
-            pl.BlockSpec((1, 4, Bp), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, N_ROWS, Bp), lambda s: (s, 0, 0)),
             pl.BlockSpec((1, Kp, 128), lambda s: (s, 0, 0)),
             pl.BlockSpec((1, 1, 128), lambda s: (s, 0, 0)),
         ],
@@ -184,18 +256,36 @@ def make_usher_kernel(cfg, B: int, K: int):
 
 def usher_search_pallas(cfg, sub_l, sub_r, cand_l, cand_r,
                         region_l, region_r):
-    """Drop-in for obmd.subset.usher_search_subset_batch on single-type
-    DPD scenes: returns (pos [2,K,3], accepted [2,K], iters [2,K])."""
+    """Drop-in for obmd.subset.usher_search_subset_batch on any
+    kernel-representable pair law (usher_law): returns
+    (pos [2,K,3], accepted [2,K], iters [2,K])."""
     K = cand_l.shape[0]
     B = max(sub_l.x.shape[0], sub_r.x.shape[0])
     run, Bp, Kp = make_usher_kernel(cfg, B, K)
+    _, row_builder = usher_law(cfg.pair)
+    ct = int(cfg.obmd.ntype)
 
     def side_fields(sub):
         b = sub.x.shape[0]
         x = jnp.where(sub.valid[:, None], sub.x, BIG).astype(jnp.float32)
         pad = jnp.full((Bp - b, 3), BIG, jnp.float32)
         xyz = jnp.concatenate([x, pad], axis=0).T        # [3, Bp]
-        return jnp.concatenate([xyz, jnp.zeros((1, Bp), jnp.float32)])
+        # per-lane coefficient rows against the trial type; padded /
+        # invalid lanes get cut = 1 (their BIG positions are already out
+        # of range — a zero cut would make 1/cut a NaN source)
+        tj = jnp.clip(sub.type, 0, cfg.ntypes - 1)
+        coef = row_builder(ct, tj, sub.q)
+        rows = [xyz]
+        cut_idx = len(coef) - 1 if len(coef) == 2 else 2
+        for i, c in enumerate(coef):
+            fill = 1.0 if i == cut_idx else 0.0
+            c = jnp.where(sub.valid, c.astype(jnp.float32),
+                          jnp.float32(fill))
+            rows.append(jnp.concatenate(
+                [c, jnp.full((Bp - b,), fill, jnp.float32)])[None, :])
+        out = jnp.concatenate(rows, axis=0)
+        return jnp.concatenate(
+            [out, jnp.zeros((N_ROWS - out.shape[0], Bp), jnp.float32)])
 
     sub_xyz = jnp.stack([side_fields(sub_l), side_fields(sub_r)])
 

@@ -56,7 +56,7 @@ class Interpreter:
         self.cell_capacity = cell_capacity
         self.log = log_fn
         self.variables: Dict[str, object] = {}
-        self.var_exprs: Dict[str, str] = {}   # python source of equal vars
+        self.var_exprs: Dict[str, object] = {}  # parsed ASTs of equal vars
         self.regions: Dict[str, RegionBlock] = {}
         self.boundary = ("p", "p", "p")   # LAMMPS default (domain.cpp)
         self.atom_style = "atomic"
@@ -67,7 +67,7 @@ class Interpreter:
         self.data: Optional[lammps_data.DataFile] = None
         self.obmd_args: Optional[List[str]] = None
         self.molecules: Dict[str, tuple] = {}
-        self.atom_var_exprs: Dict[str, str] = {}
+        self.atom_var_exprs: Dict[str, object] = {}  # parsed ASTs
         self.langevin = None
         self._velocity_ops: list = []
         self.chunks: Dict[str, tuple] = {}
@@ -354,10 +354,11 @@ class Interpreter:
             # per-atom expression (variable.cpp atom style) over the
             # per-atom columns; evaluated lazily on the host when a
             # consumer (dump custom v_name column) samples it
-            expr = " ".join(a[2:])
-            py = expr.replace("^", "**")
-            py = re.sub(r"v_(\w+)", r"_V('\1')", py)
-            self.atom_var_exprs[name] = py
+            from . import expr as _expr
+            try:
+                self.atom_var_exprs[name] = _expr.parse(" ".join(a[2:]))
+            except _expr.ExprError as e:
+                raise ScriptError(str(e)) from None
         elif style == "index":
             # index does NOT overwrite an existing definition
             # (variable.cpp: loops survive `jump SELF` re-execution and the
@@ -387,59 +388,43 @@ class Interpreter:
             raise ScriptError(f"variable style {style} unsupported")
 
     def _compile_expr(self, expr: str, name: str = ""):
-        """Tiny equal-style expression evaluator (variable.cpp subset):
-        numbers, + - * / ^ ( ), sin cos exp sqrt PI, time (= step*dt),
-        references to other equal variables via v_name."""
-        safe = {"sin": math.sin, "cos": math.cos, "exp": math.exp,
-                "sqrt": math.sqrt, "abs": abs, "floor": math.floor,
-                "ceil": math.ceil, "PI": math.pi, "ln": math.log,
-                "tan": math.tan, "asin": math.asin, "acos": math.acos,
-                "atan": math.atan, "round": round,
-                "MIN": min, "MAX": max}
-        py = expr.replace("^", "**")
-        # LAMMPS boolean operators (variable.cpp): comparisons come free
-        # from the python grammar; translate the C-style logicals
-        py = py.replace("&&", " and ").replace("||", " or ")
-        py = re.sub(r"v_(\w+)", r"_V('\1')", py)
+        """Equal-style expression evaluator: the LAMMPS-grammar Pratt
+        parser (io/expr.py; variable.cpp:130-138 precedence, left-assoc
+        `^`, fmod `%`, 1.0/0.0 logicals) parsed once per `variable`
+        command."""
+        from . import expr as _expr
+        try:
+            ast = _expr.parse(expr)
+        except _expr.ExprError as e:
+            raise ScriptError(str(e)) from None
         if name:
-            self.var_exprs[name] = py
+            self.var_exprs[name] = ast
 
         def fn():
-            env = dict(safe)
-            env["_V"] = self._eval_var_num
-            env["time"] = self.total_steps * self.dt
-            env["step"] = self.total_steps
-            env["dt"] = self.dt
-            return eval(py, {"__builtins__": {}}, env)  # noqa: S307
+            env = {"PI": math.pi, "time": self.total_steps * self.dt,
+                   "step": self.total_steps, "dt": self.dt}
+            try:
+                return _expr.eval_ast(ast, env, _expr.host_backend(),
+                                      resolve_var=self._eval_var_num)
+            except _expr.ExprError as e:
+                raise ScriptError(str(e)) from None
         return fn
-
-    _TRACED_SAFE = None
-
-    @classmethod
-    def _traced_env(cls):
-        if cls._TRACED_SAFE is None:
-            import jax.numpy as jnp
-            cls._TRACED_SAFE = {
-                "sin": jnp.sin, "cos": jnp.cos, "exp": jnp.exp,
-                "sqrt": jnp.sqrt, "abs": jnp.abs, "floor": jnp.floor,
-                "ceil": jnp.ceil, "PI": math.pi, "ln": jnp.log}
-        return dict(cls._TRACED_SAFE)
 
     def _eval_traced(self, name: str, t):
         """Evaluate an equal-style variable with `time` bound to the traced
         sim time t (jnp ops), recursing into referenced variables."""
-        py = self.var_exprs.get(name)
-        if py is None:
+        from . import expr as _expr
+        ast = self.var_exprs.get(name)
+        if ast is None:
             v = self.variables.get(name)
             if v is None:
                 raise ScriptError(f"undefined variable {name}")
             return float(v() if callable(v) else v)
-        env = self._traced_env()
-        env["_V"] = lambda nm: self._eval_traced(nm, t)
-        env["time"] = t
-        env["step"] = t / self.dt
-        env["dt"] = self.dt
-        return eval(py, {"__builtins__": {}}, env)  # noqa: S307
+        env = {"PI": math.pi, "time": t, "step": t / self.dt,
+               "dt": self.dt}
+        return _expr.eval_ast(ast, env, _expr.jnp_backend(),
+                              resolve_var=lambda nm:
+                              self._eval_traced(nm, t))
 
     def cmd_lattice(self, a):
         # lattice fcc RHO  (lattice.cpp, lj units: a = (4/rho)^(1/3))
@@ -835,17 +820,18 @@ class Interpreter:
     def _uses_time(self, name, _seen=None) -> bool:
         """True when the equal-style expression (transitively) references
         `time` or `step`."""
+        from . import expr as _expr
         _seen = _seen or set()
         if name in _seen:
             return False
         _seen.add(name)
-        py = self.var_exprs.get(name)
-        if py is None:
+        ast = self.var_exprs.get(name)
+        if ast is None:
             return False
-        if re.search(r"\b(time|step)\b", py):
+        if _expr.names_in(ast) & {"time", "step"}:
             return True
         return any(self._uses_time(m, _seen)
-                   for m in re.findall(r"_V\('(\w+)'\)", py))
+                   for m in _expr.var_refs(ast))
 
     def _build_pair(self, ntypes: int):
         p = self.pair
@@ -1577,8 +1563,10 @@ class Interpreter:
         """Evaluate an atom-style variable over the ALIVE atoms (host-side
         numpy, like the reference's lazily computed atom vectors)."""
         import math as _math
-        py = self.atom_var_exprs.get(name)
-        if py is None:
+
+        from . import expr as _expr
+        ast = self.atom_var_exprs.get(name)
+        if ast is None:
             raise ScriptError(f"undefined atom-style variable {name}")
         st = self.state
         alive = np.asarray(st.alive)
@@ -1587,9 +1575,7 @@ class Interpreter:
         f = np.asarray(st.f)[alive]
         masses = np.asarray(self.cfg.masses)
         types = np.asarray(st.type)[alive]
-        env = {"sin": np.sin, "cos": np.cos, "exp": np.exp,
-               "sqrt": np.sqrt, "abs": np.abs, "floor": np.floor,
-               "ceil": np.ceil, "PI": _math.pi, "ln": np.log,
+        env = {"PI": _math.pi,
                "x": x[:, 0], "y": x[:, 1], "z": x[:, 2],
                "vx": v[:, 0], "vy": v[:, 1], "vz": v[:, 2],
                "fx": f[:, 0], "fy": f[:, 1], "fz": f[:, 2],
@@ -1604,9 +1590,13 @@ class Interpreter:
         def _V(nm):
             if nm in self.atom_var_exprs:
                 return self.eval_atom_var(nm)
-            return self._eval_var(nm)
-        env["_V"] = _V
-        return np.asarray(eval(py, {"__builtins__": {}}, env))  # noqa: S307
+            return self._eval_var_num(nm)
+        try:
+            out = _expr.eval_ast(ast, env, _expr.numpy_backend(),
+                                 resolve_var=_V)
+        except _expr.ExprError as e:
+            raise ScriptError(str(e)) from None
+        return np.asarray(out)
 
     def _chunk_sample(self, ac):
         """One per-bin sample: (count, sum m v^2, sum vx, vy, vz)."""
@@ -1664,6 +1654,10 @@ class Interpreter:
                          f"{cnt[i]:.4f} {row}\n")
 
     def _write_dump(self, fname, style="xyz", dargs=()):
+        if style == "dcd":
+            from .dump_dcd import write_dcd_frame
+            write_dcd_frame(fname, self.cfg, self.state, append=True)
+            return
         if style == "custom":
             from .dump import write_custom_frame
             extra = {}

@@ -35,7 +35,7 @@ Supported: ATOM-mode scenes (no bonds / molecule templates), open x.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -115,20 +115,6 @@ def make_slab_geom(cfg: SceneConfig, ndev: int, *, n_loc: int = 0,
         if (widths < cut).any():
             raise ValueError(
                 f"balanced slab width {widths.min():.3g} < cutoff {cut:.3g}")
-    if cfg.shake is not None:
-        raise NotImplementedError(
-            "slab path: SHAKE constraints not wired (the position solve "
-            "needs a pre- AND post-drift halo; use rigid or bond_style)")
-    if cfg.branched_topology or cfg.improper is not None:
-        raise NotImplementedError(
-            "slab path: branched topologies / impropers not wired (the "
-            "tag-resolved local bond columns and the in-sweep bonded "
-            "evaluation assume chain storage); run single-chip")
-    from ..config import DPDTstatParams
-    if isinstance(cfg.pair, DPDTstatParams) and cfg.pair.is_ramp:
-        raise NotImplementedError(
-            "slab path: dpd/tstat temperature ramp not wired (sig_scale "
-            "threading); run single-chip or constant-T segments")
     # Bonded interactions widen the halo beyond the pair cutoff: every
     # atom computes its OWN share of each bonded term from gathered
     # positions (no reverse-comm analogue), so an angle's end role reaches
@@ -151,8 +137,21 @@ def make_slab_geom(cfg: SceneConfig, ndev: int, *, n_loc: int = 0,
                 span = max(span, float(np.sqrt(d2.max())) * 1.1)
     hops = 3 if cfg.dihedral is not None else (
         2 if cfg.angle is not None else 1)
+    if cfg.improper is not None:
+        # an improper END atom reaches the other ends through the center:
+        # 2 bond hops (improper_forces' end-role resolution)
+        hops = max(hops, 2)
     reach = hops * max_bond
-    if cfg.rigid:
+    if cfg.shake is not None:
+        # the Jacobi sweeps couple the whole constraint cluster; the
+        # reference's shake surface allows star clusters of <= 4 atoms
+        # (RIGID/fix_shake.cpp shake2/shake3/shake3angle), diameter two
+        # constraints — cover 2 x the longest constraint distance (a thin
+        # 15% margin suffices: SHAKE holds constrained distances to 1e-6,
+        # they never stretch thermally)
+        d0_max = float(np.max(np.asarray(cfg.shake.d0)))
+        reach = max(reach, 2 * max_bond, 2.3 * d0_max)
+    if cfg.rigid or cfg.shake is not None:
         reach = max(reach, span)
     halo_w = max(cut, reach)
     slab_w = float(np.max(np.diff(boundaries))) * float(grow)
@@ -328,13 +327,14 @@ def shard_by_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
     nq = blank(np.asarray(state.q), 0.0)
     nm = blank(np.asarray(state.mol), 0)
     nr = blank(np.asarray(state.rep_atom), 0)
-    nb1 = np.full((ndev * n_loc,), -1, np.int32)
-    nb2 = np.full((ndev * n_loc,), -1, np.int32)
-    # slab-path convention: bond1/bond2 hold partner TAGS, not slots
-    # (slots are per-device and break on migration; tags are global)
+    # slab-path convention: bond/improper columns hold partner TAGS, not
+    # slots (slots are per-device and break on migration; tags are global)
     tag_in = np.asarray(state.tag)
-    b1_in = np.asarray(state.bond1)
-    b2_in = np.asarray(state.bond2)
+    parts_in = [np.asarray(p) for p in state.bond_partners]
+    nparts = [np.full((ndev * n_loc,), -1, np.int32) for _ in parts_in]
+    impr_in = np.asarray(state.impr) if state.impr is not None else None
+    nimpr = (np.full((ndev * n_loc, 3), -1, np.int32)
+             if impr_in is not None else None)
 
     def ptag(b):
         return tag_in[b] if b >= 0 else -1
@@ -355,11 +355,20 @@ def shard_by_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
         nq[j] = np.asarray(state.q)[i]
         nm[j] = np.asarray(state.mol)[i]
         nr[j] = np.asarray(state.rep_atom)[i]
-        nb1[j] = ptag(int(b1_in[i]))
-        nb2[j] = ptag(int(b2_in[i]))
+        for col, src in zip(nparts, parts_in):
+            col[j] = ptag(int(src[i]))
+        if nimpr is not None:
+            for c in range(3):
+                nimpr[j, c] = ptag(int(impr_in[i, c]))
 
     n_cap = ndev * n_loc
     zf = jnp.zeros((n_cap,), nx.dtype)
+    extra_cols = {}
+    if len(nparts) > 2:
+        extra_cols["bond3"] = jnp.asarray(nparts[2])
+        extra_cols["bond4"] = jnp.asarray(nparts[3])
+    if nimpr is not None:
+        extra_cols["impr"] = jnp.asarray(nimpr)
     new = State(
         x=jnp.asarray(nx), v=jnp.asarray(nv), f=jnp.asarray(nf),
         type=jnp.asarray(nt), tag=jnp.asarray(ng), alive=jnp.asarray(na),
@@ -367,10 +376,10 @@ def shard_by_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
         lambdaF=zf, cms_mol=jnp.zeros((n_cap, 3), nx.dtype),
         vcms_mol=jnp.zeros((n_cap, 3), nx.dtype),
         rep_atom=jnp.asarray(nr),
-        bond1=jnp.asarray(nb1), bond2=jnp.asarray(nb2),
+        bond1=jnp.asarray(nparts[0]), bond2=jnp.asarray(nparts[1]),
         step=state.step, sim_time=state.sim_time, maxtag=state.maxtag,
         key=state.key, obmd=state.obmd, cell_overflow=state.cell_overflow,
-        nbrs=None)
+        nbrs=None, **extra_cols)
 
     def put(leaf):
         if hasattr(leaf, "ndim") and leaf.ndim >= 1 and \
@@ -443,9 +452,10 @@ def make_slab_step(cfg: SceneConfig, mesh: Mesh,
         if geom.pad_geom is None:
             raise ValueError("no per-slab PadGeometry for this box")
         from ..forces.pallas_dpd import make_pair_kernel
-        kern_pallas = make_pair_kernel(geom.pad_geom, params=cfg.pair,
-                                       dt=float(cfg.dt),
-                                       exclude_bonded=cfg.bond is not None)
+        kern_pallas = make_pair_kernel(
+            geom.pad_geom, params=cfg.pair, dt=float(cfg.dt),
+            exclude_bonded=cfg.bond is not None,
+            n_excl=4 if cfg.branched_topology else 2)
     elif force_impl != "gathered":
         raise ValueError(f"unknown force_impl {force_impl}")
     n_loc, h_max, m_max = geom.n_loc, geom.h_max, geom.m_max
@@ -493,7 +503,12 @@ def make_slab_step(cfg: SceneConfig, mesh: Mesh,
             x, v = _rigid_drift_slab(cfg, geom, state, v, lo_d, hi_d)
         else:
             x = jnp.where(alive3, state.x + dtype(dt) * v, state.x)
-        state = state.replace(x=box.wrap(x), v=v)
+        x = box.wrap(x)
+        if cfg.shake is not None:
+            x, v, smiss = _shake_slab(cfg, geom, state, x, v, lo_d, hi_d)
+            state = state.replace(
+                cell_overflow=state.cell_overflow + smiss)
+        state = state.replace(x=x, v=v)
 
         # ---- OBMD pre-exchange (delete / census / insert; psum scalars) ----
         if obmd is not None:
@@ -525,6 +540,10 @@ def make_slab_step(cfg: SceneConfig, mesh: Mesh,
         v = jnp.where(state.alive[:, None], state.v + dtf * f / m, state.v)
         if cfg.rigid:
             v = _rigid_project_slab(cfg, geom, state, v, lo_d, hi_d)
+        if cfg.shake is not None:
+            v, rmiss = _rattle_slab(cfg, geom, state, v, lo_d, hi_d)
+            state = state.replace(
+                cell_overflow=state.cell_overflow + rmiss)
         return state.replace(v=v, f=f, step=state.step + 1)
 
     n_cap = geom.capacity
@@ -554,6 +573,9 @@ def _migrate(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d, hi_d):
     go_l = state.alive & (x0 < lo_d) & (me > 0)
     go_r = state.alive & (x0 >= hi_d) & (me < ndev - 1)
 
+    partners = state.bond_partners
+    has_impr = state.impr is not None
+
     def pack_dir(mask):
         idx, valid, (px, pv, pq, plam), missed = _pack_rows(
             mask, m_max, state.x, state.v, state.q, state.lambdaF, n=n_loc)
@@ -561,11 +583,14 @@ def _migrate(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d, hi_d):
         pt = jnp.where(valid, state.type[safe], 0)
         pg = jnp.where(valid, state.tag[safe], 0)
         pm = jnp.where(valid, state.mol[safe], 0)
-        pb1 = jnp.where(valid, state.bond1[safe], -1)
-        pb2 = jnp.where(valid, state.bond2[safe], -1)
         pr = jnp.where(valid, state.rep_atom[safe], 0)
-        ints = jnp.stack([pt, pg, pm, pb1, pb2, pr,
-                          valid.astype(jnp.int32)], axis=1)
+        cols = [pt, pg, pm, pr, valid.astype(jnp.int32)]
+        for pcol in partners:
+            cols.append(jnp.where(valid, pcol[safe], -1))
+        if has_impr:
+            for c in range(3):
+                cols.append(jnp.where(valid, state.impr[safe, c], -1))
+        ints = jnp.stack(cols, axis=1)
         return idx, px, pv, jnp.stack([pq, plam], axis=1), ints, missed
 
     idx_l, xl, vl, ql, il, miss_l = pack_dir(go_l)
@@ -584,7 +609,7 @@ def _migrate(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d, hi_d):
     av = jnp.concatenate([rv, lv_])
     aq = jnp.concatenate([rq, lq_])
     ai = jnp.concatenate([ri, li_])
-    avalid = ai[:, 6] > 0
+    avalid = ai[:, 4] > 0
 
     # place arrivals into local free slots
     m2 = 2 * m_max
@@ -602,31 +627,49 @@ def _migrate(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d, hi_d):
     typ = state.type.at[slot].set(ai[:, 0], mode="drop")
     tag = tag.at[slot].set(ai[:, 1], mode="drop")
     mol = state.mol.at[slot].set(ai[:, 2], mode="drop")
-    bond1 = jnp.where(gone, -1, state.bond1).at[slot].set(ai[:, 3],
-                                                          mode="drop")
-    bond2 = jnp.where(gone, -1, state.bond2).at[slot].set(ai[:, 4],
-                                                          mode="drop")
-    rep = state.rep_atom.at[slot].set(ai[:, 5], mode="drop")
+    rep = state.rep_atom.at[slot].set(ai[:, 3], mode="drop")
+    upd = {}
+    names = ("bond1", "bond2", "bond3", "bond4")
+    for k in range(len(partners)):
+        upd[names[k]] = jnp.where(gone, -1, partners[k]).at[slot].set(
+            ai[:, 5 + k], mode="drop")
+    if has_impr:
+        np_ = len(partners)
+        impr = jnp.where(gone[:, None], -1, state.impr)
+        upd["impr"] = impr.at[slot].set(ai[:, 5 + np_:8 + np_], mode="drop")
     alive = alive.at[slot].set(landed, mode="drop")
 
     lost_all = jax.lax.psum(lost, AXIS)
     return state.replace(x=x, v=v, q=q, lambdaF=lam, type=typ, tag=tag,
-                         mol=mol, bond1=bond1, bond2=bond2, rep_atom=rep,
-                         alive=alive,
+                         mol=mol, rep_atom=rep, alive=alive, **upd,
                          cell_overflow=state.cell_overflow + lost_all)
 
 
+class HaloView(NamedTuple):
+    """Bonded/constraint payloads of the (owned + halo) view — everything
+    that must travel with an atom for bonded math to run locally."""
+
+    x_glob: jnp.ndarray                 # [n_full, 3] GLOBAL-frame x (BIG=dead)
+    btags: Tuple[jnp.ndarray, ...]      # partner TAG columns (2 or 4)
+    mol: jnp.ndarray                    # [n_full] molecule ids
+    impr: Optional[jnp.ndarray]         # [n_full, 3] improper end TAGS
+    vecs: Tuple[jnp.ndarray, ...]       # extra [n_full, 3] payloads
+
+
 def _halo_arrays(cfg: SceneConfig, geom: SlabGeom, state: State, lo_d,
-                 hi_d=None):
+                 hi_d=None, vec_extra=()):
     """Build (xs_full, v_full, type_full, tag_full, q_full, valid_full) =
     owned + left-halo + right-halo, positions shifted into the slab frame
     x' = x - lo_d.  The halo payloads travel by ppermute (borders() +
     forward_comm() with velocities, comm_brick.cpp:771/:538).  Bonded
-    scenes additionally ship bond partner TAGS and the molecule id, and
-    the view keeps GLOBAL positions too (`x_glob`) — bonded/rigid math
-    runs in the global frame so that two devices seeing the same molecule
-    compute bitwise-identical displacements (the slab frame differs by a
-    rounded lo_d shift per device)."""
+    scenes additionally ship bond partner TAGS (all 2-4 columns for
+    branched topologies), the molecule id, and the improper end-tag
+    triplets, and the view keeps GLOBAL positions too (`x_glob`) —
+    bonded/rigid/constraint math runs in the global frame so that two
+    devices seeing the same molecule compute bitwise-identical
+    displacements (the slab frame differs by a rounded lo_d shift per
+    device).  vec_extra: additional [n_loc, 3] per-atom payloads to ship
+    alongside x/v (SHAKE's pre-drift reference positions)."""
     ndev, n_loc, h_max = geom.ndev, geom.n_loc, geom.h_max
     dtype = state.x.dtype.type
     w = dtype(geom.halo_w)
@@ -635,28 +678,36 @@ def _halo_arrays(cfg: SceneConfig, geom: SlabGeom, state: State, lo_d,
     x0 = state.x[:, 0]
     has_bonds = (cfg.bond is not None or cfg.angle is not None
                  or cfg.dihedral is not None or cfg.rigid
+                 or cfg.shake is not None
                  or (cfg.obmd is not None and cfg.obmd.mol is not None))
+    partners = state.bond_partners if has_bonds else ()
+    has_impr = has_bonds and state.impr is not None
 
     near_lo = state.alive & (x0 < lo_d + w)     # -> left neighbor's halo
     near_hi = state.alive & (x0 >= hi_d - w)    # -> right neighbor's halo
 
     def pack(mask):
-        idx, valid, (px, pv), missed = _pack_rows(
-            mask, h_max, state.x, state.v, n=n_loc)
+        idx, valid, packed, missed = _pack_rows(
+            mask, h_max, state.x, state.v, *vec_extra, n=n_loc)
+        px, pv = packed[0], packed[1]
+        pextra = packed[2:]
         safe = jnp.clip(idx, 0, n_loc - 1)
         pq = jnp.where(valid, state.q[safe], dtype(0.0))
         pt = jnp.where(valid, state.type[safe], 0)
         pg = jnp.where(valid, state.tag[safe], 0)
         cols = [pt, pg, valid.astype(jnp.int32)]
         if has_bonds:
-            cols.append(jnp.where(valid, state.bond1[safe], -1))
-            cols.append(jnp.where(valid, state.bond2[safe], -1))
+            for pcol in partners:
+                cols.append(jnp.where(valid, pcol[safe], -1))
             cols.append(jnp.where(valid, state.mol[safe], 0))
+            if has_impr:
+                for c in range(3):
+                    cols.append(jnp.where(valid, state.impr[safe, c], -1))
         ints = jnp.stack(cols, axis=1)
-        return px, pv, pq, ints, missed
+        return px, pv, pq, ints, pextra, missed
 
-    lx, lv, lq, li, miss_l = pack(near_lo)
-    rx, rv, rq, ri, miss_r = pack(near_hi)
+    lx, lv, lq, li, lex, miss_l = pack(near_lo)
+    rx, rv, rq, ri, rex, miss_r = pack(near_hi)
 
     # my lower-edge batch goes left and arrives as the LEFT neighbor's
     # right halo; symmetrically my upper-edge batch goes right.  So my own
@@ -666,6 +717,8 @@ def _halo_arrays(cfg: SceneConfig, geom: SlabGeom, state: State, lo_d,
         _send_left(a, ndev) for a in (lx, lv, lq, li))
     halo_l_x, halo_l_v, halo_l_q, halo_l_i = (
         _send_right(a, ndev) for a in (rx, rv, rq, ri))
+    halo_r_ex = tuple(_send_left(a, ndev) for a in lex)
+    halo_l_ex = tuple(_send_right(a, ndev) for a in rex)
 
     shift = jnp.stack([lo_d, dtype(0.0), dtype(0.0)])
 
@@ -691,10 +744,25 @@ def _halo_arrays(cfg: SceneConfig, geom: SlabGeom, state: State, lo_d,
             jnp.where(state.alive[:, None], state.x, dtype(BIG)),
             jnp.where(valid_l[:, None], halo_l_x, dtype(BIG)),
             jnp.where(valid_r[:, None], halo_r_x, dtype(BIG))])
-        b1 = jnp.concatenate([state.bond1, halo_l_i[:, 3], halo_r_i[:, 3]])
-        b2 = jnp.concatenate([state.bond2, halo_l_i[:, 4], halo_r_i[:, 4]])
-        mol = jnp.concatenate([state.mol, halo_l_i[:, 5], halo_r_i[:, 5]])
-        extras = (x_glob, b1, b2, mol)
+        np_ = len(partners)
+        btags = tuple(
+            jnp.concatenate([partners[k], halo_l_i[:, 3 + k],
+                             halo_r_i[:, 3 + k]])
+            for k in range(np_))
+        mol = jnp.concatenate([state.mol, halo_l_i[:, 3 + np_],
+                               halo_r_i[:, 3 + np_]])
+        impr = None
+        if has_impr:
+            impr = jnp.stack(
+                [jnp.concatenate([state.impr[:, c],
+                                  halo_l_i[:, 4 + np_ + c],
+                                  halo_r_i[:, 4 + np_ + c]])
+                 for c in range(3)], axis=1)
+        vecs = tuple(
+            jnp.concatenate([ve, hl, hr])
+            for ve, hl, hr in zip(vec_extra, halo_l_ex, halo_r_ex))
+        extras = HaloView(x_glob=x_glob, btags=btags, mol=mol, impr=impr,
+                          vecs=vecs)
     return xs_full, v_full, t_full, g_full, q_full, valid_full, miss, extras
 
 
@@ -724,10 +792,10 @@ def _rigid_view(cfg: SceneConfig, geom: SlabGeom, state: State, v, lo_d,
     st = state.replace(v=v)
     (_xs, v_full, t_full, g_full, _q, valid_full, _miss,
      extras) = _halo_arrays(cfg, geom, st, lo_d, hi_d)
-    x_glob, b1_tag, b2_tag, mol = extras
-    b1_loc = _resolve_rows(g_full, valid_full, b1_tag)
-    b2_loc = _resolve_rows(g_full, valid_full, b2_tag)
-    member = valid_full & (mol != 0)
+    x_glob = extras.x_glob
+    b1_loc = _resolve_rows(g_full, valid_full, extras.btags[0])
+    b2_loc = _resolve_rows(g_full, valid_full, extras.btags[1])
+    member = valid_full & (extras.mol != 0)
     mass = jnp.asarray(cfg.masses, x_glob.dtype)[t_full]
     return (x_glob, v_full, mass, b1_loc, b2_loc, member, _rounds(cfg))
 
@@ -766,28 +834,94 @@ def _rigid_project_slab(cfg: SceneConfig, geom: SlabGeom, state: State, v,
     return jnp.where(member[:n_loc, None], v_rigid[:n_loc], v)
 
 
+def _resolve_partner_rows(extras: HaloView, g_full, valid_full):
+    """All partner TAG columns resolved to local rows of the (owned +
+    halo) view."""
+    return tuple(_resolve_rows(g_full, valid_full, bt)
+                 for bt in extras.btags)
+
+
+def _shake_slab(cfg: SceneConfig, geom: SlabGeom, state: State, x_new, v,
+                lo_d, hi_d):
+    """SHAKE position constraints under the slab decomposition: ONE halo
+    exchange ships (post-drift x, v, pre-drift x_ref) for edge atoms,
+    partners resolve by TAG among owned + halo rows, and the Jacobi
+    sweeps run on the full local view in the GLOBAL frame — the halo
+    width covers the whole constraint cluster (make_slab_geom's SHAKE
+    reach), so the owner of every constrained atom computes the identical
+    correction the single-chip step computes (shake.shake_positions; the
+    reference ships SHAKE clusters through ghosts the same way,
+    RIGID/fix_shake.cpp + comm_brick.cpp:771)."""
+    from ..shake import shake_positions
+    n_loc = geom.n_loc
+    st = state.replace(x=x_new, v=v)
+    (_xs, v_full, t_full, g_full, _q, valid_full, miss,
+     extras) = _halo_arrays(cfg, geom, st, lo_d, hi_d,
+                            vec_extra=(state.x,))
+    rows = _resolve_partner_rows(extras, g_full, valid_full)
+    invm = 1.0 / jnp.asarray(cfg.masses, x_new.dtype)[t_full]
+    xs, vs = shake_positions(cfg, extras.vecs[0], extras.x_glob, v_full,
+                             t_full, rows[0], rows[1], valid_full, invm,
+                             more_partners=rows[2:])
+    own = state.alive[:, None]
+    return (jnp.where(own, xs[:n_loc], x_new),
+            jnp.where(own, vs[:n_loc], v),
+            jax.lax.psum(miss, AXIS))
+
+
+def _rattle_slab(cfg: SceneConfig, geom: SlabGeom, state: State, v,
+                 lo_d, hi_d):
+    """RATTLE velocity projection on the (owned + halo) view — the final-
+    kick velocities of halo atoms arrive owner-computed, so the projection
+    each owner applies matches the single-chip rattle_velocities."""
+    from ..shake import rattle_velocities
+    n_loc = geom.n_loc
+    st = state.replace(v=v)
+    (_xs, v_full, t_full, g_full, _q, valid_full, miss,
+     extras) = _halo_arrays(cfg, geom, st, lo_d, hi_d)
+    rows = _resolve_partner_rows(extras, g_full, valid_full)
+    invm = 1.0 / jnp.asarray(cfg.masses, v.dtype)[t_full]
+    vs = rattle_velocities(cfg, extras.x_glob, v_full, t_full, rows[0],
+                           rows[1], valid_full, invm,
+                           more_partners=rows[2:])
+    return (jnp.where(state.alive[:, None], vs[:n_loc], v),
+            jax.lax.psum(miss, AXIS))
+
+
 def _bonded_extra_forces(cfg: SceneConfig, n_loc, extras, t_full, g_full,
                          valid_full):
-    """Angle/dihedral forces on owned rows, resolved over (owned + halo)
-    via partner tags — the slab analogue of integrate._extra_forces's
-    bonded terms.  Runs in the GLOBAL frame (extras[0]) so every device
-    sees bitwise-identical molecule geometry.  Returns [n_loc, 3] (zeros
-    when no angle/dihedral style is active)."""
-    x_glob, b1_tag, b2_tag, _mol = extras
-    b1_loc = _resolve_rows(g_full, valid_full, b1_tag)
-    b2_loc = _resolve_rows(g_full, valid_full, b2_tag)
+    """Angle/dihedral/improper forces on owned rows, resolved over
+    (owned + halo) via partner tags — the slab analogue of
+    integrate._extra_forces's bonded terms.  Runs in the GLOBAL frame
+    (extras.x_glob) so every device sees bitwise-identical molecule
+    geometry.  Returns [n_loc, 3] (zeros when no such style is active)."""
+    x_glob = extras.x_glob
+    rows = _resolve_partner_rows(extras, g_full, valid_full)
+    more = rows[2:]
     dtype = x_glob.dtype
     f = jnp.zeros((x_glob.shape[0], 3), dtype)
     if cfg.angle is not None:
         from ..forces.bonded import angle_forces
-        fa, _ = angle_forces(cfg.angle, cfg.box, x_glob, b1_loc, b2_loc,
-                             t_full, valid_full)
+        fa, _ = angle_forces(cfg.angle, cfg.box, x_glob, rows[0], rows[1],
+                             t_full, valid_full, more_partners=more)
         f = f + fa
     if cfg.dihedral is not None:
         from ..forces.bonded import dihedral_forces
-        fd, _ = dihedral_forces(cfg.dihedral, cfg.box, x_glob, b1_loc,
-                                b2_loc, valid_full)
+        if more:
+            raise NotImplementedError(
+                "dihedrals on branched topologies (>2 bonds/atom) are not "
+                "supported by the center-bond dihedral storage")
+        fd, _ = dihedral_forces(cfg.dihedral, cfg.box, x_glob, rows[0],
+                                rows[1], valid_full)
         f = f + fd
+    if cfg.improper is not None and extras.impr is not None:
+        from ..forces.bonded import improper_forces
+        impr_rows = jnp.stack(
+            [_resolve_rows(g_full, valid_full, extras.impr[:, c])
+             for c in range(3)], axis=1)
+        fi, _ = improper_forces(cfg.improper, cfg.box, x_glob, rows,
+                                impr_rows, t_full, valid_full)
+        f = f + fi
     return f[:n_loc]
 
 
@@ -807,14 +941,17 @@ def _forces_slab(cfg: SceneConfig, geom: SlabGeom, state: State, me, lo_d,
     my_slot = jnp.arange(n_loc, dtype=jnp.int32)
     has_bonds = (cfg.bond is not None
                  or (cfg.obmd is not None and cfg.obmd.mol is not None))
-    my_pb = (jnp.stack([state.bond1, state.bond2], axis=1)
+    my_pb = (jnp.stack(state.bond_partners, axis=1)
              if has_bonds else None)
+    from ..forces.pairs import sig_scale_of
     f, _pe = forces_for_subset(
         cfg.pair, cfg.box, spec, ctab, xs_full, v_full, t_full, g_full,
         q_full, my_slot, xs_full[:n_loc], state.v, state.type, state.tag,
-        state.q, salt, dt=float(cfg.dt), my_pb=my_pb, bond=cfg.bond)
+        state.q, salt, dt=float(cfg.dt), my_pb=my_pb, bond=cfg.bond,
+        sig_scale=sig_scale_of(cfg.pair, state.step, state.x.dtype))
     if extras is not None and (cfg.angle is not None
-                               or cfg.dihedral is not None):
+                               or cfg.dihedral is not None
+                               or cfg.improper is not None):
         f = f + _bonded_extra_forces(cfg, n_loc, extras, t_full, g_full,
                                      valid_full)
     miss_all = jax.lax.psum(halo_miss + ctab.overflow, AXIS)
@@ -881,17 +1018,21 @@ def _forces_slab_pallas(cfg: SceneConfig, geom: SlabGeom, state: State,
 
     salt = rng.step_salt(getattr(cfg.pair, "seed", 0), state.step,
                          PURPOSE_PAIR_NOISE)
+    from ..forces.pairs import sig_scale_of
+    sig_scale = sig_scale_of(cfg.pair, state.step, state.x.dtype)
     if cfg.bond is not None:
         # 1-2 exclusion by partner TAG channels (the single-chip kernel's
-        # pbond convention, engine_cellpad._forces)
-        x_glob, b1_tag, b2_tag, _mol = extras
-        pb_flat = jnp.full((2, n_slots), -2, jnp.int32)
-        pb_flat = pb_flat.at[0, dest].set(b1_tag[order], mode="drop")
-        pb_flat = pb_flat.at[1, dest].set(b2_tag[order], mode="drop")
-        pbond = pb_flat.reshape(2, nb, cap, lanes).transpose(1, 0, 2, 3)
-        fpad = kern(fld, tag, salt, occ, pbond)
+        # pbond convention, engine_cellpad._forces); all 2-4 columns for
+        # branched topologies (matches make_slab_step's n_excl)
+        n_excl = len(extras.btags)
+        pb_flat = jnp.full((n_excl, n_slots), -2, jnp.int32)
+        for k, bt in enumerate(extras.btags):
+            pb_flat = pb_flat.at[k, dest].set(bt[order], mode="drop")
+        pbond = pb_flat.reshape(n_excl, nb, cap, lanes).transpose(1, 0, 2, 3)
+        fpad = kern(fld, tag, salt, occ, pbond, sig_scale=sig_scale)
     else:
-        fpad = kern(fld, tag, salt, occ)             # [nb, 3, cap, lanes]
+        fpad = kern(fld, tag, salt, occ,
+                    sig_scale=sig_scale)             # [nb, 3, cap, lanes]
     f_all = fpad.transpose(0, 2, 3, 1).reshape(-1, 3)
     f_all = jnp.concatenate([f_all, jnp.zeros((1, 3), dtype)])
     slot_of_row = jnp.full((n_full,), n_slots, jnp.int32).at[order].set(
@@ -902,13 +1043,13 @@ def _forces_slab_pallas(cfg: SceneConfig, geom: SlabGeom, state: State,
     if extras is not None:
         if cfg.bond is not None:
             from ..forces.bonded import bond_forces
-            x_glob, b1_tag, b2_tag, _mol = extras
-            b1_loc = _resolve_rows(g_full, valid_full, b1_tag)
-            b2_loc = _resolve_rows(g_full, valid_full, b2_tag)
-            fb, _ = bond_forces(cfg.bond, cfg.box, x_glob, b1_loc, b2_loc,
-                                valid_full)
+            rows = _resolve_partner_rows(extras, g_full, valid_full)
+            fb, _ = bond_forces(cfg.bond, cfg.box, extras.x_glob, rows[0],
+                                rows[1], valid_full,
+                                more_partners=rows[2:])
             f = f + fb[:n_loc]
-        if cfg.angle is not None or cfg.dihedral is not None:
+        if (cfg.angle is not None or cfg.dihedral is not None
+                or cfg.improper is not None):
             f = f + _bonded_extra_forces(cfg, n_loc, extras, t_full,
                                          g_full, valid_full)
     miss_all = jax.lax.psum(halo_miss + overflow + dropped, AXIS)
@@ -1043,6 +1184,7 @@ def _insert_mol_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
     rep_s = jnp.asarray(ts.rep, jnp.int32)
     nat_s = jnp.asarray(ts.natoms, jnp.int32)
     pidx_s = jnp.asarray(ts.pidx, jnp.int32)
+    iidx_s = jnp.asarray(ts.iidx, jnp.int32)
     charged = bool(getattr(obmd, "charged", False))
 
     pad = cfg.pair.max_cut + cfg.skin
@@ -1160,12 +1302,18 @@ def _insert_mol_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
     slot = jnp.where(act, slot, n_loc)
 
     # partner TAGS from the template graph (slab bond convention)
-    p1_idx = pidx_s[tsel][:, :, 0].reshape(km * m)
-    p2_idx = pidx_s[tsel][:, :, 1].reshape(km * m)
     tb_flat = jnp.repeat(tag_base, m)
 
     def ptag(p_idx):
         return jnp.where((p_idx >= 0) & act, tb_flat + p_idx + 1, -1)
+
+    p_tags = [ptag(pidx_s[tsel][:, :, c].reshape(km * m))
+              for c in range(len(state.bond_partners))]
+    impr_tags = None
+    if state.impr is not None:
+        impr_tags = jnp.stack(
+            [ptag(iidx_s[tsel][:, :, c].reshape(km * m))
+             for c in range(3)], axis=1)
 
     apos = pos.reshape(km * m, 3)
     types_flat = ty_s[tsel].reshape(km * m)
@@ -1199,8 +1347,13 @@ def _insert_mol_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
                                       mode="drop")
     lam = state.lambdaF.at[slot].set(jnp.zeros((km * m,), dtype),
                                      mode="drop")
-    nb1 = state.bond1.at[slot].set(ptag(p1_idx), mode="drop")
-    nb2 = state.bond2.at[slot].set(ptag(p2_idx), mode="drop")
+    bond_upd = {}
+    for k, name in enumerate(("bond1", "bond2", "bond3", "bond4")
+                             [:len(p_tags)]):
+        bond_upd[name] = getattr(state, name).at[slot].set(p_tags[k],
+                                                           mode="drop")
+    if impr_tags is not None:
+        bond_upd["impr"] = state.impr.at[slot].set(impr_tags, mode="drop")
     aliv = state.alive.at[slot].set(True, mode="drop")
 
     n_acc_atoms = jnp.sum(placed_rep)            # replicated
@@ -1209,7 +1362,7 @@ def _insert_mol_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
     want = jnp.clip(nins_l, 0) + jnp.clip(nins_r, 0)
     return state.replace(
         x=x, v=v, f=f, type=typ, tag=tag, q=qn, mol=moln, alive=aliv,
-        lambdaF=lam, rep_atom=rep, bond1=nb1, bond2=nb2,
+        lambdaF=lam, rep_atom=rep, **bond_upd,
         maxtag=base + n_acc_atoms, key=knext,
         obmd=state.obmd.replace(
             ninserted=state.obmd.ninserted + n_landed,
@@ -1263,8 +1416,10 @@ def _pre_exchange_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
                 return (b >= 0) & jnp.any(b[:, None] == all_d[None, :],
                                           axis=1)
 
-            doomed = doomed | (state.alive
-                               & (_hit(state.bond1) | _hit(state.bond2)))
+            hit = jnp.zeros_like(doomed)
+            for pcol in state.bond_partners:
+                hit = hit | _hit(pcol)
+            doomed = doomed | (state.alive & hit)
             state = state.replace(cell_overflow=state.cell_overflow
                                   + jax.lax.psum(miss, AXIS))
     mid = 0.5 * (box.lo[0] + box.hi[0])
@@ -1276,10 +1431,15 @@ def _pre_exchange_slab(cfg: SceneConfig, geom: SlabGeom, state: State,
     vnewr = jax.lax.psum(
         jnp.sum(jnp.where((doomed & ~left)[:, None], mv, 0.0), axis=0), AXIS)
     ndel = jax.lax.psum(jnp.sum(doomed.astype(jnp.int32)), AXIS)
+    clear = {"bond1": jnp.where(doomed, -1, state.bond1),
+             "bond2": jnp.where(doomed, -1, state.bond2)}
+    if state.bond3 is not None:
+        clear["bond3"] = jnp.where(doomed, -1, state.bond3)
+        clear["bond4"] = jnp.where(doomed, -1, state.bond4)
+    if state.impr is not None:
+        clear["impr"] = jnp.where(doomed[:, None], -1, state.impr)
     state = state.replace(alive=state.alive & ~doomed,
-                          tag=jnp.where(doomed, -1, state.tag),
-                          bond1=jnp.where(doomed, -1, state.bond1),
-                          bond2=jnp.where(doomed, -1, state.bond2),
+                          tag=jnp.where(doomed, -1, state.tag), **clear,
                           obmd=state.obmd.replace(
                               ndeleted=state.obmd.ndeleted + ndel))
 

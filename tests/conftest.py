@@ -22,20 +22,31 @@ jax.config.update("jax_threefry_partitionable", True)
 
 import pytest  # noqa: E402
 
-# `pytest -m quick`: a core-coverage tier sized for a 1-CPU box in a few
-# minutes (the full suite exceeds 25 min there).  Covers every layer once:
-# geometry/cells, the cellpad engine + invariants, forces, the OBMD stage,
-# the deck front end, IO round-trips, and the C ABI.
-QUICK_MODULES = {
-    "test_geometry", "test_cells", "test_integrate", "test_forces",
-    "test_cellpad", "test_obmd_stage", "test_invariants", "test_observe",
-    "test_io", "test_script", "test_charged", "test_c_api",
+# Test tiers (see README "Running the tests" for the CI recipe):
+#
+#   `pytest -m smoke` — the review-loop tier: small-graph modules only
+#     (no engine-scale compiles), ~4 min on a 1-CPU box.
+#   `pytest -m quick` — core coverage of every layer once: geometry/
+#     cells, the cellpad engine + invariants, forces, the OBMD stage,
+#     the deck front end, IO round-trips, and the C ABI.  ~25 min on a
+#     1-CPU box (the engine/deck modules compile large XLA graphs;
+#     compile time dominates).
+#   full suite — CI's job (~45 min on 1 CPU).
+SMOKE_MODULES = {
+    "test_geometry", "test_cells", "test_forces", "test_observe",
+    "test_io", "test_c_api", "test_expr", "test_dump_dcd",
+}
+QUICK_MODULES = SMOKE_MODULES | {
+    "test_integrate", "test_cellpad", "test_obmd_stage", "test_invariants",
+    "test_script", "test_charged",
 }
 
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
         if mod in QUICK_MODULES:
             item.add_marker(pytest.mark.quick)
         else:

@@ -123,7 +123,7 @@ def test_autoselect_dispatch():
         assert not np.array_equal(f_sel, f_oth) or np.abs(f_sel).max() == 0
 
 
-def _cap16_obmd_cfg(n_max=700):
+def _cap16_obmd_cfg(n_max=700, nbuf=30.0):
     """Small open-boundary DPD scene at the production cell capacity."""
     box = Box((0.0, 0.0, 0.0), (10.0, 4.0, 4.0), (False, True, True))
     pair = DPDParams.create(temp=1.0, cutoff=1.0, seed=5, a0=25.0,
@@ -133,7 +133,7 @@ def _cap16_obmd_cfg(n_max=700):
     r2 = RegionBlock((8.0, 0.0, 0.0), (10.0, 4.0, 4.0))
     deg = RegionBlock((0.0, 0.0, 0.0), (0.0, 0.0, 0.0))
     ob = ObmdParams(ntype=0, nfreq=1, seed=11, pxx=5.0, alpha=0.5,
-                    tau=0.01, nbuf=30.0, region1=r1, region2=r2,
+                    tau=0.01, nbuf=nbuf, region1=r1, region2=r2,
                     region3=deg, region4=deg, region5=r1, region6=r2,
                     buffer_size=b,
                     usher=UsherParams(etarget=10.0, nattempt=10),
@@ -173,8 +173,14 @@ def _assert_caches_consistent(geom, st):
 def test_padaux_cache_consistency_under_traffic():
     """30 OBMD steps at cap 16 (insertions patch the caches in place,
     deletions leave stale-but-masked values, periodic relayouts rebuild):
-    the kernel-facing invariants must hold at every step."""
-    cfg = _cap16_obmd_cfg()
+    the kernel-facing invariants must hold at every step.
+
+    nbuf sets the census target at alpha*nbuf = 90 > the ~70 the uniform
+    start carries, so the feedback law actually requests insertions
+    within the 30-step window on EVERY backend (at the default 30 the
+    buffers start over-full and CPU trajectories never insert — the
+    round-4 version only saw insertion traffic on TPU fp paths)."""
+    cfg = _cap16_obmd_cfg(nbuf=180.0)
     st = setup(cfg, _uniform_state(cfg, 420, seed=7))
     geom = ec.make_geometry(cfg)
     step = jax.jit(make_step(cfg))

@@ -89,6 +89,52 @@ def test_fortran_module_matches_c_abi():
         assert re.search(rf"\b{sym}\s*\(", cpp), f"{sym} missing from C ABI"
 
 
+def _parse_f90_interfaces(f90):
+    """bind(c) name -> (nargs, is_function).  Continuation lines (&) are
+    joined first so multi-line signatures parse."""
+    joined = re.sub(r"&\s*\n\s*", " ", f90)
+    out = {}
+    for m in re.finditer(
+            r"(function|subroutine)\s+(\w+)\s*\(([^)]*)\)\s*"
+            r'bind\(c,\s*name="(\w+)"\)', joined):
+        kind, _fname, args, cname = m.groups()
+        nargs = 0 if not args.strip() else len(args.split(","))
+        out[cname] = (nargs, kind == "function")
+    return out
+
+
+def _parse_c_protos(cpp):
+    """extern-C name -> (nargs, returns_value)."""
+    joined = re.sub(r"\s*\n\s*", " ", cpp)
+    out = {}
+    for m in re.finditer(
+            r"(void\s*\*|const\s+char\s*\*|long\s+long|double|int|void)"
+            r"\s+(obmd_\w+)\s*\(([^)]*)\)\s*\{", joined):
+        ret, name, args = m.groups()
+        args = args.strip()
+        nargs = 0 if args in ("", "void") else len(args.split(","))
+        out[name] = (nargs, ret.replace(" ", "") != "void")
+    return out
+
+
+def test_fortran_interface_arity_and_kind():
+    """Round-5 strengthening of the structural check: every bind(c)
+    interface must agree with the C definition in ARG COUNT and in
+    function-vs-subroutine kind (a mismatch would compile on the Fortran
+    side and corrupt the stack at the first call — the exact class of
+    drift a compile-less image cannot otherwise catch)."""
+    f90 = open(os.path.join(ROOT, "native", "obmd.f90")).read()
+    cpp = open(os.path.join(ROOT, "native", "obmdc.cpp")).read()
+    fi = _parse_f90_interfaces(f90)
+    ci = _parse_c_protos(cpp)
+    assert len(fi) >= 9, sorted(fi)
+    for name, (nargs, is_fn) in fi.items():
+        assert name in ci, f"{name} not defined in obmdc.cpp"
+        c_nargs, c_returns = ci[name]
+        assert nargs == c_nargs, (name, nargs, c_nargs)
+        assert is_fn == c_returns, (name, "function/subroutine mismatch")
+
+
 def test_fortran_client_runs_deck(tmp_path):
     fc = shutil.which("gfortran") or shutil.which("flang")
     if fc is None:

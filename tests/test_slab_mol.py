@@ -143,21 +143,17 @@ def test_slab_mol_insertion_and_whole_deletion():
 
 def test_slab_rejects_unsupported_molecule_features():
     """The halo must fit the narrowest slab (it only reaches the adjacent
-    device), and SHAKE remains a named refusal on the slab path."""
+    device) — a template whose bonded reach exceeds the slab width refuses
+    loudly.  (SHAKE/branched/ramp are slab-supported since round 5,
+    tests/test_slab_parity.py.)"""
     cfg, _ = _mol_scene()
     import dataclasses
-    # a template whose bonded reach exceeds the slab width refuses loudly
     long_tpl = MolTemplate(dx=((-0.9, 0.0, 0.0), (0.9, 0.0, 0.0)),
                            types=(0, 0), q=(0.0, 0.0), bonds=((0, 1),))
     bad = dataclasses.replace(
         cfg, obmd=dataclasses.replace(cfg.obmd, mol=long_tpl))
     with pytest.raises(ValueError, match="halo width"):
         make_slab_geom(bad, NDEV)
-    from obmd_tpu.config import shake_table_from_templates
-    bad2 = dataclasses.replace(
-        cfg, shake=shake_table_from_templates([DIMER], 1))
-    with pytest.raises(NotImplementedError, match="SHAKE"):
-        make_slab_geom(bad2, NDEV)
 
 
 TRIMER = MolTemplate(
