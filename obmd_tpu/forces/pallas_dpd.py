@@ -196,7 +196,10 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
     # polluted shell cannot alter production physics (tests/test_ab_knobs.py
     # locks this in).  Snapshotted into locals here (true build-time read).
     variant = dict(variant or {})
-    ab_hash_lite = variant.pop("hash", "") == "lite"
+    # round 5: the multiplicative-mix + 1-round hash IS production (it
+    # matches rng.pair_noise bitwise); "full" selects the old 3-round
+    # construction for A/B profiling
+    ab_hash_full = variant.pop("hash", "") == "full"
     ab_noise_off = variant.pop("noise", "") == "off"
     ab_mi_off = variant.pop("mi", "") == "off"
     if variant:
@@ -415,13 +418,14 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                 ti = jnp.broadcast_to(mid_t[0, si][None, :], (cap, lanes))
                 lo = pltpu.bitcast(jnp.minimum(ti, tj), _U32)
                 hi = pltpu.bitcast(jnp.maximum(ti, tj), _U32)
-                if ab_hash_lite:
-                    h = _avalanche_u32((lo * _U32(0x9E3779B9))
-                                       ^ (hi * _U32(0x85EBCA77)) ^ salt)
-                else:
+                if ab_hash_full:
                     h = _avalanche_u32(lo ^ _U32(0x9E3779B9))
                     h = _avalanche_u32(h ^ hi * _U32(0x85EBCA77))
                     h = _avalanche_u32(h ^ salt * _U32(0xC2B2AE3D))
+                else:
+                    # production: rng.pair_noise's construction, bitwise
+                    h = _avalanche_u32((lo * _U32(0x9E3779B9))
+                                       ^ (hi * _U32(0x85EBCA77)) ^ salt)
                 u24 = pltpu.bitcast(h >> 8, jnp.int32)
                 u01 = u24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
                 if gaussian_noise:
@@ -673,13 +677,14 @@ def make_pair_kernel(geom: PadGeometry, *, a0: float = 0.0,
                        + dzz * (xi[5] - jch[5]))
                 lo = pltpu.bitcast(jnp.minimum(ti_tag, tj), _U32)
                 hi = pltpu.bitcast(jnp.maximum(ti_tag, tj), _U32)
-                if ab_hash_lite:
-                    h = _avalanche_u32((lo * _U32(0x9E3779B9))
-                                       ^ (hi * _U32(0x85EBCA77)) ^ salt)
-                else:
+                if ab_hash_full:
                     h = _avalanche_u32(lo ^ _U32(0x9E3779B9))
                     h = _avalanche_u32(h ^ hi * _U32(0x85EBCA77))
                     h = _avalanche_u32(h ^ salt * _U32(0xC2B2AE3D))
+                else:
+                    # production: rng.pair_noise's construction, bitwise
+                    h = _avalanche_u32((lo * _U32(0x9E3779B9))
+                                       ^ (hi * _U32(0x85EBCA77)) ^ salt)
                 u24 = pltpu.bitcast(h >> 8, jnp.int32)
                 u01 = u24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
                 if gaussian_noise:
@@ -984,9 +989,9 @@ def make_dpd_kernel(geom: PadGeometry, *, a0: float = 0.0,
                     ti = jnp.broadcast_to(mid_t[0, si][None, :], (cap, lanes))
                     lo = pltpu.bitcast(jnp.minimum(ti, tj), _U32)
                     hi = pltpu.bitcast(jnp.maximum(ti, tj), _U32)
-                    h = _avalanche_u32(lo ^ _U32(0x9E3779B9))
-                    h = _avalanche_u32(h ^ hi * _U32(0x85EBCA77))
-                    h = _avalanche_u32(h ^ salt * _U32(0xC2B2AE3D))
+                    # rng.pair_noise's production construction, bitwise
+                    h = _avalanche_u32((lo * _U32(0x9E3779B9))
+                                       ^ (hi * _U32(0x85EBCA77)) ^ salt)
                     # u32 -> f32 cast unsupported in Mosaic: via int32 (the
                     # top-24-bit value is always non-negative)
                     u24 = pltpu.bitcast(h >> 8, jnp.int32)

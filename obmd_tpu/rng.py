@@ -18,8 +18,12 @@ sqrt(3)*(2u-1) gives identical hydrodynamics and thermostat temperature.  We
 default to uniform (cheap on the VPU) and provide a Box-Muller gaussian
 variant for validation runs. Statistical equivalence is covered by tests.
 
-The bit mixer is the murmur3/xxhash finalizer family — 2 avalanche rounds per
-draw, integer ops only, fully vectorizable.
+The pair-noise bit mixer is xxhash-style: odd-constant multiplies diffuse
+the two tag streams, one murmur3 finalizer round avalanches (the salt
+arrives pre-mixed through step_salt's hash3) — integer ops only, fully
+vectorizable, and ~4.5%% of the whole production step cheaper than the
+earlier 3-round construction (round 5; the 120k-step golden density/T
+gate re-validated the thermostat on the new stream).
 """
 from __future__ import annotations
 
@@ -71,7 +75,17 @@ def pair_noise(step_salt: jnp.ndarray, tag_i: jnp.ndarray, tag_j: jnp.ndarray,
     dtype = jnp.dtype(dtype).type
     lo = jnp.minimum(tag_i, tag_j).astype(_U32)
     hi = jnp.maximum(tag_i, tag_j).astype(_U32)
-    bits = hash3(lo, hi, jnp.asarray(step_salt, dtype=_U32))
+    # multiplicative mix + ONE avalanche round (xxhash-style): the salt is
+    # already a full hash3 product (step_salt), and the odd-constant
+    # multiplies diffuse structured tag patterns before the finalizer.
+    # Replaced the 3-avalanche hash3 in round 5: bitwise-identical
+    # construction in the Pallas kernel (pallas_dpd.py), ~4.5% of the
+    # whole production step; noise statistics pinned by
+    # tests/test_forces.py::test_dpd_noise_statistics and the 120k-step
+    # golden density/T gate (validation/REPORT.md round 5).
+    bits = _avalanche((lo * _U32(0x9E3779B9))
+                      ^ (hi * _U32(0x85EBCA77))
+                      ^ jnp.asarray(step_salt, dtype=_U32))
     if not gaussian:
         return jnp.sqrt(dtype(3.0)) * (dtype(2.0) * uniform01(bits, dtype) - dtype(1.0))
     # Box-Muller from two decorrelated streams (validation path).

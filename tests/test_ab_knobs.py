@@ -96,16 +96,19 @@ def test_variant_mi_off_changes_periodic_forces():
     assert np.abs(f_prod - f_nomi).max() > 1e-4
 
 
-def test_variant_hash_lite_changes_noise_only_statistically():
-    """hash=lite alters the noise stream (different draws) but not the
-    conservative/drag terms: with noise off, lite == baseline."""
+def test_variant_hash_full_changes_noise_only_statistically():
+    """hash=full (the old 3-round construction, kept for A/B) alters the
+    noise stream (different draws) but not the conservative/drag terms:
+    with noise off, full == baseline.  (Round 5 made the multiplicative
+    mix + 1-round finalizer THE production hash, bitwise-matching
+    rng.pair_noise.)"""
     cfg, geom, state = _scene()
-    f_lite = _forces(geom, cfg, state, variant={"hash": "lite"})
+    f_full = _forces(geom, cfg, state, variant={"hash": "full"})
     f_prod = _forces(geom, cfg, state)
-    assert np.abs(f_lite - f_prod).max() > 1e-4
+    assert np.abs(f_full - f_prod).max() > 1e-4
     f_a = _forces(geom, cfg, state, variant={"noise": "off"})
     f_b = _forces(geom, cfg, state,
-                  variant={"noise": "off", "hash": "lite"})
+                  variant={"noise": "off", "hash": "full"})
     assert np.array_equal(f_a, f_b)
 
 

@@ -37,10 +37,10 @@ def main():
 
     variants = [
         ("baseline", {}),
-        ("hash=lite", {"hash": "lite"}),
+        ("hash=full", {"hash": "full"}),
         ("noise=off", {"noise": "off"}),
         ("mi=off", {"mi": "off"}),
-        ("lite+mi-off", {"hash": "lite", "mi": "off"}),
+        ("full+mi-off", {"hash": "full", "mi": "off"}),
     ]
 
     def build_scan(ab):

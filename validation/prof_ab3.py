@@ -49,10 +49,10 @@ def main():
 
     variants = [
         ("baseline", {}),
-        ("hash=lite", {"hash": "lite"}),
+        ("hash=full", {"hash": "full"}),
         ("noise=off", {"noise": "off"}),
         ("mi=off", {"mi": "off"}),
-        ("all-off", {"hash": "lite", "noise": "off", "mi": "off"}),
+        ("all-off", {"hash": "full", "noise": "off", "mi": "off"}),
         ("looped", {"bigtile": False}),
     ]
 

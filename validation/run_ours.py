@@ -26,7 +26,7 @@ from obmd_tpu.state import init_state  # noqa: E402
 
 def main(total_steps=60000, warm_steps=10000, sample_every=50, nbins=50,
          mode="usher", out="/root/repo/validation/profile_ours.npz",
-         force_path="cellpad", rebuild_every=0):
+         force_path="cellpad", rebuild_every=0, cap=24):
     df = lammps_data.read_data(
         "/root/reference/examples/OBMD_DPD/dpd_8map_obmd.data")
     xhi = float(df.box_hi[0])
@@ -50,7 +50,7 @@ def main(total_steps=60000, warm_steps=10000, sample_every=50, nbins=50,
         insert_kmax=16)
     cfg = SceneConfig(box=box, masses=(1.0,), pair=pair, dt=0.001464,
                       capacity=Capacity(n_max=int(df.natoms * 1.3), max_neighbors=72,
-                                        cell_capacity=24),
+                                        cell_capacity=cap),
                       obmd=obmd, force_path=force_path,
                       rebuild_every=rebuild_every).finalize()
     state = init_state(cfg, df.x, v=df.v, types=df.types, tags=df.tags)
@@ -106,6 +106,11 @@ if __name__ == "__main__":
     ap.add_argument("steps", nargs="?", type=int, default=60000)
     ap.add_argument("--force-path", default="cellpad")
     ap.add_argument("--rebuild-every", type=int, default=0)
+    # --cap 15: the SHIPPING kernel configuration (filing 15 / storage 16
+    # big-tile + PadAux caches — what bench.py actually measures); the
+    # default 24 is the loop-kernel configuration of the earlier gates
+    ap.add_argument("--cap", type=int, default=24)
     a = ap.parse_args()
     main(total_steps=a.steps, mode=a.mode, out=a.out,
-         force_path=a.force_path, rebuild_every=a.rebuild_every)
+         force_path=a.force_path, rebuild_every=a.rebuild_every,
+         cap=a.cap)
